@@ -1,0 +1,112 @@
+"""Benchmark driver: kalign seed-and-extend throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config #1 of BASELINE.md: E. coli-scale genome (4.6 Mbp), 100K x 100 bp SE
+simulated reads with Illumina-skewed errors -> aligned (unique-accept) on the
+default sensitivity schedule. Steady-state reads/sec measured after one
+warmup batch (compile excluded; device transfers included).
+
+vs_baseline: ratio vs the reference ngskit4b binary measured on this host's
+CPUs if a build exists at ./native/ngskit4b_ref or /tmp/ngskit4b; else the
+recorded BASELINE_CPU_READS_PER_SEC constant (reference 64-core estimate) is
+used; 0.0 when no baseline is known.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# Measured reference throughput (reads/sec) for config #1 on a 64-core host.
+# Not yet measured (no such host in this environment) — see BASELINE.md.
+BASELINE_CPU_READS_PER_SEC = None
+
+GENOME_LEN = 4_600_000
+N_READS = 100_000
+READ_LEN = 100
+BATCH = 8192
+
+
+def main():
+    from kit4b_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    from kit4b_tpu import dna
+    from kit4b_tpu.align import kalign
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome
+    from kit4b_tpu.sim import simreads
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(12345)
+    seq = np.concatenate([rng.integers(0, 4, GENOME_LEN).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["ecoli_sim"], np.array([0]), np.array([GENOME_LEN]), seq)
+
+    t0 = time.time()
+    idx = SfxIndex.build(g)
+    log(f"index build: {time.time()-t0:.1f}s (lut_k={idx.lut_k}, "
+        f"clean={len(idx.sa_clean)})")
+
+    recs = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=N_READS, read_len=READ_LEN, seed=7,
+                              error_mode="illumina", subs_rate=0.02))
+    reads = np.stack([r.codes for r in recs])
+    log(f"simreads: {len(recs)} reads")
+
+    al = kalign.KAligner(idx, batch_size=BATCH)
+
+    # warmup: compile all pass shapes
+    t0 = time.time()
+    al.align_batch(reads[:BATCH])
+    log(f"warmup (compile): {time.time()-t0:.1f}s")
+
+    # timed: all batches
+    t0 = time.time()
+    n_done = 0
+    n_acc = 0
+    results = []
+    for s in range(0, len(reads) - BATCH + 1, BATCH):
+        rs = al.align_batch(reads[s:s + BATCH])
+        n_done += BATCH
+        n_acc += sum(1 for r in rs if r.nar == kalign.NAR_ACCEPTED)
+        results.extend(rs)
+    dt = time.time() - t0
+    rps = n_done / dt
+
+    # correctness spot check vs ground truth
+    n_ok = 0
+    for rec, res in zip(recs, results):
+        if res.nar != kalign.NAR_ACCEPTED:
+            continue
+        t = simreads.parse_truth(rec.name)
+        ci, off = g.locate(np.array([res.pos]))
+        if (g.names[int(ci[0])] == t["chrom"] and int(off[0]) == t["start"]
+                and ("-" if res.strand else "+") == t["strand"]):
+            n_ok += 1
+    log(f"aligned {n_done} reads in {dt:.2f}s = {rps:.0f} reads/s; "
+        f"accepted {n_acc} ({100*n_acc/n_done:.1f}%), "
+        f"truth-correct {100*n_ok/max(n_acc,1):.2f}% of accepted")
+
+    vs = 0.0
+    if BASELINE_CPU_READS_PER_SEC:
+        vs = rps / BASELINE_CPU_READS_PER_SEC
+    print(json.dumps({
+        "metric": "kalign_reads_aligned_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""kalign: seed-and-extend short-read aligner (TPU-native engine).
+
+Mirrors the reference CKAligner semantics (ngskit4b/KAligner.cpp:82 Align,
+:9583 AlignRead; libkit4b/SfxArray.cpp:7838 AlignReads) while batching the
+work as fixed-shape device passes:
+
+  - Progressive pigeonhole passes: pass m seeks alignments with <= m
+    mismatches using exact core windows of CL = L // (m + mm_delta)
+    (SfxArray.cpp:7869-7878), then a final pass at the KAligner-derived
+    CoreLen/CoreDelta (KAligner.cpp:9665-9669).
+  - Reads are aligned as whole batches per pass; resolved reads (best
+    mismatch count <= pass allowance) are compacted out on the host between
+    passes — the batch analog of the reference's early `return(Rslt)`.
+  - Uniqueness: best hit accepted when there is exactly one locus at the
+    lowest mismatch count and the next-lowest differs by >= mm_delta
+    (MinEditDist), as in the reference's eHRMMDelta handling.
+
+Round-1 scope: SE substitutions-only (microInDel / splice / chimeric trims are
+later milestones — SURVEY.md §7 step 5).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from .. import dna
+from ..index.sfx_index import SfxIndex
+from ..io.fasta import SeqRecord
+from ..io.sam import (FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment, SamWriter,
+                      seq_qual_for_strand)
+from ..ops import seed_extend
+
+INT32_MAX = np.iinfo(np.int32).max
+
+# sensitivity modes (reference ePMdefault/ePMMoreSens/ePMUltraSens/ePMLessSens
+# mapped to slides + min-core adjustment, KAligner.cpp:9377-9393)
+SENS_MODES = {
+    "default": (0, 8),
+    "more": (-1, 8),
+    "ultra": (-2, 9),
+    "less": (2, 6),
+}
+
+
+def auto_min_core_len(genome_len: int, sens: str = "default") -> int:
+    """floor(log4(G)) - 1, clamped (KAligner.cpp:9369-9374, cKAMinCoreLen)."""
+    auto = 0
+    g = genome_len
+    while g:
+        g >>= 2
+        auto += 1
+    auto -= 1
+    adj, _ = SENS_MODES[sens]
+    return max(4, auto) + adj
+
+
+@dataclass(frozen=True)
+class PassSpec:
+    allow_mm: int
+    core_len: int
+    offsets: tuple  # core window start offsets within the read
+
+
+def build_pass_schedule(read_len: int, max_subs_per100: int, mm_delta: int,
+                        genome_len: int, sens: str = "default",
+                        ) -> tuple[list[PassSpec], int]:
+    """Pigeonhole pass schedule for one read length.
+
+    Returns (passes, max_tot_mm). Mirrors AlignReads' progressive loop +
+    final call (SfxArray.cpp:7866-7893) and AlignRead's CoreLen/CoreDelta
+    derivation (KAligner.cpp:9662-9669).
+    """
+    L = read_len
+    if max_subs_per100 == 0:
+        max_tot_mm = 0
+    else:
+        max_tot_mm = max(1, int(0.5 + L * max_subs_per100 / 100.0))
+    max_tot_mm = min(max_tot_mm, 63)
+
+    min_core = auto_min_core_len(genome_len, sens)
+    denom = max_tot_mm + (1 if mm_delta == 1 else 2)
+    core_final = max(min_core, L // denom)
+    _, slides_per100 = SENS_MODES[sens]
+    max_slides = max(1, (slides_per100 * L + 99) // 100)
+    core_delta = max(L // max_slides - 1, core_final)
+
+    passes: list[PassSpec] = []
+    for m in range(max_tot_mm + 1):
+        cl = L // (m + mm_delta)
+        if cl <= core_final:
+            break
+        offsets = tuple(o for o in range(0, L - cl + 1, cl))
+        passes.append(PassSpec(m, cl, offsets))
+    # final pass at KAligner core/delta
+    offsets = []
+    o = 0
+    while o + core_final <= L and len(offsets) < max_slides:
+        offsets.append(o)
+        o += core_delta
+    passes.append(PassSpec(max_tot_mm, core_final, tuple(offsets)))
+    return passes, max_tot_mm
+
+
+def union_offsets(passes: list[PassSpec]) -> tuple:
+    """Union of all pass core-window offsets, ascending.
+
+    With the default MinEditDist=1 the progressive pass loop and a single
+    all-windows evaluation are equivalent: pigeonhole guarantees every
+    alignment with mm == low is discovered by pass `low`'s windows, so the
+    lowest-mm locus set (and hence unique/multi classification) is identical;
+    evaluating extra windows only improves next-best tracking. Fusing them
+    means ONE compiled executable and one candidate sort per batch instead of
+    one per pass.
+    """
+    s: set[int] = set()
+    for p in passes:
+        s.update(p.offsets)
+    return tuple(sorted(s))
+
+
+# NAR (not-aligned reason / acceptance) codes — subset of reference
+# eNAR* (KAligner.h): accepted, no-hit, multialign, excess Ns.
+NAR_ACCEPTED = "accepted"
+NAR_NOHIT = "nohit"
+NAR_MULTI = "multi"
+NAR_NS = "ns"
+
+
+@dataclass
+class AlignResult:
+    nar: str
+    strand: int = 0        # 0 = '+', 1 = '-'
+    pos: int = -1          # concatenated-genome start
+    mm: int = -1
+    n_low: int = 0
+    nxt_mm: int = INT32_MAX
+    multi_ids: np.ndarray | None = None  # pos*2+strand of multiloci hits
+
+
+class KAligner:
+    """Batch seed-and-extend aligner over a loaded SfxIndex."""
+
+    def __init__(self, index: SfxIndex, *,
+                 max_subs: int = 5,          # per 100bp (-s, cDfltAllowedSubs)
+                 mm_delta: int = 1,          # MinEditDist (-r)
+                 max_ml: int = 5,            # cDfltMaxMultiHits
+                 max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
+                 cand_per_window: int = 24,  # per-core candidate budget
+                 batch_size: int = 4096,
+                 sens: str = "default"):
+        self.index = index
+        self.max_subs = max_subs
+        self.mm_delta = mm_delta
+        self.max_ml = max_ml
+        self.max_ns = max_ns
+        self.cand = cand_per_window
+        self.batch_size = batch_size
+        self.sens = sens
+        self._dev = index.device_arrays()
+        self._schedules: dict[int, tuple[list[PassSpec], int]] = {}
+
+    def schedule_for(self, read_len: int):
+        if read_len not in self._schedules:
+            self._schedules[read_len] = build_pass_schedule(
+                read_len, self.max_subs, self.mm_delta,
+                len(self.index.genome.seq), self.sens)
+        return self._schedules[read_len]
+
+    def align_batch(self, reads: np.ndarray) -> list[AlignResult]:
+        """Align a [B, L] uint8 code batch; returns one AlignResult per read."""
+        B, L = reads.shape
+        passes, max_tot_mm = self.schedule_for(L)
+        offsets = union_offsets(passes)
+        genome_d, sa_d, lut_d = self._dev
+
+        # excess-N screen (KAligner.cpp:9616-9637)
+        max_ns_seq = max(L * self.max_ns // 100, self.max_ns)
+        n_counts = (reads == dna.BASE_N).sum(axis=1)
+        ns_bad = n_counts > max_ns_seq
+
+        out = seed_extend.align_pass(
+            genome_d, sa_d, lut_d, reads,
+            offsets=offsets, lut_k=self.index.lut_k,
+            cand_per_window=self.cand, max_ml=self.max_ml)
+        low = np.asarray(out["low_mm"], dtype=np.int64)
+        n_low = np.asarray(out["n_low"], dtype=np.int64)
+        nxt = np.asarray(out["nxt_mm"], dtype=np.int64)
+        hit_id = np.asarray(out["hit_id"], dtype=np.int64)
+        hit_mm = np.asarray(out["hit_mm"], dtype=np.int64)
+
+        results: list[AlignResult] = []
+        for i in range(B):
+            if ns_bad[i]:
+                results.append(AlignResult(NAR_NS))
+                continue
+            li = int(low[i])
+            if li > max_tot_mm:
+                results.append(AlignResult(NAR_NOHIT))
+                continue
+            unique = (int(n_low[i]) == 1 and
+                      (int(nxt[i]) - li) >= self.mm_delta)
+            if unique:
+                hid = int(hit_id[i, 0])
+                results.append(AlignResult(NAR_ACCEPTED, strand=hid & 1,
+                                           pos=hid >> 1, mm=li,
+                                           n_low=1, nxt_mm=int(nxt[i])))
+            else:
+                ml = hit_id[i][hit_mm[i] == li]
+                results.append(AlignResult(NAR_MULTI, mm=li,
+                                           n_low=int(n_low[i]),
+                                           nxt_mm=int(nxt[i]),
+                                           multi_ids=ml))
+        return results
+
+    def align_records(self, records: Iterable[SeqRecord]
+                      ) -> Iterator[tuple[SeqRecord, AlignResult]]:
+        """Stream records, batching by read length."""
+        buckets: dict[int, list[SeqRecord]] = {}
+        for rec in records:
+            buckets.setdefault(len(rec.codes), []).append(rec)
+            bl = buckets[len(rec.codes)]
+            if len(bl) >= self.batch_size:
+                yield from self._flush(bl)
+                buckets[len(rec.codes)] = []
+        for bl in buckets.values():
+            if bl:
+                yield from self._flush(bl)
+
+    def _flush(self, recs: list[SeqRecord]):
+        arr = np.stack([r.codes for r in recs])
+        n = len(recs)
+        if n < self.batch_size:
+            # pad to the fixed batch size so every device pass reuses the
+            # same compiled executable (static shapes; XLA compiles once)
+            pad = np.repeat(arr[:1], self.batch_size - n, axis=0)
+            arr = np.concatenate([arr, pad])
+        for rec, res in zip(recs, self.align_batch(arr)[:n]):
+            yield rec, res
+
+
+def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
+              emit_unmapped: bool = True) -> dict:
+    """Write (SeqRecord, AlignResult) stream to SAM; returns counters."""
+    g = index.genome
+    stats = {NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0}
+    with SamWriter(path, g.names, g.lengths, pg_cl=cmdline) as w:
+        for rec, res in aligned:
+            stats[res.nar] += 1
+            if res.nar == NAR_ACCEPTED:
+                ci, off = g.locate(np.array([res.pos]))
+                ci, off = int(ci[0]), int(off[0])
+                rev = res.strand == 1
+                seq, qual = seq_qual_for_strand(rec.codes, rec.qual, rev)
+                w.write(SamAlignment(
+                    qname=rec.name, flag=FLAG_REVERSE if rev else 0,
+                    rname=g.names[ci], pos=off + 1, mapq=254,
+                    cigar=f"{len(rec.codes)}M", seq=seq, qual=qual,
+                    tags=(f"NM:i:{res.mm}",)))
+            elif emit_unmapped:
+                seq, qual = seq_qual_for_strand(rec.codes, rec.qual, False)
+                w.write(SamAlignment(
+                    qname=rec.name, flag=FLAG_UNMAPPED, rname="*", pos=0,
+                    mapq=0, cigar="*", seq=seq, qual=qual))
+    return stats

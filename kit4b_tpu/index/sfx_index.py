@@ -1,0 +1,115 @@
+"""TPU-resident genome index: suffix array + k-mer bucket LUT.
+
+Capability parity with the reference CSfxArray (libkit4b/SfxArray.h:97-209,
+SfxArray.cpp:1758 Finalise / :3309 IterateExacts / :7938 LocateFirstExact),
+redesigned for XLA:
+
+- The genome is one concatenated uint8 code array with EOS sentinels between
+  chromosomes (same scheme as the reference's concatenated SfxBlock).
+- Instead of per-query binary search over the raw suffix array (irregular,
+  divergent — hostile to a vector machine), we keep only the "clean" suffixes
+  (first `lut_k` bases all ACGT) in lexicographic order and precompute a
+  direct-addressed bucket table over all 4^lut_k k-mer prefixes. A seed lookup
+  is then two int32 gathers (bucket start + end) — O(1), branchless, batched.
+- Seeds longer than `lut_k` are resolved by bucket candidates + full extension
+  scoring (the extension kernel rejects non-matching candidates), mirroring the
+  reference's cap of `MaxIter` suffix-array entries examined per core
+  (ngskit4b/KAligner.h:53-56) with a fixed per-bucket candidate budget.
+
+File format: .kix (NumPy .npz) holding genome seq, chrom directory, clean SA
+and LUT — the analog of the reference's .sfx V5 file (SfxArray.h:194-209).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import dna
+from ..io.fasta import Genome
+from .sa_build import build_suffix_array
+
+KIX_VERSION = 1
+
+
+def pick_lut_k(genome_len: int) -> int:
+    """LUT k-mer width: ~log4(G) like the reference's auto core length
+    (ngskit4b/KAligner.cpp:9369-9374), clamped to [8, 13] to bound LUT memory
+    at 4^13+1 int32 = 256 MiB worst case."""
+    k = 1
+    g = genome_len
+    while g >= 4:
+        g >>= 2
+        k += 1
+    return max(8, min(13, k))
+
+
+@dataclass
+class SfxIndex:
+    genome: Genome
+    lut_k: int
+    sa_clean: np.ndarray  # int32/int64 [M] clean-suffix positions, lex order
+    lut: np.ndarray       # int64 [4^lut_k + 1] bucket starts into sa_clean
+
+    @classmethod
+    def build(cls, genome: Genome, lut_k: int | None = None) -> "SfxIndex":
+        seq = genome.seq
+        if lut_k is None:
+            lut_k = pick_lut_k(len(seq))
+        sa = build_suffix_array(seq)
+        # Clean mask: suffix has lut_k in-bounds bases all < BASE_N.
+        n = len(seq)
+        k = lut_k
+        ok = np.ones(n, dtype=bool)
+        isbase = seq < dna.BASE_N
+        # ok[p] = all(isbase[p:p+k]); compute via cumulative sum of non-base.
+        bad = (~isbase).astype(np.int64)
+        cbad = np.concatenate([[0], np.cumsum(bad)])
+        ok[: n - k + 1] = (cbad[k:] - cbad[:-k]) == 0
+        if k > 1:
+            ok[n - k + 1:] = False
+        sa_clean = sa[ok[sa]]
+        # Keys of clean suffixes (non-decreasing in SA order).
+        keys = np.zeros(len(sa_clean), dtype=np.int64)
+        for j in range(k):
+            keys = (keys << 2) | seq[sa_clean + j]
+        lut = np.searchsorted(keys, np.arange(4**k + 1, dtype=np.int64)).astype(
+            np.int64)
+        return cls(genome, k, sa_clean.astype(
+            np.int32 if n < 2**31 else np.int64), lut)
+
+    # --- persistence (.kix) -------------------------------------------------
+    def save(self, path: str | os.PathLike) -> None:
+        np.savez_compressed(
+            path if str(path).endswith(".npz") else str(path),
+            version=np.int64(KIX_VERSION),
+            lut_k=np.int64(self.lut_k),
+            seq=self.genome.seq,
+            chrom_names=np.array(self.genome.names, dtype=object),
+            chrom_starts=self.genome.starts,
+            chrom_lengths=self.genome.lengths,
+            sa_clean=self.sa_clean,
+            lut=self.lut,
+            allow_pickle=True)
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "SfxIndex":
+        path = str(path)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        z = np.load(path, allow_pickle=True)
+        if int(z["version"]) != KIX_VERSION:
+            raise ValueError(f"unsupported .kix version {int(z['version'])}")
+        g = Genome(list(z["chrom_names"]), z["chrom_starts"],
+                   z["chrom_lengths"], z["seq"])
+        return cls(g, int(z["lut_k"]), z["sa_clean"], z["lut"])
+
+    # --- device view --------------------------------------------------------
+    def device_arrays(self):
+        """Returns (genome_u8, sa, lut) as jax arrays on the default device."""
+        import jax.numpy as jnp
+        return (jnp.asarray(self.genome.seq),
+                jnp.asarray(self.sa_clean),
+                jnp.asarray(self.lut, dtype=jnp.int32)
+                if self.lut[-1] < 2**31 else jnp.asarray(self.lut))

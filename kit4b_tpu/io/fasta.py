@@ -1,0 +1,186 @@
+"""FASTA/FASTQ streaming reader and writers (gzip-transparent).
+
+Capability parity with the reference's CFasta (libkit4b/Fasta.cpp:1-…,
+Fasta.h:119-129): multifasta + fastq, transparent ``.gz``, quality scores,
+descriptor access. Redesigned as Python iterators feeding NumPy code arrays;
+there is no line-length or file-size limit.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+from .. import dna
+
+
+@dataclass
+class SeqRecord:
+    name: str
+    descr: str
+    codes: np.ndarray  # uint8 base codes (dna.BASE_*)
+    qual: np.ndarray | None = None  # phred scores (uint8), fastq only
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+
+def _open_text(path: str | os.PathLike):
+    path = os.fspath(path)
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))
+    return io.BufferedReader(f)
+
+
+def sniff_format(path) -> str:
+    """Return 'fasta' or 'fastq' by first non-blank byte."""
+    with _open_text(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith(b">"):
+                return "fasta"
+            if s.startswith(b"@"):
+                return "fastq"
+            raise ValueError(f"{path}: not fasta/fastq (leading byte {s[:1]!r})")
+    raise ValueError(f"{path}: empty file")
+
+
+def read_fasta(path) -> Iterator[SeqRecord]:
+    name = None
+    descr = ""
+    chunks: list[bytes] = []
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith(b">"):
+                if name is not None:
+                    yield SeqRecord(name, descr, dna.encode(b"".join(chunks)))
+                hdr = line[1:].strip().decode("utf-8", "replace")
+                parts = hdr.split(None, 1)
+                name = parts[0] if parts else ""
+                descr = parts[1] if len(parts) > 1 else ""
+                chunks = []
+            else:
+                chunks.append(line.strip())
+        if name is not None:
+            yield SeqRecord(name, descr, dna.encode(b"".join(chunks)))
+
+
+def read_fastq(path, phred_base: int = 33) -> Iterator[SeqRecord]:
+    with _open_text(path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            hdr = hdr.strip()
+            if not hdr:
+                continue
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"{path}: bad fastq header {hdr[:40]!r}")
+            seq = f.readline().strip()
+            plus = f.readline()
+            qual = f.readline().strip()
+            if not plus.startswith(b"+"):
+                raise ValueError(f"{path}: bad fastq separator for {hdr[:40]!r}")
+            h = hdr[1:].decode("utf-8", "replace")
+            parts = h.split(None, 1)
+            q = np.frombuffer(qual, dtype=np.uint8).astype(np.uint8) - phred_base
+            yield SeqRecord(parts[0] if parts else "",
+                            parts[1] if len(parts) > 1 else "",
+                            dna.encode(seq), q)
+
+
+def read_seqs(path) -> Iterator[SeqRecord]:
+    """Auto-detecting reader."""
+    if sniff_format(path) == "fasta":
+        yield from read_fasta(path)
+    else:
+        yield from read_fastq(path)
+
+
+def write_fasta(path, records, wrap: int = 70) -> None:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        for rec in records:
+            hdr = f">{rec.name}"
+            if rec.descr:
+                hdr += f" {rec.descr}"
+            f.write(hdr + "\n")
+            s = dna.decode(rec.codes)
+            for i in range(0, len(s), wrap):
+                f.write(s[i:i + wrap] + "\n")
+
+
+def write_fastq(path, records, phred_base: int = 33) -> None:
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        for rec in records:
+            hdr = f"@{rec.name}"
+            if rec.descr:
+                hdr += f" {rec.descr}"
+            q = rec.qual
+            if q is None:
+                q = np.full(len(rec.codes), 30, dtype=np.uint8)
+            f.write(hdr + "\n")
+            f.write(dna.decode(rec.codes) + "\n+\n")
+            f.write((q + phred_base).astype(np.uint8).tobytes().decode("ascii") + "\n")
+
+
+@dataclass
+class Genome:
+    """A loaded multi-sequence genome: concatenated codes + per-chrom directory.
+
+    Mirrors the reference CSfxArray entries directory (libkit4b/SfxArray.h:97-107):
+    each chromosome occupies [start[i], end[i]) in the concatenated array, with a
+    single dna.BASE_EOS sentinel between chromosomes (matching the reference's
+    concatenated-sequence scheme so cross-chrom window logic can rely on it).
+    """
+    names: list[str] = field(default_factory=list)
+    starts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    lengths: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+    @classmethod
+    def load(cls, *paths) -> "Genome":
+        names: list[str] = []
+        starts: list[int] = []
+        lengths: list[int] = []
+        chunks: list[np.ndarray] = []
+        pos = 0
+        for path in paths:
+            for rec in read_seqs(path):
+                names.append(rec.name)
+                starts.append(pos)
+                lengths.append(len(rec.codes))
+                chunks.append(rec.codes)
+                chunks.append(np.array([dna.BASE_EOS], dtype=np.uint8))
+                pos += len(rec.codes) + 1
+        seq = (np.concatenate(chunks) if chunks else np.zeros(0, np.uint8))
+        if len(seq):
+            seq[-1] = dna.BASE_EOG
+        return cls(names, np.asarray(starts, np.int64),
+                   np.asarray(lengths, np.int64), seq)
+
+    @property
+    def total_len(self) -> int:
+        return int(self.lengths.sum())
+
+    def nchroms(self) -> int:
+        return len(self.names)
+
+    def chrom_codes(self, i: int) -> np.ndarray:
+        s = int(self.starts[i])
+        return self.seq[s:s + int(self.lengths[i])]
+
+    def locate(self, concat_pos: np.ndarray):
+        """Map concatenated positions -> (chrom_idx, offset_in_chrom)."""
+        idx = np.searchsorted(self.starts, concat_pos, side="right") - 1
+        return idx, np.asarray(concat_pos) - self.starts[idx]

@@ -1,0 +1,105 @@
+"""Device-mesh parallel strategies (SURVEY.md §2.5 P1-P5 TPU equivalents).
+
+Axes:
+  "dp" — data parallelism over read batches (reference P1: worker threads
+         pulling read blocks, KAligner.cpp:10370 ThreadedIterReads).
+  "tp" — index shard parallelism (reference P3: suffix-array partitioning,
+         SfxArray.h:100 multi-block design / hammings node partitioning).
+
+The sharded align step: reads are split over "dp"; the k-mer LUT + suffix
+array are range-partitioned by key over "tp" (each shard resolves only seeds
+whose k-mer key falls in its range; the genome itself is replicated since
+extension needs random access and costs 1 byte/base vs the SA's 4-5). Shard
+candidate sets are disjoint per bucket, so an all_gather over "tp" followed by
+the standard finalize reproduces the single-chip result exactly.
+
+Collectives ride ICI via shard_map (SURVEY.md §5.8: all_gather replaces the
+BKS RPC response merge; no bespoke sockets).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import seed_extend
+
+
+def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"need {dp * tp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def shard_index_by_key(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
+    """Range-partition the k-mer LUT (and its SA entries) into `tp` shards.
+
+    Returns (sa_shards [tp, Mpad], lut_shards [tp, keys_per+1], key_lo [tp]).
+    Shard t owns keys [t*keys_per, (t+1)*keys_per); its local LUT is
+    rebased so lut_local[0] == 0. SA shards are padded to equal length.
+    """
+    n_keys = len(lut) - 1
+    if n_keys % tp:
+        raise ValueError(f"key space {n_keys} not divisible by tp={tp}")
+    keys_per = n_keys // tp
+    sa_parts, lut_parts, key_lo = [], [], []
+    for t in range(tp):
+        klo, khi = t * keys_per, (t + 1) * keys_per
+        slo, shi = int(lut[klo]), int(lut[khi])
+        sa_parts.append(sa_clean[slo:shi])
+        lut_parts.append((lut[klo:khi + 1] - slo).astype(lut.dtype))
+        key_lo.append(klo)
+    mpad = max(len(p) for p in sa_parts)
+    sa_shards = np.zeros((tp, mpad), dtype=sa_clean.dtype)
+    for t, p_ in enumerate(sa_parts):
+        sa_shards[t, : len(p_)] = p_
+        # pad with a safely out-of-range position? buckets never point past
+        # their shard's entries, so padding content is never dereferenced
+        # beyond clipping — keep zeros.
+    return sa_shards, np.stack(lut_parts), np.asarray(key_lo, np.int32)
+
+
+def make_sharded_align_pass(mesh: Mesh, *, offsets: tuple, lut_k: int,
+                            cand_per_window: int, max_ml: int):
+    """Build a jitted dp x tp sharded align pass.
+
+    Args (sharded): genome [G] replicated; sa_shards [tp, Mpad],
+    lut_shards [tp, keys+1], key_lo [tp] split over "tp"; reads [B, L]
+    split over "dp". Returns the same stats dict as seed_extend.align_pass,
+    sharded over "dp".
+    """
+
+    def _local(genome, sa_s, lut_s, key_lo_s, reads):
+        # shapes inside shard_map: sa_s [1, Mpad], lut_s [1, keys+1], ...
+        ids, mm = seed_extend.gather_score_candidates(
+            genome, sa_s[0], lut_s[0], key_lo_s[0], reads,
+            offsets=offsets, lut_k=lut_k, cand_per_window=cand_per_window)
+        # exact cross-shard merge: collect every shard's scored candidates
+        ids_all = jax.lax.all_gather(ids, "tp", axis=1, tiled=True)
+        mm_all = jax.lax.all_gather(mm, "tp", axis=1, tiled=True)
+        return seed_extend.finalize_candidates(ids_all, mm_all, max_ml=max_ml)
+
+    shmapped = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P("tp", None), P("tp", None), P("tp"), P("dp", None)),
+        out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None)},
+        check_vma=False)
+    return jax.jit(shmapped)
+
+
+def device_put_sharded_index(mesh: Mesh, genome_seq, sa_shards, lut_shards,
+                             key_lo):
+    """Place index arrays with their mesh shardings."""
+    gspec = NamedSharding(mesh, P())
+    tspec = NamedSharding(mesh, P("tp", None))
+    kspec = NamedSharding(mesh, P("tp"))
+    return (jax.device_put(jnp.asarray(genome_seq), gspec),
+            jax.device_put(jnp.asarray(sa_shards), tspec),
+            jax.device_put(jnp.asarray(lut_shards.astype(np.int32)), tspec),
+            jax.device_put(jnp.asarray(key_lo), kspec))

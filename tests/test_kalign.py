@@ -1,0 +1,123 @@
+"""End-to-end kalign slice: simreads -> index -> align -> check vs truth."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align import kalign
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome, SeqRecord
+from kit4b_tpu.sim import simreads
+
+
+def _random_genome(n=200_000, seed=5, nchroms=2):
+    rng = np.random.default_rng(seed)
+    names, starts, lengths, chunks = [], [], [], []
+    pos = 0
+    for i in range(nchroms):
+        ln = n // nchroms
+        names.append(f"chr{i+1}")
+        starts.append(pos)
+        lengths.append(ln)
+        chunks.append(rng.integers(0, 4, ln).astype(np.uint8))
+        chunks.append(np.array([dna.BASE_EOS], np.uint8))
+        pos += ln + 1
+    seq = np.concatenate(chunks)
+    seq[-1] = dna.BASE_EOG
+    return Genome(names, np.array(starts), np.array(lengths), seq)
+
+
+@pytest.fixture(scope="module")
+def genome():
+    return _random_genome()
+
+
+@pytest.fixture(scope="module")
+def index(genome):
+    return SfxIndex.build(genome)
+
+
+def _truth_ok(genome, rec, res):
+    t = simreads.parse_truth(rec.name)
+    ci, off = genome.locate(np.array([res.pos]))
+    return (genome.names[int(ci[0])] == t["chrom"]
+            and int(off[0]) == t["start"]
+            and ("-" if res.strand else "+") == t["strand"])
+
+
+def test_align_perfect_reads(genome, index):
+    params = simreads.SimParams(n_reads=500, read_len=100, seed=9)
+    recs = simreads.sim_reads(genome, params)
+    al = kalign.KAligner(index, batch_size=512)
+    results = list(al.align_records(recs))
+    accepted = [(r, res) for r, res in results
+                if res.nar == kalign.NAR_ACCEPTED]
+    # random genome: essentially every read aligns uniquely at truth
+    assert len(accepted) >= 0.99 * len(recs)
+    for rec, res in accepted:
+        assert res.mm == 0
+        assert _truth_ok(genome, rec, res)
+
+
+def test_align_with_subs(genome, index):
+    params = simreads.SimParams(n_reads=500, read_len=100, seed=21,
+                                error_mode="illumina", subs_rate=0.02)
+    recs = simreads.sim_reads(genome, params)
+    al = kalign.KAligner(index, batch_size=512)
+    n_ok = n_acc = 0
+    for rec, res in al.align_records(recs):
+        t = simreads.parse_truth(rec.name)
+        if res.nar != kalign.NAR_ACCEPTED:
+            # only reads exceeding the sub budget may be dropped
+            assert t["subs"] > 5 or res.nar == kalign.NAR_MULTI
+            continue
+        n_acc += 1
+        if _truth_ok(genome, rec, res):
+            n_ok += 1
+            assert res.mm == t["subs"]
+    assert n_acc >= 0.95 * len(recs)
+    assert n_ok >= 0.99 * n_acc
+
+
+def test_align_excess_ns(genome, index):
+    rec = SeqRecord("nn", "", np.full(100, dna.BASE_N, np.uint8))
+    al = kalign.KAligner(index)
+    [(_, res)] = list(al.align_records([rec]))
+    assert res.nar == kalign.NAR_NS
+
+
+def test_align_multi(genome, index):
+    # plant an exact repeat -> reads from it must classify multi
+    g = genome
+    seq = g.seq.copy()
+    seq[1000:1200] = seq[50_000:50_200]
+    g2 = Genome(g.names, g.starts, g.lengths, seq)
+    idx = SfxIndex.build(g2)
+    rec = SeqRecord("rep", "", seq[1050:1150].copy())
+    al = kalign.KAligner(idx)
+    [(_, res)] = list(al.align_records([rec]))
+    assert res.nar == kalign.NAR_MULTI
+    assert res.n_low == 2
+
+
+def test_sam_output(tmp_path, genome, index):
+    params = simreads.SimParams(n_reads=50, read_len=100, seed=33)
+    recs = simreads.sim_reads(genome, params)
+    al = kalign.KAligner(index)
+    sam_path = tmp_path / "out.sam"
+    stats = kalign.write_sam(sam_path, index, al.align_records(recs))
+    assert stats[kalign.NAR_ACCEPTED] >= 49
+    lines = sam_path.read_text().splitlines()
+    hdr = [l for l in lines if l.startswith("@")]
+    aln = [l for l in lines if not l.startswith("@")]
+    assert any(l.startswith("@SQ\tSN:chr1\t") for l in hdr)
+    assert len(aln) == 50
+    for l in aln:
+        f = l.split("\t")
+        truth = simreads.parse_truth(f[0])
+        flag = int(f[1])
+        if flag & 0x4:
+            continue
+        assert f[2] == truth["chrom"]
+        assert int(f[3]) == truth["start"] + 1
+        assert f[5] == "100M"
+        assert (flag & 0x10 != 0) == (truth["strand"] == "-")

@@ -1,0 +1,53 @@
+"""Multi-chip sharded align pass == single-chip result (8-device CPU mesh)."""
+import jax
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align.kalign import build_pass_schedule
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome
+from kit4b_tpu.ops import seed_extend
+from kit4b_tpu.parallel import mesh as pmesh
+from kit4b_tpu.sim import simreads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(17)
+    n = 100_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(g)
+    reads = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=64, read_len=100, seed=2,
+                              error_mode="uniform", subs_rate=0.02))
+    arr = np.stack([r.codes for r in reads])
+    return g, idx, arr
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_pass_matches_single(setup, dp, tp):
+    g, idx, arr = setup
+    assert len(jax.devices()) >= 8
+    passes, _ = build_pass_schedule(100, 5, 1, len(g.seq))
+    ps = passes[-1]  # widest pass
+    kw = dict(offsets=ps.offsets, lut_k=idx.lut_k, cand_per_window=16,
+              max_ml=5)
+    genome_d, sa_d, lut_d = idx.device_arrays()
+    ref = seed_extend.align_pass(genome_d, sa_d, lut_d,
+                                 np.asarray(arr), **kw)
+
+    m = pmesh.make_mesh(dp, tp)
+    sa_s, lut_s, key_lo = pmesh.shard_index_by_key(
+        idx.sa_clean, idx.lut, tp)
+    args = pmesh.device_put_sharded_index(m, g.seq, sa_s, lut_s, key_lo)
+    fn = pmesh.make_sharded_align_pass(m, **kw)
+    out = fn(*args, np.asarray(arr))
+
+    for key in ("low_mm", "n_low", "nxt_mm"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out["hit_id"]),
+                                  np.asarray(ref["hit_id"]))
