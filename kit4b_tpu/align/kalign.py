@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Iterable, Iterator
 
+import jax
 import numpy as np
 
 from .. import dna
@@ -148,6 +149,7 @@ class KAligner:
                  max_ml: int = 5,            # cDfltMaxMultiHits
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
                  cand_per_window: int = 24,  # per-core candidate budget
+                 n_compact: int = 96,        # post-dedup candidate capacity
                  batch_size: int = 4096,
                  sens: str = "default"):
         self.index = index
@@ -156,6 +158,7 @@ class KAligner:
         self.max_ml = max_ml
         self.max_ns = max_ns
         self.cand = cand_per_window
+        self.n_compact = n_compact
         self.batch_size = batch_size
         self.sens = sens
         self._dev = index.device_arrays()
@@ -173,7 +176,7 @@ class KAligner:
         B, L = reads.shape
         passes, max_tot_mm = self.schedule_for(L)
         offsets = union_offsets(passes)
-        genome_d, sa_d, lut_d = self._dev
+        gpack_d, gbad_d, sa_d, lut_d = self._dev
 
         # excess-N screen (KAligner.cpp:9616-9637)
         max_ns_seq = max(L * self.max_ns // 100, self.max_ns)
@@ -181,14 +184,19 @@ class KAligner:
         ns_bad = n_counts > max_ns_seq
 
         out = seed_extend.align_pass(
-            genome_d, sa_d, lut_d, reads,
+            gpack_d, gbad_d, sa_d, lut_d, reads,
+            genome_len=len(self.index.genome.seq),
             offsets=offsets, lut_k=self.index.lut_k,
-            cand_per_window=self.cand, max_ml=self.max_ml)
-        low = np.asarray(out["low_mm"], dtype=np.int64)
-        n_low = np.asarray(out["n_low"], dtype=np.int64)
-        nxt = np.asarray(out["nxt_mm"], dtype=np.int64)
-        hit_id = np.asarray(out["hit_id"], dtype=np.int64)
-        hit_mm = np.asarray(out["hit_mm"], dtype=np.int64)
+            cand_per_window=self.cand, n_compact=self.n_compact,
+            max_ml=self.max_ml)
+        # one bulk transfer (the axon tunnel charges ~per fetch)
+        host = jax.device_get(out)
+        low = host["low_mm"].astype(np.int64)
+        n_low = host["n_low"].astype(np.int64)
+        nxt = host["nxt_mm"].astype(np.int64)
+        hit_id = host["hit_id"].astype(np.int64)
+        hit_mm = host["hit_mm"].astype(np.int64)
+        overflow = host["overflow"]
 
         results: list[AlignResult] = []
         for i in range(B):
@@ -199,7 +207,7 @@ class KAligner:
             if li > max_tot_mm:
                 results.append(AlignResult(NAR_NOHIT))
                 continue
-            unique = (int(n_low[i]) == 1 and
+            unique = (not overflow[i] and int(n_low[i]) == 1 and
                       (int(nxt[i]) - li) >= self.mm_delta)
             if unique:
                 hid = int(hit_id[i, 0])

@@ -106,10 +106,17 @@ class SfxIndex:
         return cls(g, int(z["lut_k"]), z["sa_clean"], z["lut"])
 
     # --- device view --------------------------------------------------------
-    def device_arrays(self):
-        """Returns (genome_u8, sa, lut) as jax arrays on the default device."""
+    def device_arrays(self, max_read_len: int = 1024):
+        """Returns (gpack, gbad, sa, lut) jax arrays for the align path.
+
+        gpack/gbad are the 2-bit packed genome + invalid-base mask
+        (ops/extend_packed.py); the raw byte genome stays host-side.
+        """
         import jax.numpy as jnp
-        return (jnp.asarray(self.genome.seq),
-                jnp.asarray(self.sa_clean),
-                jnp.asarray(self.lut, dtype=jnp.int32)
-                if self.lut[-1] < 2**31 else jnp.asarray(self.lut))
+        from ..ops.extend_packed import pack_genome
+        nw = (max_read_len + 30) // 16
+        gpack, gbad = pack_genome(self.genome.seq, nw)
+        lut = (jnp.asarray(self.lut, dtype=jnp.int32)
+               if self.lut[-1] < 2**31 else jnp.asarray(self.lut))
+        return (jnp.asarray(gpack), jnp.asarray(gbad),
+                jnp.asarray(self.sa_clean), lut)

@@ -7,25 +7,27 @@ Replaces the reference's per-read, per-core-window suffix-array walk
   -------------------------------------  -----------------------------------
   binary search per core window          direct-addressed k-mer LUT gather
   iterate <=MaxIter SA entries per core  fixed C candidates per core (masked)
-  per-candidate left/right byte extend   one [B, nCand, L] gather + popcount
+  per-candidate left/right byte extend   packed-word gather + XOR/popcount
   tsIdentNode hash dedup of loci         per-read sort + adjacent-equal mask
   best/next-best MM bookkeeping          masked min / count / second-min
 
-Split into two stages so the multi-chip path can interleave a collective:
-
-  gather_score_candidates : seed lookup + extension scoring (local SA shard)
-  finalize_candidates     : dedup + best/next-best/top-k (after all-gather)
-
-A "pass" evaluates every read in the batch against all core windows of one
-pigeonhole stage (SURVEY.md §3.2); the host compacts unresolved reads between
-passes. Everything here is static-shaped and jit-compiled once per
-(read_len, n_windows, C) combination.
+Pipeline per pass (one jit-compiled executable per read length):
+  1. seed lookup  — k-mer keys for every (strand, core window) resolve to SA
+     bucket ranges through the LUT; up to C candidate positions per bucket.
+  2. compaction   — candidate ids (pos*2+strand) sorted per read; the first
+     NC columns hold every real candidate for all but pathological repeat
+     reads (overflow flagged, classified multi — the analog of the
+     reference's MaxIter truncation, ngskit4b/KAligner.h:53-56).
+  3. extension    — 2-bit-packed mismatch scoring (ops/extend_packed.py):
+     NW word gathers + XOR/popcount instead of an L-byte gather per
+     candidate.
+  4. finalize     — cross-candidate dedup, best/next-best, top-k hits.
 
 Index sharding (SURVEY.md §2.5 P3): the k-mer LUT is range-partitioned by key;
 a shard holding keys [key_lo, key_lo + lut_len - 1) resolves only seeds in its
-range (others contribute zero candidates). Shards' candidate sets are disjoint
-per bucket and their union equals the single-chip candidate set, so the merged
-result is exactly the single-device result.
+range. Shard candidate sets are disjoint per bucket, so all-gathering the
+compacted per-shard candidates and finalizing reproduces the single-chip
+result (byte-identical whenever no shard overflows its NC compaction).
 """
 from __future__ import annotations
 
@@ -33,6 +35,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from . import extend_packed
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -43,37 +48,41 @@ def revcomp_device(reads: jnp.ndarray) -> jnp.ndarray:
     return comp[..., ::-1]
 
 
-def gather_score_candidates(genome: jnp.ndarray,   # [G] uint8 codes
-                            sa: jnp.ndarray,       # [M] int32 suffix positions
-                            lut: jnp.ndarray,      # [lut_len] bucket starts
-                            key_lo: jnp.ndarray,   # scalar: first key this lut covers
-                            reads: jnp.ndarray,    # [B, L] uint8 codes
+def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
+                            gbad: jnp.ndarray,    # [Gw] packed invalid mask
+                            sa: jnp.ndarray,      # [M] int32 suffix positions
+                            lut: jnp.ndarray,     # [lut_len] bucket starts
+                            key_lo: jnp.ndarray,  # scalar: first key of shard
+                            reads: jnp.ndarray,   # [B, L] uint8 codes
                             *,
+                            genome_len: int,
                             offsets: tuple,
                             lut_k: int,
-                            cand_per_window: int):
-    """Seed lookup + extension scoring. Returns (cand_id, mm), both
-    [B, 2*W*C] int32; cand_id = pos*2 + strand, INT32_MAX for invalid.
-    Candidates are deduped (within this shard) but unsorted across shards."""
+                            cand_per_window: int,
+                            n_compact: int):
+    """Stages 1-3. Returns (ids, mm, overflow):
+    ids [B, NC] int32 pos*2+strand sorted ascending (INT32_MAX invalid),
+    mm [B, NC] int32 mismatch counts, overflow [B] bool (candidates truncated).
+    """
     B, L = reads.shape
-    G = genome.shape[0]
+    G = genome_len
     M = sa.shape[0]
     C = cand_per_window
+    NC = n_compact
     W = len(offsets)
     k = lut_k
-    n_keys = lut.shape[0] - 1  # keys covered by this (possibly sharded) LUT
+    nw = (L + 30) // 16
+    n_keys = lut.shape[0] - 1
 
     seqs = jnp.stack([reads, revcomp_device(reads)], axis=1)  # [B, 2, L]
 
-    # --- seed lookup: k-mer keys per (strand, window) -> SA bucket ranges ---
-    # one gather [B,2,W,k] + a power-of-4 contraction (vectorized; avoids an
-    # unrolled W*k loop that bloats HLO and compile time)
+    # --- 1. seed lookup ----------------------------------------------------
     offs = (jnp.asarray(offsets, jnp.int32)[:, None]
             + jnp.arange(k, dtype=jnp.int32)[None, :])          # [W, k]
     bases = seqs[:, :, offs]                                     # [B,2,W,k]
     pow4 = (jnp.uint32(1) << (2 * jnp.arange(k - 1, -1, -1,
                                              dtype=jnp.uint32))).astype(
-                                                 jnp.int32)      # 4^(k-1-j)
+                                                 jnp.int32)
     keys = jnp.sum(jnp.where(bases < 4, bases, 0).astype(jnp.int32)
                    * pow4, axis=-1, dtype=jnp.int32)             # [B,2,W]
     key_ok = jnp.all(bases < 4, axis=-1)
@@ -81,55 +90,46 @@ def gather_score_candidates(genome: jnp.ndarray,   # [G] uint8 codes
     local = keys - key_lo.astype(jnp.int32)
     in_shard = (local >= 0) & (local < n_keys)
     local = jnp.clip(local, 0, n_keys - 1)
-    lo = lut[local]                          # [B, 2, W]
+    lo = lut[local]
     hi = lut[local + 1]
     cnt = jnp.where(key_ok & in_shard, jnp.minimum(hi - lo, C), 0)
 
-    # --- candidate genome positions ----------------------------------------
-    # bucket entries are contiguous in sa: fetch C-length slices (lowers to a
-    # slice-gather, far faster on TPU than a [B,2,W,C] elementwise gather)
-    cvalid = jnp.arange(C, dtype=jnp.int32) < cnt[..., None]     # [B,2,W,C]
-    lo_flat = jnp.clip(lo, 0, max(M - C, 0)).reshape(-1)
-    sa_pos = jax.vmap(
-        lambda p: jax.lax.dynamic_slice(sa, (p,), (C,)))(lo_flat)
-    sa_pos = sa_pos.reshape(B, 2, W, C).astype(jnp.int32)
+    cidx = lo[..., None] + jnp.arange(C, dtype=jnp.int32)        # [B,2,W,C]
+    cvalid = jnp.arange(C, dtype=jnp.int32) < cnt[..., None]
+    sa_pos = sa[jnp.clip(cidx, 0, M - 1)].astype(jnp.int32)
     off_arr = jnp.asarray(offsets, dtype=jnp.int32)[None, None, :, None]
     pos = sa_pos - off_arr                                       # read start
     valid = cvalid & (pos >= 0) & (pos + L <= G)
-
     strand_arr = jnp.arange(2, dtype=jnp.int32)[None, :, None, None]
-    cand_id = jnp.where(valid, pos * 2 + strand_arr, INT32_MAX)  # [B,2,W,C]
-    cand_id = cand_id.reshape(B, 2 * W * C)
+    cand_id = jnp.where(valid, pos * 2 + strand_arr,
+                        INT32_MAX).reshape(B, 2 * W * C)
 
-    # --- dedup within shard: sort ids per read, mask repeats ---------------
-    ids = jnp.sort(cand_id, axis=1)                              # [B, N]
+    # --- 2. compaction -----------------------------------------------------
+    ids_full = jnp.sort(cand_id, axis=1)
+    n_real = jnp.sum(ids_full != INT32_MAX, axis=1, dtype=jnp.int32)
+    overflow = n_real > NC
+    ids = jax.lax.slice_in_dim(ids_full, 0, NC, axis=1)          # [B, NC]
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), ids[:, 1:] == ids[:, :-1]], axis=1)
     ok = (ids != INT32_MAX) & ~dup
 
-    pos_s = ids >> 1
+    # --- 3. packed extension ----------------------------------------------
+    rpack, rbad = extend_packed.pack_read_phases(seqs, nw)
+    pmask = jnp.asarray(extend_packed.phase_masks(L, nw))
+    pos_s = jnp.where(ok, ids >> 1, 0)
     strand_s = (ids & 1).astype(jnp.int32)
-
-    # --- extension: full-read mismatch count per candidate -----------------
-    gpos = jnp.clip(pos_s, 0, max(G - L, 0)).reshape(-1)         # [B*N]
-    # contiguous L-byte windows via vmapped dynamic_slice (slice-gather)
-    windows = jax.vmap(
-        lambda p: jax.lax.dynamic_slice(genome, (p,), (L,)))(gpos)
-    windows = windows.reshape(B, -1, L)                          # [B, N, L]
-    # probe selection is a 2-way broadcast select, not a gather
-    probe = jnp.where((strand_s == 0)[:, :, None],
-                      seqs[:, 0, None, :], seqs[:, 1, None, :])  # [B, N, L]
-    mm = jnp.sum(windows != probe, axis=-1, dtype=jnp.int32)
+    mm = extend_packed.extend_packed(gpack, gbad, rpack, rbad, pmask,
+                                     pos_s, strand_s, read_len=L)
     mm = jnp.where(ok, mm, INT32_MAX)
     ids = jnp.where(ok, ids, INT32_MAX)
-    return ids, mm
+    return ids, mm, overflow
 
 
 def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
-    """Dedup (cross-shard) + best/next-best/top-k from scored candidates.
+    """Stage 4: dedup (cross-shard) + best/next-best/top-k.
 
     ids/mm: [B, N] int32, INT32_MAX = invalid. Duplicated ids (same alignment
-    reached via different shards/windows) carry identical mm and are masked.
+    reached via different shards) carry identical mm and are masked.
     """
     B = ids.shape[0]
     order = jnp.argsort(ids, axis=1)
@@ -155,11 +155,13 @@ def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "lut_k", "cand_per_window", "max_ml"))
-def align_pass(genome: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
-               reads: jnp.ndarray, *, offsets: tuple, lut_k: int,
-               cand_per_window: int, max_ml: int):
-    """Single-device pigeonhole pass over a read batch, both strands.
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
+                              "cand_per_window", "n_compact", "max_ml"))
+def align_pass(gpack: jnp.ndarray, gbad: jnp.ndarray, sa: jnp.ndarray,
+               lut: jnp.ndarray, reads: jnp.ndarray, *, genome_len: int,
+               offsets: tuple, lut_k: int, cand_per_window: int,
+               n_compact: int, max_ml: int):
+    """Single-device pass over a read batch, both strands.
 
     Returns dict of per-read arrays:
       low_mm   [B] int32  — lowest full-read mismatch count (INT32_MAX if none)
@@ -167,8 +169,12 @@ def align_pass(genome: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
       nxt_mm   [B] int32  — next-lowest distinct mismatch count
       hit_id   [B, max_ml] int32 — best hits as pos*2+strand, (mm, pos) order
       hit_mm   [B, max_ml] int32
+      overflow [B] bool   — candidate list truncated (classify as multi)
     """
-    ids, mm = gather_score_candidates(
-        genome, sa, lut, jnp.int32(0), reads, offsets=offsets, lut_k=lut_k,
-        cand_per_window=cand_per_window)
-    return finalize_candidates(ids, mm, max_ml=max_ml)
+    ids, mm, overflow = gather_score_candidates(
+        gpack, gbad, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
+        offsets=offsets, lut_k=lut_k, cand_per_window=cand_per_window,
+        n_compact=n_compact)
+    out = finalize_candidates(ids, mm, max_ml=max_ml)
+    out["overflow"] = overflow
+    return out

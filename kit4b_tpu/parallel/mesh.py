@@ -64,42 +64,51 @@ def shard_index_by_key(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
     return sa_shards, np.stack(lut_parts), np.asarray(key_lo, np.int32)
 
 
-def make_sharded_align_pass(mesh: Mesh, *, offsets: tuple, lut_k: int,
-                            cand_per_window: int, max_ml: int):
+def make_sharded_align_pass(mesh: Mesh, *, genome_len: int, offsets: tuple,
+                            lut_k: int, cand_per_window: int,
+                            n_compact: int, max_ml: int):
     """Build a jitted dp x tp sharded align pass.
 
-    Args (sharded): genome [G] replicated; sa_shards [tp, Mpad],
+    Args (sharded): gpack/gbad [Gw] replicated; sa_shards [tp, Mpad],
     lut_shards [tp, keys+1], key_lo [tp] split over "tp"; reads [B, L]
     split over "dp". Returns the same stats dict as seed_extend.align_pass,
-    sharded over "dp".
+    sharded over "dp". Matches the single-chip result exactly whenever no
+    shard overflows its per-shard compaction (the sharded path can only see
+    MORE candidates than a single chip, never fewer).
     """
 
-    def _local(genome, sa_s, lut_s, key_lo_s, reads):
+    def _local(gpack, gbad, sa_s, lut_s, key_lo_s, reads):
         # shapes inside shard_map: sa_s [1, Mpad], lut_s [1, keys+1], ...
-        ids, mm = seed_extend.gather_score_candidates(
-            genome, sa_s[0], lut_s[0], key_lo_s[0], reads,
-            offsets=offsets, lut_k=lut_k, cand_per_window=cand_per_window)
+        ids, mm, ovf = seed_extend.gather_score_candidates(
+            gpack, gbad, sa_s[0], lut_s[0], key_lo_s[0], reads,
+            genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+            cand_per_window=cand_per_window, n_compact=n_compact)
         # exact cross-shard merge: collect every shard's scored candidates
         ids_all = jax.lax.all_gather(ids, "tp", axis=1, tiled=True)
         mm_all = jax.lax.all_gather(mm, "tp", axis=1, tiled=True)
-        return seed_extend.finalize_candidates(ids_all, mm_all, max_ml=max_ml)
+        out = seed_extend.finalize_candidates(ids_all, mm_all, max_ml=max_ml)
+        out["overflow"] = jax.lax.psum(ovf.astype(jnp.int32), "tp") > 0
+        return out
 
     shmapped = jax.shard_map(
         _local, mesh=mesh,
-        in_specs=(P(), P("tp", None), P("tp", None), P("tp"), P("dp", None)),
+        in_specs=(P(), P(), P("tp", None), P("tp", None), P("tp"),
+                  P("dp", None)),
         out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
-                   "hit_id": P("dp", None), "hit_mm": P("dp", None)},
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None),
+                   "overflow": P("dp")},
         check_vma=False)
     return jax.jit(shmapped)
 
 
-def device_put_sharded_index(mesh: Mesh, genome_seq, sa_shards, lut_shards,
+def device_put_sharded_index(mesh: Mesh, gpack, gbad, sa_shards, lut_shards,
                              key_lo):
     """Place index arrays with their mesh shardings."""
     gspec = NamedSharding(mesh, P())
     tspec = NamedSharding(mesh, P("tp", None))
     kspec = NamedSharding(mesh, P("tp"))
-    return (jax.device_put(jnp.asarray(genome_seq), gspec),
+    return (jax.device_put(jnp.asarray(gpack), gspec),
+            jax.device_put(jnp.asarray(gbad), gspec),
             jax.device_put(jnp.asarray(sa_shards), tspec),
             jax.device_put(jnp.asarray(lut_shards.astype(np.int32)), tspec),
             jax.device_put(jnp.asarray(key_lo), kspec))

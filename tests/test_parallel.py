@@ -33,16 +33,18 @@ def test_sharded_pass_matches_single(setup, dp, tp):
     assert len(jax.devices()) >= 8
     passes, _ = build_pass_schedule(100, 5, 1, len(g.seq))
     ps = passes[-1]  # widest pass
-    kw = dict(offsets=ps.offsets, lut_k=idx.lut_k, cand_per_window=16,
-              max_ml=5)
-    genome_d, sa_d, lut_d = idx.device_arrays()
-    ref = seed_extend.align_pass(genome_d, sa_d, lut_d,
+    kw = dict(genome_len=len(g.seq), offsets=ps.offsets, lut_k=idx.lut_k,
+              cand_per_window=16, n_compact=96, max_ml=5)
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    ref = seed_extend.align_pass(gpack_d, gbad_d, sa_d, lut_d,
                                  np.asarray(arr), **kw)
 
     m = pmesh.make_mesh(dp, tp)
     sa_s, lut_s, key_lo = pmesh.shard_index_by_key(
         idx.sa_clean, idx.lut, tp)
-    args = pmesh.device_put_sharded_index(m, g.seq, sa_s, lut_s, key_lo)
+    args = pmesh.device_put_sharded_index(m, np.asarray(gpack_d),
+                                          np.asarray(gbad_d), sa_s, lut_s,
+                                          key_lo)
     fn = pmesh.make_sharded_align_pass(m, **kw)
     out = fn(*args, np.asarray(arr))
 
