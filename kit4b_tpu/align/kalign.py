@@ -188,7 +188,8 @@ class KAligner:
             genome_len=len(self.index.genome.seq),
             offsets=offsets, lut_k=self.index.lut_k,
             cand_per_window=self.cand, n_compact=self.n_compact,
-            max_ml=self.max_ml)
+            max_ml=self.max_ml,
+            reads_have_ns=bool(n_counts.any()))
         # one bulk transfer (the axon tunnel charges ~per fetch)
         host = jax.device_get(out)
         low = host["low_mm"].astype(np.int64)
@@ -249,10 +250,25 @@ class KAligner:
 
 
 def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
-              emit_unmapped: bool = True) -> dict:
-    """Write (SeqRecord, AlignResult) stream to SAM; returns counters."""
+              emit_unmapped: bool = True, snp_caller=None) -> dict:
+    """Write (SeqRecord, AlignResult) stream to SAM; returns counters.
+
+    When `snp_caller` (align.snp.SnpCaller) is given, accepted alignments are
+    also accumulated into its pileup (the kalign SNP phase input,
+    KAligner.cpp:795-809).
+    """
     g = index.genome
     stats = {NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0}
+    snp_pos: list[int] = []
+    snp_reads: list[np.ndarray] = []
+
+    def flush_snp():
+        if snp_caller is not None and snp_pos:
+            snp_caller.add_alignments(np.asarray(snp_pos, np.int64),
+                                      np.stack(snp_reads))
+            snp_pos.clear()
+            snp_reads.clear()
+
     with SamWriter(path, g.names, g.lengths, pg_cl=cmdline) as w:
         for rec, res in aligned:
             stats[res.nar] += 1
@@ -266,9 +282,25 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                     rname=g.names[ci], pos=off + 1, mapq=254,
                     cigar=f"{len(rec.codes)}M", seq=seq, qual=qual,
                     tags=(f"NM:i:{res.mm}",)))
+                if snp_caller is not None:
+                    oriented = (dna.revcomp(rec.codes) if rev
+                                else rec.codes)
+                    snp_pos.append(res.pos)
+                    snp_reads.append(oriented)
+                    if len(snp_pos) >= 16384 and \
+                            len(snp_reads[0]) == len(oriented):
+                        flush_snp()
             elif emit_unmapped:
                 seq, qual = seq_qual_for_strand(rec.codes, rec.qual, False)
                 w.write(SamAlignment(
                     qname=rec.name, flag=FLAG_UNMAPPED, rname="*", pos=0,
                     mapq=0, cigar="*", seq=seq, qual=qual))
+            # length change would break np.stack batching; flush eagerly
+            if snp_caller is not None and snp_reads and \
+                    len(snp_reads[-1]) != len(snp_reads[0]):
+                last_p, last_r = snp_pos.pop(), snp_reads.pop()
+                flush_snp()
+                snp_pos.append(last_p)
+                snp_reads.append(last_r)
+    flush_snp()
     return stats

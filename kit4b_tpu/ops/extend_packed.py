@@ -55,11 +55,13 @@ def phase_masks(read_len: int, nw: int) -> np.ndarray:
     return out
 
 
-def pack_read_phases(seqs: jnp.ndarray, nw: int):
+def pack_read_phases(seqs: jnp.ndarray, nw: int, with_bad: bool = True):
     """seqs [B, S, L] uint8 -> (rpack, rbad) each [B, S*16, nw] uint32.
 
     Phase s is the read shifted s base-slots right so its packing lines up
     with genome words when the candidate position p has p % 16 == s.
+    with_bad=False skips the read-side invalid mask (valid when the batch was
+    screened to contain no Ns) and returns rbad=None.
     """
     B, S, L = seqs.shape
     ext = jnp.zeros((B, S, 16 * nw), dtype=jnp.uint8)
@@ -71,11 +73,13 @@ def pack_read_phases(seqs: jnp.ndarray, nw: int):
         r = jnp.roll(ext, s, axis=-1).reshape(B, S, nw, 16)
         packs.append(jnp.sum((r & 3).astype(jnp.uint32) << shifts, axis=-1,
                              dtype=jnp.uint32))
-        bads.append(jnp.sum((r >= 4).astype(jnp.uint32) << shifts, axis=-1,
-                            dtype=jnp.uint32))
+        if with_bad:
+            bads.append(jnp.sum((r >= 4).astype(jnp.uint32) << shifts,
+                                axis=-1, dtype=jnp.uint32))
     # [B, S, 16, nw] -> [B, S*16, nw] with index = strand*16 + phase
     rpack = jnp.stack(packs, axis=2).reshape(B, S * 16, nw)
-    rbad = jnp.stack(bads, axis=2).reshape(B, S * 16, nw)
+    rbad = (jnp.stack(bads, axis=2).reshape(B, S * 16, nw)
+            if with_bad else None)
     return rpack, rbad
 
 
@@ -100,12 +104,14 @@ def extend_packed(gpack: jnp.ndarray,    # [Gw] uint32 packed genome
 
     sel = strand * 16 + phase                              # [B, NC]
     rp = jnp.take_along_axis(rpack, sel[..., None], axis=1)
-    rb = jnp.take_along_axis(rbad, sel[..., None], axis=1)
     pm = pmask[phase]                                      # [B, NC, nw]
 
     x = gw ^ rp
     mism = (x | (x >> 1)) & MISM_BITS
-    badb = (gb | rb) & MISM_BITS
+    badb = gb & MISM_BITS
+    if rbad is not None:
+        rb = jnp.take_along_axis(rbad, sel[..., None], axis=1)
+        badb = badb | (rb & MISM_BITS)
     bits = (mism | badb) & pm
     return jnp.sum(jax.lax.population_count(bits), axis=-1,
                    dtype=jnp.int32)

@@ -59,7 +59,8 @@ def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
                             offsets: tuple,
                             lut_k: int,
                             cand_per_window: int,
-                            n_compact: int):
+                            n_compact: int,
+                            reads_have_ns: bool = True):
     """Stages 1-3. Returns (ids, mm, overflow):
     ids [B, NC] int32 pos*2+strand sorted ascending (INT32_MAX invalid),
     mm [B, NC] int32 mismatch counts, overflow [B] bool (candidates truncated).
@@ -114,7 +115,8 @@ def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
     ok = (ids != INT32_MAX) & ~dup
 
     # --- 3. packed extension ----------------------------------------------
-    rpack, rbad = extend_packed.pack_read_phases(seqs, nw)
+    rpack, rbad = extend_packed.pack_read_phases(
+        seqs, nw, with_bad=reads_have_ns)
     pmask = jnp.asarray(extend_packed.phase_masks(L, nw))
     pos_s = jnp.where(ok, ids >> 1, 0)
     strand_s = (ids & 1).astype(jnp.int32)
@@ -125,20 +127,28 @@ def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
     return ids, mm, overflow
 
 
-def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
+def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int,
+                        presorted: bool = False):
     """Stage 4: dedup (cross-shard) + best/next-best/top-k.
 
     ids/mm: [B, N] int32, INT32_MAX = invalid. Duplicated ids (same alignment
     reached via different shards) carry identical mm and are masked.
+    presorted=True skips the id sort (single-shard path: compaction already
+    sorted and deduped).
     """
     B = ids.shape[0]
-    order = jnp.argsort(ids, axis=1)
-    ids_s = jnp.take_along_axis(ids, order, axis=1)
-    mm_s = jnp.take_along_axis(mm, order, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
-    ok = (ids_s != INT32_MAX) & ~dup
-    mm_s = jnp.where(ok, mm_s, INT32_MAX)
+    if presorted:
+        ids_s, mm_s = ids, mm
+        ok = ids_s != INT32_MAX
+    else:
+        order = jnp.argsort(ids, axis=1)
+        ids_s = jnp.take_along_axis(ids, order, axis=1)
+        mm_s = jnp.take_along_axis(mm, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype=bool),
+             ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+        ok = (ids_s != INT32_MAX) & ~dup
+        mm_s = jnp.where(ok, mm_s, INT32_MAX)
 
     low = jnp.min(mm_s, axis=1)                                  # [B]
     is_low = (mm_s == low[:, None]) & ok
@@ -156,11 +166,12 @@ def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
 
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
-                              "cand_per_window", "n_compact", "max_ml"))
+                              "cand_per_window", "n_compact", "max_ml",
+                              "reads_have_ns"))
 def align_pass(gpack: jnp.ndarray, gbad: jnp.ndarray, sa: jnp.ndarray,
                lut: jnp.ndarray, reads: jnp.ndarray, *, genome_len: int,
                offsets: tuple, lut_k: int, cand_per_window: int,
-               n_compact: int, max_ml: int):
+               n_compact: int, max_ml: int, reads_have_ns: bool = True):
     """Single-device pass over a read batch, both strands.
 
     Returns dict of per-read arrays:
@@ -174,7 +185,7 @@ def align_pass(gpack: jnp.ndarray, gbad: jnp.ndarray, sa: jnp.ndarray,
     ids, mm, overflow = gather_score_candidates(
         gpack, gbad, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
         offsets=offsets, lut_k=lut_k, cand_per_window=cand_per_window,
-        n_compact=n_compact)
-    out = finalize_candidates(ids, mm, max_ml=max_ml)
+        n_compact=n_compact, reads_have_ns=reads_have_ns)
+    out = finalize_candidates(ids, mm, max_ml=max_ml, presorted=True)
     out["overflow"] = overflow
     return out

@@ -124,6 +124,29 @@ def sim_reads(genome: Genome, params: SimParams,
     return recs1, recs2
 
 
+def simulate_snps(genome: Genome, rate: float = 0.001, seed: int = 1):
+    """Plant SNPs into a copy of the genome (reference CSimReads::SimulateSNPs,
+    libkit4b/SimReads.cpp:1222): each base mutated with probability `rate` to
+    one of the three other bases. Returns (mutated Genome, truth list of
+    (chrom, loci, ref_base, alt_base))."""
+    rng = np.random.default_rng(seed)
+    seq = genome.seq.copy()
+    can = seq < 4
+    hit = (rng.random(len(seq)) < rate) & can
+    idx = np.nonzero(hit)[0]
+    delta = rng.integers(1, 4, len(idx), dtype=np.uint8)
+    alts = (seq[idx] + delta) % 4
+    truth = []
+    ci, off = genome.locate(idx)
+    for j, i in enumerate(idx):
+        truth.append((genome.names[int(ci[j])], int(off[j]),
+                      int(seq[i]), int(alts[j])))
+    seq[idx] = alts
+    g2 = Genome(list(genome.names), genome.starts.copy(),
+                genome.lengths.copy(), seq)
+    return g2, truth
+
+
 def parse_truth(qname: str):
     """Parse a simreads ground-truth read name -> dict (or None)."""
     parts = qname.split("|")

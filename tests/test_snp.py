@@ -1,0 +1,91 @@
+"""SNP phase: planted SNPs recovered, noise rejected, outputs well-formed."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align import kalign, snp
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome
+from kit4b_tpu.io.wig import write_wig
+from kit4b_tpu.sim import simreads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(31)
+    n = 150_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    # plant SNPs into a sample genome; reads come from the mutated genome,
+    # aligned against the original
+    mut, truth = simreads.simulate_snps(g, rate=0.0005, seed=3)
+    idx = SfxIndex.build(g)
+    reads = simreads.sim_reads(
+        mut, simreads.SimParams(n_reads=30_000, read_len=100, seed=11,
+                                error_mode="uniform", subs_rate=0.005))
+    return g, idx, reads, truth
+
+
+def test_snp_calls_recover_truth(tmp_path, setup):
+    g, idx, reads, truth = setup
+    al = kalign.KAligner(idx, batch_size=4096)
+    caller = snp.SnpCaller(g)
+    stats = kalign.write_sam(tmp_path / "o.sam", idx,
+                             al.align_records(reads), snp_caller=caller)
+    assert stats[kalign.NAR_ACCEPTED] > 25_000
+    calls = caller.call()
+    called = {(c.chrom, c.loci) for c in calls}
+    truth_set = {(t[0], t[1]) for t in truth}
+    # coverage ~20x: essentially all planted SNPs with coverage are called
+    covered_truth = set()
+    cov = caller.coverage()
+    for t in truth_set:
+        if cov[t[1]] >= 5:
+            covered_truth.add(t)
+    assert len(covered_truth) > 0.8 * len(truth_set)
+    recall = len(called & covered_truth) / len(covered_truth)
+    assert recall >= 0.95, f"recall {recall}"
+    # false calls bounded by FDR (q=0.05) — generously 3x
+    false = called - truth_set
+    assert len(false) <= max(3, 0.15 * len(called)), (
+        f"{len(false)} false of {len(called)}")
+    # alt alleles match truth
+    truth_alt = {(t[0], t[1]): t[3] for t in truth}
+    for c in calls:
+        if (c.chrom, c.loci) in truth_alt:
+            nonref = [b for b in range(4) if b != c.ref_base]
+            top = max(nonref, key=lambda b: c.counts[b])
+            assert top == truth_alt[(c.chrom, c.loci)]
+
+
+def test_snp_outputs(tmp_path, setup):
+    g, idx, reads, truth = setup
+    al = kalign.KAligner(idx, batch_size=4096)
+    caller = snp.SnpCaller(g)
+    kalign.write_sam(tmp_path / "o.sam", idx, al.align_records(reads),
+                     snp_caller=caller)
+    calls = caller.call()
+    assert calls
+    snp.write_snps_csv(tmp_path / "snps.csv", calls)
+    snp.write_snps_vcf(tmp_path / "snps.vcf", calls)
+    csv_lines = (tmp_path / "snps.csv").read_text().splitlines()
+    assert len(csv_lines) == len(calls) + 1
+    vcf_lines = [l for l in (tmp_path / "snps.vcf").read_text().splitlines()
+                 if not l.startswith("#")]
+    assert len(vcf_lines) == len(calls)
+    for l in vcf_lines:
+        f = l.split("\t")
+        assert f[0] == "c1" and f[3] in "ACGT" and f[6] == "PASS"
+    write_wig(tmp_path / "cov.wig", g, caller.coverage())
+    assert (tmp_path / "cov.wig").read_text().startswith("track type=wiggle")
+
+
+def test_ref_binomial_quirk():
+    # n <= 5000: plain CDF; n > 5000 reproduces the reference's clamp
+    assert snp.ref_binomial_cdf(10, 10, 0.5) == 1.0
+    assert abs(snp.ref_binomial_cdf(10, 5, 0.5) - 0.623046875) < 1e-9
+    big = snp.ref_binomial_cdf(10000, 100, 0.001)
+    # clamped: k=int(0.1*100)=10, n=5000, p unchanged
+    from scipy.stats import binom
+    assert big == float(min(binom.cdf(10, 5000, 0.001), 1.0))
