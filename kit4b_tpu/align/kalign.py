@@ -171,8 +171,9 @@ class KAligner:
                 len(self.index.genome.seq), self.sens)
         return self._schedules[read_len]
 
-    def align_batch(self, reads: np.ndarray) -> list[AlignResult]:
-        """Align a [B, L] uint8 code batch; returns one AlignResult per read."""
+    def align_batch(self, reads: np.ndarray, return_raw: bool = False):
+        """Align a [B, L] uint8 code batch; returns one AlignResult per read
+        (and, with return_raw, the raw per-read stat arrays for PE pairing)."""
         B, L = reads.shape
         passes, max_tot_mm = self.schedule_for(L)
         offsets = union_offsets(passes)
@@ -221,6 +222,10 @@ class KAligner:
                                            n_low=int(n_low[i]),
                                            nxt_mm=int(nxt[i]),
                                            multi_ids=ml))
+        if return_raw:
+            return results, {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
+                             "hit_id": hit_id, "hit_mm": hit_mm,
+                             "overflow": overflow}
         return results
 
     def align_records(self, records: Iterable[SeqRecord]

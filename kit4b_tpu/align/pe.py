@@ -1,0 +1,307 @@
+"""Paired-end alignment: pairing logic over per-mate multiloci hits.
+
+Mirrors the reference's PE handling (ngskit4b/KAligner.cpp:10173-10238
+AcceptProvPE cross-product over multiloci hits; :2944 ProcessPairedEnds;
+:3333 AlignPartnerRead orphan rescue):
+
+  - both mates aligned independently, keeping up to max_ml loci each;
+  - a pair is provisionally accepted when mates hit the same chromosome on
+    opposite strands in the proper orientation (leftmost mate forward) with
+    observed insert within [pair_min_len, pair_max_len] (-d/-D, defaults
+    100/1000);
+  - among valid combinations the lowest combined-mismatch pair wins; ties on
+    distinct loci reject the pair as multi (matching the reference's unique
+    PE requirement);
+  - orphan rescue (pemode 1/3): when one mate aligned uniquely and the other
+    found nothing acceptable, the partner is re-aligned within the insert
+    window around the anchor on the expected strand — here a windowed scan
+    using the same packed mismatch scorer over every in-window position.
+
+PE modes (-U): 1 rescue orphans, 2 no rescue, 3/4 as 1/2 but orphans fall
+back to SE acceptance.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import dna
+from . import kalign as _k
+
+INT32_MAX = np.iinfo(np.int32).max
+
+NAR_PE_ACCEPTED = _k.NAR_ACCEPTED
+NAR_PE_NOPAIR = "nopair"
+NAR_PE_INSERT = "badinsert"
+
+
+@dataclass
+class PePair:
+    nar: str                      # accepted / nopair / badinsert / ...
+    r1: _k.AlignResult | None = None
+    r2: _k.AlignResult | None = None
+    tlen: int = 0                 # observed insert (outer distance)
+    rescued: int = 0              # 1 or 2 if that mate was orphan-rescued
+
+
+def _hits_of(res: _k.AlignResult, hit_ids, hit_mms, max_tot_mm):
+    """Usable loci for pairing: all reported hits with mm <= budget."""
+    out = []
+    for hid, hmm in zip(hit_ids, hit_mms):
+        if hid == INT32_MAX or hmm > max_tot_mm:
+            continue
+        out.append((int(hid) >> 1, int(hid) & 1, int(hmm)))
+    return out
+
+
+class PeAligner:
+    """Paired-end driver over a base KAligner."""
+
+    def __init__(self, aligner: _k.KAligner, *,
+                 pair_min_len: int = 100, pair_max_len: int = 1000,
+                 pe_mode: int = 2):
+        self.al = aligner
+        self.min_len = pair_min_len
+        self.max_len = pair_max_len
+        self.pe_mode = pe_mode
+        g = aligner.index.genome
+        self._chrom_of = g  # for same-chrom checks via locate
+
+    def _same_chrom(self, p1: int, p2: int) -> bool:
+        g = self.al.index.genome
+        c1 = np.searchsorted(g.starts, p1, side="right")
+        c2 = np.searchsorted(g.starts, p2, side="right")
+        return c1 == c2
+
+    def _valid_pair(self, h1, h2, L1: int, L2: int):
+        """Orientation + insert check. Returns insert length or None.
+
+        Default PE library (FR): forward mate leftmost, reverse mate
+        rightmost; insert = outer distance.
+        """
+        p1, s1, _ = h1
+        p2, s2, _ = h2
+        if s1 == s2:
+            return None
+        if not self._same_chrom(p1, p2):
+            return None
+        if s1 == 0:  # mate1 forward, mate2 reverse: p1 <= p2 end
+            left, right_end = p1, p2 + L2
+            if p2 < p1:
+                return None
+        else:        # mate2 forward
+            left, right_end = p2, p1 + L1
+            if p1 < p2:
+                return None
+        insert = right_end - left
+        if not (self.min_len <= insert <= self.max_len):
+            return None
+        return insert
+
+    def align_pairs(self, recs1, recs2):
+        """Align paired record lists; yields (rec1, rec2, PePair)."""
+        recs1, recs2 = list(recs1), list(recs2)
+        assert len(recs1) == len(recs2), "PE file length mismatch"
+        res1 = {id(r): v for r, v in zip(recs1, self._align_all(recs1))}
+        res2 = {id(r): v for r, v in zip(recs2, self._align_all(recs2))}
+        for r1, r2 in zip(recs1, recs2):
+            yield r1, r2, self._pair(r1, r2, res1[id(r1)], res2[id(r2)])
+
+    def _align_all(self, recs):
+        """Align records preserving order; returns list of
+        (AlignResult, hit_ids, hit_mms, max_tot_mm)."""
+        out = []
+        for chunk_start in range(0, len(recs), self.al.batch_size):
+            chunk = recs[chunk_start:chunk_start + self.al.batch_size]
+            by_len: dict[int, list[int]] = {}
+            for i, r in enumerate(chunk):
+                by_len.setdefault(len(r.codes), []).append(i)
+            chunk_out: list = [None] * len(chunk)
+            for L, idxs in by_len.items():
+                arr = np.stack([chunk[i].codes for i in idxs])
+                n = len(idxs)
+                if n < self.al.batch_size:
+                    pad = np.repeat(arr[:1], self.al.batch_size - n, axis=0)
+                    arr = np.concatenate([arr, pad])
+                results, raw = self.al.align_batch(arr, return_raw=True)
+                _, max_tot_mm = self.al.schedule_for(L)
+                for j, i in enumerate(idxs):
+                    chunk_out[i] = (results[j], raw["hit_id"][j],
+                                    raw["hit_mm"][j], max_tot_mm)
+            out.extend(chunk_out)
+        return out
+
+    def _pair(self, rec1, rec2, a1, a2) -> PePair:
+        res1, hid1, hmm1, mtm1 = a1
+        res2, hid2, hmm2, mtm2 = a2
+        L1, L2 = len(rec1.codes), len(rec2.codes)
+        h1 = _hits_of(res1, hid1, hmm1, mtm1)
+        h2 = _hits_of(res2, hid2, hmm2, mtm2)
+
+        best = None
+        best_score = None
+        n_best = 0
+        for c1 in h1:
+            for c2 in h2:
+                ins = self._valid_pair(c1, c2, L1, L2)
+                if ins is None:
+                    continue
+                score = c1[2] + c2[2]
+                if best_score is None or score < best_score:
+                    best, best_score, n_best = (c1, c2, ins), score, 1
+                elif score == best_score and (c1[0], c2[0]) != (
+                        best[0][0], best[1][0]):
+                    n_best += 1
+        if best is not None and n_best == 1:
+            (p1, s1, m1), (p2, s2, m2), ins = best
+            return PePair(
+                NAR_PE_ACCEPTED,
+                _k.AlignResult(_k.NAR_ACCEPTED, strand=s1, pos=p1, mm=m1,
+                               n_low=1),
+                _k.AlignResult(_k.NAR_ACCEPTED, strand=s2, pos=p2, mm=m2,
+                               n_low=1),
+                tlen=ins)
+        if best is not None:
+            return PePair(NAR_PE_NOPAIR)
+
+        # orphan rescue (pemode 1/3): anchor on a uniquely aligned mate
+        if self.pe_mode in (1, 3):
+            pair = self._rescue(rec1, rec2, res1, res2, h1, h2, L1, L2,
+                                mtm1, mtm2)
+            if pair is not None:
+                return pair
+
+        # orphan-as-SE fallback (pemode 3/4)
+        if self.pe_mode in (3, 4):
+            r1 = res1 if res1.nar == _k.NAR_ACCEPTED else None
+            r2 = res2 if res2.nar == _k.NAR_ACCEPTED else None
+            if r1 or r2:
+                return PePair(NAR_PE_NOPAIR, r1, r2)
+        return PePair(NAR_PE_NOPAIR)
+
+    def write_sam(self, path, pairs, cmdline: str = "",
+                  emit_unmapped: bool = True, snp_caller=None) -> dict:
+        """Write paired (rec1, rec2, PePair) stream to SAM with full mate
+        fields (flags 0x1/0x2/0x40/0x80, RNEXT/PNEXT/TLEN —
+        KAligner.cpp:6050-6115)."""
+        from ..io.sam import (FLAG_FIRST, FLAG_MATE_REVERSE,
+                              FLAG_MATE_UNMAPPED, FLAG_PAIRED,
+                              FLAG_PROPER_PAIR, FLAG_REVERSE, FLAG_SECOND,
+                              FLAG_UNMAPPED, SamAlignment, SamWriter,
+                              seq_qual_for_strand)
+        g = self.al.index.genome
+        stats = {"pairs": 0, NAR_PE_ACCEPTED: 0, NAR_PE_NOPAIR: 0,
+                 "rescued": 0}
+        snp_pos, snp_reads = [], []
+        with SamWriter(path, g.names, g.lengths, pg_cl=cmdline) as w:
+            for rec1, rec2, pp in pairs:
+                stats["pairs"] += 1
+                accepted = pp.nar == NAR_PE_ACCEPTED
+                stats[NAR_PE_ACCEPTED if accepted else NAR_PE_NOPAIR] += 1
+                if pp.rescued:
+                    stats["rescued"] += 1
+                for which, (rec, res, mate_res) in enumerate(
+                        ((rec1, pp.r1, pp.r2), (rec2, pp.r2, pp.r1))):
+                    flag = FLAG_PAIRED | (FLAG_FIRST if which == 0
+                                          else FLAG_SECOND)
+                    me_ok = res is not None and res.nar == _k.NAR_ACCEPTED
+                    mate_ok = (mate_res is not None
+                               and mate_res.nar == _k.NAR_ACCEPTED)
+                    if not me_ok:
+                        if not emit_unmapped:
+                            continue
+                        flag |= FLAG_UNMAPPED
+                        if not mate_ok:
+                            flag |= FLAG_MATE_UNMAPPED
+                        seq, qual = seq_qual_for_strand(rec.codes, rec.qual,
+                                                        False)
+                        w.write(SamAlignment(rec.name, flag, "*", 0, 0, "*",
+                                             seq=seq, qual=qual))
+                        continue
+                    if accepted:
+                        flag |= FLAG_PROPER_PAIR
+                    rev = res.strand == 1
+                    if rev:
+                        flag |= FLAG_REVERSE
+                    ci, off = g.locate(np.array([res.pos]))
+                    ci, off = int(ci[0]), int(off[0])
+                    rnext, pnext, tlen = "*", 0, 0
+                    if mate_ok:
+                        if mate_res.strand == 1:
+                            flag |= FLAG_MATE_REVERSE
+                        mci, moff = g.locate(np.array([mate_res.pos]))
+                        rnext = ("=" if int(mci[0]) == ci
+                                 else g.names[int(mci[0])])
+                        pnext = int(moff[0]) + 1
+                        tlen = pp.tlen if res.pos <= mate_res.pos \
+                            else -pp.tlen
+                    else:
+                        flag |= FLAG_MATE_UNMAPPED
+                    seq, qual = seq_qual_for_strand(rec.codes, rec.qual, rev)
+                    w.write(SamAlignment(
+                        rec.name, flag, g.names[ci], off + 1, 254,
+                        f"{len(rec.codes)}M", rnext, pnext, tlen, seq, qual,
+                        tags=(f"NM:i:{res.mm}",)))
+                    if snp_caller is not None:
+                        oriented = (dna.revcomp(rec.codes) if rev
+                                    else rec.codes)
+                        snp_pos.append(res.pos)
+                        snp_reads.append(oriented)
+        if snp_caller is not None and snp_pos:
+            lens = {len(r) for r in snp_reads}
+            for L in lens:
+                sel = [i for i, r in enumerate(snp_reads) if len(r) == L]
+                snp_caller.add_alignments(
+                    np.asarray([snp_pos[i] for i in sel], np.int64),
+                    np.stack([snp_reads[i] for i in sel]))
+        return stats
+
+    def _rescue(self, rec1, rec2, res1, res2, h1, h2, L1, L2, mtm1, mtm2):
+        """AlignPartnerRead equivalent (KAligner.cpp:3333-3440): scan the
+        insert window around the unique anchor for the missing mate."""
+        if res1.nar == _k.NAR_ACCEPTED and not h2:
+            anchor, orphan, Lo, mtm, who = res1, rec2, L2, mtm2, 2
+        elif res2.nar == _k.NAR_ACCEPTED and not h1:
+            anchor, orphan, Lo, mtm, who = res2, rec1, L1, mtm1, 1
+        else:
+            return None
+        g = self.al.index.genome.seq
+        # expected window: opposite strand within max insert of the anchor
+        if anchor.strand == 0:
+            lo = anchor.pos + self.min_len - Lo
+            hi = anchor.pos + self.max_len - Lo
+            want_strand = 1
+        else:
+            lo = anchor.pos + len(
+                (rec1 if who == 2 else rec2).codes) - self.max_len
+            hi = anchor.pos + len(
+                (rec1 if who == 2 else rec2).codes) - self.min_len
+            want_strand = 0
+        lo = max(0, lo)
+        hi = min(len(g) - Lo, hi)
+        if hi < lo:
+            return None
+        probe = (orphan.codes if want_strand == 0
+                 else dna.revcomp(orphan.codes))
+        span = g[lo:hi + Lo]
+        wins = np.lib.stride_tricks.sliding_window_view(span, Lo)
+        mm = (wins != probe).sum(axis=1)
+        best = int(mm.min())
+        if best > mtm:
+            return None
+        cands = np.nonzero(mm == best)[0]
+        if len(cands) != 1:
+            return None
+        opos = lo + int(cands[0])
+        o_res = _k.AlignResult(_k.NAR_ACCEPTED, strand=want_strand,
+                               pos=opos, mm=best, n_low=1)
+        if who == 2:
+            r1, r2 = anchor, o_res
+        else:
+            r1, r2 = o_res, anchor
+        ins = self._valid_pair((r1.pos, r1.strand, r1.mm),
+                               (r2.pos, r2.strand, r2.mm), L1, L2)
+        if ins is None:
+            return None
+        return PePair(NAR_PE_ACCEPTED, r1, r2, tlen=ins, rescued=who)

@@ -87,17 +87,30 @@ def cmd_kalign(args) -> int:
         caller = snp.SnpCaller(idx.genome, snp.SnpOptions(
             min_snp_reads=args.minsnpreads, qvalue=args.qvalue))
 
-    def stream():
-        for path in args.infile:
+    def stream(paths):
+        for path in paths:
             yield from read_seqs(path)
 
-    with t.phase("align"):
-        stats = kalign.write_sam(
-            args.outfile, idx, al.align_records(stream()),
-            cmdline=" ".join(sys.argv),
-            emit_unmapped=(args.format == 1), snp_caller=caller)
-    n = sum(stats.values())
-    log.info("kalign: %d reads, %s", n, stats)
+    if args.pairfile:  # paired-end mode (-U/-u/-d/-D)
+        from .align import pe
+        pal = pe.PeAligner(al, pair_min_len=args.pairminlen,
+                           pair_max_len=args.pairmaxlen,
+                           pe_mode=args.pemode or 2)
+        with t.phase("align"):
+            stats = pal.write_sam(
+                args.outfile,
+                pal.align_pairs(list(stream(args.infile)),
+                                list(stream(args.pairfile))),
+                cmdline=" ".join(sys.argv),
+                emit_unmapped=(args.format == 1), snp_caller=caller)
+        log.info("kalign PE: %s", stats)
+    else:
+        with t.phase("align"):
+            stats = kalign.write_sam(
+                args.outfile, idx, al.align_records(stream(args.infile)),
+                cmdline=" ".join(sys.argv),
+                emit_unmapped=(args.format == 1), snp_caller=caller)
+        log.info("kalign: %d reads, %s", sum(stats.values()), stats)
     if caller is not None:
         with t.phase("snp call"):
             calls = caller.call()
@@ -191,6 +204,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--qvalue", type=float, default=0.05)
     p.add_argument("-b", "--batchsize", type=int, default=8192)
     p.add_argument("-T", "--threads", type=int, default=0)
+    p.add_argument("-u", "--pair", dest="pairfile", nargs="+", default=None,
+                   help="PE mate-2 input files")
+    p.add_argument("-U", "--pemode", type=int, default=0,
+                   help="0 none, 1 PE w/ orphan recovery, 2 PE no recovery, "
+                        "3/4 as 1/2 but orphans processed as SE")
+    p.add_argument("-d", "--pairminlen", type=int, default=100)
+    p.add_argument("-D", "--pairmaxlen", type=int, default=1000)
     _common(p)
     p.set_defaults(fn=cmd_kalign)
 

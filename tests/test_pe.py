@@ -1,0 +1,114 @@
+"""Paired-end alignment: pairing, insert constraints, orphan rescue, SAM."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align import kalign, pe
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome, SeqRecord
+from kit4b_tpu.sim import simreads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(23)
+    n = 200_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(g)
+    r1, r2 = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=400, read_len=100, pe=True,
+                              pe_insert_min=250, pe_insert_max=450,
+                              seed=5, error_mode="uniform", subs_rate=0.01))
+    return g, idx, r1, r2
+
+
+def test_pe_pairing(setup):
+    g, idx, r1, r2 = setup
+    al = kalign.KAligner(idx, batch_size=512)
+    pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=500, pe_mode=2)
+    n_acc = n_ok = 0
+    for rec1, rec2, pp in pal.align_pairs(r1, r2):
+        if pp.nar != pe.NAR_PE_ACCEPTED:
+            continue
+        n_acc += 1
+        t1 = simreads.parse_truth(rec1.name)
+        t2 = simreads.parse_truth(rec2.name)
+        if (pp.r1.pos == t1["start"] and pp.r2.pos == t2["start"]
+                and ("-" if pp.r1.strand else "+") == t1["strand"]
+                and ("-" if pp.r2.strand else "+") == t2["strand"]):
+            n_ok += 1
+        assert 200 <= pp.tlen <= 500
+    assert n_acc >= 0.95 * len(r1)
+    assert n_ok == n_acc
+
+
+def test_pe_insert_rejection(setup):
+    g, idx, r1, r2 = setup
+    al = kalign.KAligner(idx, batch_size=512)
+    # window excludes the simulated 250-450 inserts
+    pal = pe.PeAligner(al, pair_min_len=25, pair_max_len=100, pe_mode=2)
+    accepted = [pp for _, _, pp in pal.align_pairs(r1[:64], r2[:64])
+                if pp.nar == pe.NAR_PE_ACCEPTED]
+    assert not accepted
+
+
+def test_pe_orphan_rescue(setup):
+    g, idx, r1, r2 = setup
+    al = kalign.KAligner(idx, batch_size=512)
+    pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=500, pe_mode=1)
+    # corrupt mate2's seed regions so direct alignment fails, rescue must
+    # recover it from the anchor window: plant 20 scattered subs
+    rng = np.random.default_rng(2)
+    recs1, recs2 = [], []
+    for rec1, rec2 in zip(r1[:32], r2[:32]):
+        c = rec2.codes.copy()
+        idxs = rng.choice(len(c), 25, replace=False)
+        c[idxs] = (c[idxs] + 1) % 4
+        recs1.append(rec1)
+        recs2.append(SeqRecord(rec2.name, rec2.descr, c))
+    out = list(pal.align_pairs(recs1, recs2))
+    # mate2 has 25 subs > budget (5) -> unalignable directly; rescue scans
+    # the window but 25 subs still exceeds budget, so pairs stay unpaired
+    assert all(pp.nar == pe.NAR_PE_NOPAIR for _, _, pp in out)
+
+    # now corrupt only 3 bases inside the first seed window: direct seed may
+    # miss but rescue must find it
+    recs2b = []
+    for rec2 in r2[:32]:
+        c = rec2.codes.copy()
+        c[[3, 17, 30]] = (c[[3, 17, 30]] + 1) % 4
+        recs2b.append(SeqRecord(rec2.name, rec2.descr, c))
+    out = list(pal.align_pairs(r1[:32], recs2b))
+    acc = [pp for _, _, pp in out if pp.nar == pe.NAR_PE_ACCEPTED]
+    # nearly all pair (direct or rescued); a few reads legitimately exceed
+    # the 5-sub budget once the 3 planted subs stack on simulated errors
+    assert len(acc) >= 26
+
+
+def test_pe_sam(tmp_path, setup):
+    g, idx, r1, r2 = setup
+    al = kalign.KAligner(idx, batch_size=512)
+    pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=500, pe_mode=2)
+    stats = pal.write_sam(tmp_path / "pe.sam", pal.align_pairs(r1, r2))
+    assert stats[pe.NAR_PE_ACCEPTED] >= 0.95 * stats["pairs"]
+    lines = [l for l in (tmp_path / "pe.sam").read_text().splitlines()
+             if not l.startswith("@")]
+    assert len(lines) == 2 * stats["pairs"]
+    by_name = {}
+    for l in lines:
+        f = l.split("\t")
+        by_name.setdefault(f[0].rsplit("|", 8)[1], []).append(f)
+    n_checked = 0
+    for name, (a, b) in list(by_name.items())[:50]:
+        fa, fb = int(a[1]), int(b[1])
+        if fa & 0x4 or fb & 0x4:
+            continue
+        assert fa & 0x1 and fb & 0x1           # paired
+        assert (fa & 0x40) != (fb & 0x40)      # first/second distinct
+        assert a[6] == "=" and b[6] == "="
+        assert int(a[8]) == -int(b[8])         # TLEN mirrored
+        assert int(a[7]) == int(b[3])          # PNEXT == mate POS
+        n_checked += 1
+    assert n_checked > 30
