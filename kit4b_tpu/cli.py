@@ -150,6 +150,101 @@ def cmd_hammings(args) -> int:
     return 0
 
 
+def cmd_filter(args) -> int:
+    """ngskit4b filter equivalent (CArtefactReduce)."""
+    from .assembly import filter as filt
+    from .assembly.store import SeqStore
+    from .io.fasta import read_seqs
+    from .utils.runtime import PhaseTimer, enable_compile_cache, log
+    enable_compile_cache()
+    t = PhaseTimer()
+    if args.checkpoint and __import__("os").path.exists(
+            str(args.checkpoint) + ".npz"):
+        with t.phase("load checkpoint"):
+            store = SeqStore.load(args.checkpoint)
+        log.info("filter: resumed %d seqs from checkpoint", len(store))
+    else:
+        with t.phase("load reads"):
+            r1 = []
+            for p_ in args.infile:
+                r1.extend(read_seqs(p_))
+            r2 = None
+            if args.pairfile:
+                r2 = []
+                for p_ in args.pairfile:
+                    r2.extend(read_seqs(p_))
+            store = SeqStore.from_records(
+                r1, r2, min_phred=args.minphred, trim5=args.trim5,
+                trim3=args.trim3, min_len=args.minlen)
+        if args.checkpoint:
+            store.save(args.checkpoint)
+    params = filt.FilterParams(
+        dedup=not args.nodedup, min_overlap_pct=args.minoverlap,
+        overlap_passes=args.passes)
+    with t.phase("filter"):
+        out = filt.artefact_reduce(
+            store, params,
+            progress=lambda what, n: log.info("filter %s: removed %d",
+                                              what, n))
+    with t.phase("write"):
+        from .io.fasta import write_fasta
+        write_fasta(args.outfile, out.to_fasta_records("read"))
+    log.info("filter: %d -> %d seqs -> %s", len(store), out.n_live(),
+             args.outfile)
+    return 0
+
+
+def cmd_assemb(args) -> int:
+    """ngskit4b assemb equivalent (CdeNovoAssemb)."""
+    from .assembly import assemble as asmb
+    from .assembly.store import SeqStore
+    from .io.fasta import read_seqs, write_fasta
+    from .utils.runtime import PhaseTimer, enable_compile_cache, log
+    enable_compile_cache()
+    t = PhaseTimer()
+    with t.phase("load"):
+        store = SeqStore.from_arrays(
+            [r.codes for p_ in args.infile for r in read_seqs(p_)])
+    params = asmb.AssembleParams(
+        min_overlap=args.minoverlap, min_overlap_final=args.minoverlapfinal,
+        max_subs_per_100=args.subs, max_passes=args.maxpasses,
+        checkpoint_every=args.passthres,
+        checkpoint_path=args.outfile + ".pass")
+    with t.phase("assemble"):
+        out = asmb.assemble(
+            store, params,
+            progress=lambda p, e, a, c, n: log.info(
+                "pass %d: %d edges, %d merges, %d contained, %d live",
+                p, e, a, c, n))
+    with t.phase("write"):
+        write_fasta(args.outfile, out.to_fasta_records("contig"))
+    lens = sorted((int(out.lengths[i]) for i in range(len(out))),
+                  reverse=True)
+    half = sum(lens) / 2
+    acc, n50 = 0, 0
+    for ln in lens:
+        acc += ln
+        if acc >= half:
+            n50 = ln
+            break
+    log.info("assemb: %d contigs, total %d bp, N50 %d -> %s",
+             len(lens), sum(lens), n50, args.outfile)
+    return 0
+
+
+def cmd_pescaffold(args) -> int:
+    """ngskit4b pescaffold equivalent (CPEScaffold)."""
+    from .assembly.scaffold import ScaffoldParams, pescaffold
+    from .utils.runtime import log
+    paths, recs = pescaffold(
+        args.pe1sam, args.pe2sam, args.contigs, args.outfile,
+        ScaffoldParams(min_links=args.minlinks, default_gap=args.gap))
+    joined = sum(1 for p_ in paths if len(p_) > 1)
+    log.info("pescaffold: %d scaffolds (%d multi-contig) -> %s",
+             len(paths), joined, args.outfile)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="kit4b_tpu", fromfile_prefix_chars="@",
@@ -214,6 +309,46 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.set_defaults(fn=cmd_kalign)
 
+    p = sub.add_parser("filter", help="filter reads: dedup + error reduction")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-u", "--pair", dest="pairfile", nargs="+", default=None)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-k", "--checkpoint", default=None,
+                   help="packed-store checkpoint file (resume if exists)")
+    p.add_argument("-q", "--minphred", type=int, default=0)
+    p.add_argument("-x", "--trim5", type=int, default=0)
+    p.add_argument("-X", "--trim3", type=int, default=0)
+    p.add_argument("-l", "--minlen", type=int, default=30)
+    p.add_argument("-d", "--nodedup", action="store_true")
+    p.add_argument("-y", "--minoverlap", type=int, default=70,
+                   help="min flank overlap support percent")
+    p.add_argument("-c", "--passes", type=int, default=1)
+    _common(p)
+    p.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("assemb", help="de novo overlap assembly")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-y", "--minoverlap", type=int, default=50)
+    p.add_argument("-Y", "--minoverlapfinal", type=int, default=30)
+    p.add_argument("-s", "--subs", type=int, default=2,
+                   help="max subs per 100bp of overlap")
+    p.add_argument("-c", "--maxpasses", type=int, default=20)
+    p.add_argument("-P", "--passthres", type=int, default=0,
+                   help="checkpoint contigs each N passes")
+    _common(p)
+    p.set_defaults(fn=cmd_assemb)
+
+    p = sub.add_parser("pescaffold", help="scaffold contigs from PE SAMs")
+    p.add_argument("-a", "--pe1sam", required=True)
+    p.add_argument("-A", "--pe2sam", required=True)
+    p.add_argument("-c", "--contigs", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-L", "--minlinks", type=int, default=2)
+    p.add_argument("-g", "--gap", type=int, default=100)
+    _common(p)
+    p.set_defaults(fn=cmd_pescaffold)
+
     p = sub.add_parser("hammings", help="genome-wide K-mer Hamming distances")
     p.add_argument("-i", "--in", dest="infile", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True)
@@ -233,7 +368,11 @@ def main(argv=None) -> int:
     setup_logging(getattr(args, "loglevel", "info"),
                   getattr(args, "logfile", None))
     t0 = time.time()
-    rc = args.fn(args)
+    try:
+        rc = args.fn(args)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"kit4b_tpu {args.cmd}: error: {e}", file=sys.stderr)
+        return 1
     print(f"kit4b_tpu {args.cmd}: done in {time.time() - t0:.1f}s",
           file=sys.stderr)
     return rc

@@ -70,6 +70,45 @@ class SamWriter:
         self.close()
 
 
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int
+    rname: str
+    pos: int
+    mapq: int
+    cigar: str
+    rnext: str
+    pnext: int
+    tlen: int
+    seq: str
+    qual: str
+
+    @property
+    def is_mapped(self) -> bool:
+        return not (self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+
+def read_sam(path):
+    """Minimal SAM text reader (CSAMfile read parity for the pescaffold /
+    filtchrom-style consumers, libkit4b/SAMfile.cpp)."""
+    with open(path) as f:
+        for line in f:
+            if line.startswith("@"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 11:
+                continue
+            yield SamRecord(fields[0], int(fields[1]), fields[2],
+                            int(fields[3]), int(fields[4]), fields[5],
+                            fields[6], int(fields[7]), int(fields[8]),
+                            fields[9], fields[10])
+
+
 def seq_qual_for_strand(codes: np.ndarray, qual: np.ndarray | None,
                         reverse: bool) -> tuple[str, str]:
     """SEQ/QUAL strings; '-' strand hits emit the reverse complement
