@@ -245,6 +245,84 @@ def cmd_pescaffold(args) -> int:
     return 0
 
 
+def cmd_pseudogenome(args) -> int:
+    """ngskit4b pseudogenome equivalent (genpseudogenome.cpp)."""
+    from .io.fasta import write_fasta
+    from .kmer import kmarkers
+    from .utils.runtime import log
+    cults = {}
+    for spec in args.cultivar:
+        name, paths = spec.split("=", 1)
+        cults[name] = paths.split(",")
+    g, cc, names = kmarkers.build_pseudogenome(cults)
+    recs = [type("R", (), {"name": g.names[i], "descr": "",
+                           "codes": g.chrom_codes(i)})()
+            for i in range(g.nchroms())]
+    write_fasta(args.outfile, recs)
+    if args.bedfile:
+        kmarkers.write_pseudogenome_bed(args.bedfile, g, cc, names)
+    log.info("pseudogenome: %d cultivars, %d chroms, %d bp -> %s",
+             len(names), g.nchroms(), g.total_len, args.outfile)
+    return 0
+
+
+def cmd_kmarkers(args) -> int:
+    """ngskit4b kmarkers equivalent (CLocKMers)."""
+    from .index.sfx_index import SfxIndex
+    from .kmer import kmarkers
+    from .utils.runtime import PhaseTimer, enable_compile_cache, log
+    enable_compile_cache()
+    cults = {}
+    for spec in args.cultivar:
+        name, paths = spec.split("=", 1)
+        cults[name] = paths.split(",")
+    t = PhaseTimer()
+    with t.phase("pseudogenome+index"):
+        g, cc, names = kmarkers.build_pseudogenome(cults)
+        idx = SfxIndex.build(g)
+    if args.target not in names:
+        raise ValueError(f"target cultivar {args.target!r} not in {names}")
+    with t.phase("markers"):
+        markers = kmarkers.find_cultivar_markers(
+            idx, cc, names.index(args.target),
+            kmer_len=args.kmerlen, min_hamming=args.minhamming,
+            extend=not args.noextend)
+    kmarkers.write_markers_fasta(args.outfile, markers)
+    log.info("kmarkers: %d markers (%d bp) for %s -> %s",
+             len(markers), sum(m.length for m in markers), args.target,
+             args.outfile)
+    return 0
+
+
+def cmd_prekmarkers(args) -> int:
+    """ngskit4b prekmarkers equivalent (CMarkerKMers)."""
+    from . import dna
+    from .index.sfx_index import SfxIndex
+    from .kmer import kmarkers
+    from .utils.runtime import PhaseTimer, enable_compile_cache, log
+    enable_compile_cache()
+    cults = {}
+    for spec in args.cultivar:
+        name, paths = spec.split("=", 1)
+        cults[name] = paths.split(",")
+    t = PhaseTimer()
+    with t.phase("pseudogenome+index"):
+        g, cc, names = kmarkers.build_pseudogenome(cults)
+        idx = SfxIndex.build(g)
+    with t.phase("walk"):
+        out = kmarkers.shared_prefix_markers(
+            idx, cc, len(names), kmer_len=args.kmerlen,
+            min_cultivars=args.mincultivars,
+            max_per_cultivar=args.maxpercultivar)
+    with open(args.outfile, "w") as f:
+        f.write("\"KMer\"," + ",".join(f'"{n}"' for n in names) + "\n")
+        for codes, counts in out:
+            f.write(dna.decode(codes) + ","
+                    + ",".join(str(int(c)) for c in counts) + "\n")
+    log.info("prekmarkers: %d shared K-mers -> %s", len(out), args.outfile)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="kit4b_tpu", fromfile_prefix_chars="@",
@@ -308,6 +386,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-D", "--pairmaxlen", type=int, default=1000)
     _common(p)
     p.set_defaults(fn=cmd_kalign)
+
+    p = sub.add_parser("pseudogenome",
+                       help="concatenate cultivar fastas into pseudo-genome")
+    p.add_argument("-c", "--cultivar", nargs="+", required=True,
+                   metavar="NAME=fa1,fa2", help="cultivar fasta spec")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-B", "--bed", dest="bedfile", default=None)
+    _common(p)
+    p.set_defaults(fn=cmd_pseudogenome)
+
+    p = sub.add_parser("kmarkers",
+                       help="K-mer markers unique to a target cultivar")
+    p.add_argument("-c", "--cultivar", nargs="+", required=True,
+                   metavar="NAME=fa1,fa2")
+    p.add_argument("-t", "--target", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-K", "--kmerlen", type=int, default=50)
+    p.add_argument("-e", "--minhamming", type=int, default=2)
+    p.add_argument("-x", "--noextend", action="store_true")
+    _common(p)
+    p.set_defaults(fn=cmd_kmarkers)
+
+    p = sub.add_parser("prekmarkers",
+                       help="prefix K-mers shared across cultivars")
+    p.add_argument("-c", "--cultivar", nargs="+", required=True,
+                   metavar="NAME=fa1,fa2")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-K", "--kmerlen", type=int, default=25)
+    p.add_argument("-m", "--mincultivars", type=int, default=2)
+    p.add_argument("-M", "--maxpercultivar", type=int, default=0)
+    _common(p)
+    p.set_defaults(fn=cmd_prekmarkers)
 
     p = sub.add_parser("filter", help="filter reads: dedup + error reduction")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)

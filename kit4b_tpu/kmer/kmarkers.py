@@ -1,0 +1,255 @@
+"""Alignment-free K-mer markers (kmarkers / prekmarkers / pseudogenome).
+
+Reference parity:
+  - pseudogenome (ngskit4b/genpseudogenome.cpp:61 GPGProcess): concatenate
+    per-cultivar fastas into one pseudo-genome + BED of source coords. Here a
+    Genome carries a cultivar id per chromosome instead of textual BED
+    gymnastics, with the BED still emitted for interop.
+  - kmarkers (CLocKMers, ngskit4b/LocKMers.cpp:525 LocKMers, :1105
+    MatchesOtherChroms usage): K-mers present uniquely in the target cultivar
+    and at Hamming distance >= MinHamming from every K-mer of every other
+    cultivar. The reference's pigeonhole suffix-array probe
+    (CSfxArray::MatchesOtherChroms(MinHamming-1)) maps directly onto the
+    batched seed-and-extend pass: target K-mers are queried like reads with
+    pigeonhole cores, and any other-cultivar hit with mm < MinHamming
+    disqualifies. Consecutive accepted positions extend into maximal marker
+    sequences (the reference's marker extension option).
+  - prekmarkers (CMarkerKMers, ngskit4b/MarkerKMers.cpp:277 LocKMers →
+    CSfxArray::GenKMerCultsCnts SfxArray.cpp:2805): walk the suffix array
+    counting per-cultivar occurrences of each distinct K-mer prefix; report
+    K-mers present in >= min_cultivars (sense counts; antisense via revcomp
+    lookup).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import dna
+from ..index.sfx_index import SfxIndex
+from ..io.fasta import Genome, SeqRecord
+
+
+# --- pseudogenome -----------------------------------------------------------
+
+def build_pseudogenome(cultivar_fastas: dict[str, list],
+                       ) -> tuple[Genome, np.ndarray, list[str]]:
+    """cultivar name -> list of fasta paths. Returns (genome,
+    chrom_cultivar_idx, cultivar_names): standard concatenated Genome whose
+    chromosomes carry their source cultivar index."""
+    from ..io.fasta import read_seqs
+    names: list[str] = []
+    starts: list[int] = []
+    lengths: list[int] = []
+    chunks: list[np.ndarray] = []
+    chrom_cult: list[int] = []
+    cultivars = list(cultivar_fastas)
+    pos = 0
+    for ci, cult in enumerate(cultivars):
+        for path in cultivar_fastas[cult]:
+            for rec in read_seqs(path):
+                names.append(f"{cult}.{rec.name}")
+                starts.append(pos)
+                lengths.append(len(rec.codes))
+                chunks.append(rec.codes)
+                chunks.append(np.array([dna.BASE_EOS], np.uint8))
+                chrom_cult.append(ci)
+                pos += len(rec.codes) + 1
+    seq = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    if len(seq):
+        seq[-1] = dna.BASE_EOG
+    g = Genome(names, np.asarray(starts, np.int64),
+               np.asarray(lengths, np.int64), seq)
+    return g, np.asarray(chrom_cult, np.int32), cultivars
+
+
+def write_pseudogenome_bed(path, genome: Genome, chrom_cult, cultivars):
+    """BED of pseudo-chrom coords (genpseudogenome's gene BED output)."""
+    with open(path, "w") as f:
+        for i, name in enumerate(genome.names):
+            f.write(f"{name}\t0\t{int(genome.lengths[i])}\t"
+                    f"{cultivars[int(chrom_cult[i])]}\t0\t+\n")
+
+
+# --- kmarkers ---------------------------------------------------------------
+
+@dataclass
+class Marker:
+    chrom: str
+    start: int           # 0-based within chrom
+    length: int          # marker sequence length (>= kmer_len when extended)
+    seq: np.ndarray
+
+
+def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
+                          target_cultivar: int, *,
+                          kmer_len: int = 50, min_hamming: int = 2,
+                          batch: int = 4096, extend: bool = True,
+                          max_ml: int = 16) -> list[Marker]:
+    """K-mers unique to `target_cultivar` with Hamming >= min_hamming from
+    all other cultivars (both strands)."""
+    from ..ops import seed_extend
+    import jax.numpy as jnp
+
+    g = index.genome
+    gpack_d, gbad_d, sa_d, lut_d = index.device_arrays(
+        max_read_len=max(kmer_len, 64))
+    # pigeonhole cores: to guarantee finding every hit with
+    # mm <= min_hamming - 1, use min_hamming equal slices of the K-mer
+    ncores = max(1, min_hamming)
+    cl = kmer_len // ncores
+    offsets = tuple(min(j * cl, kmer_len - index.lut_k)
+                    for j in range(ncores))
+
+    pos_cult = np.repeat(chrom_cult,
+                         (g.lengths + 1).astype(np.int64))  # +EOS per chrom
+    accepted_positions: list[int] = []
+
+    K = kmer_len
+    target_chroms = np.nonzero(chrom_cult == target_cultivar)[0]
+    INT32_MAX = np.iinfo(np.int32).max
+    for ci in target_chroms:
+        cstart = int(g.starts[ci])
+        clen = int(g.lengths[ci])
+        if clen < K:
+            continue
+        starts_all = np.arange(cstart, cstart + clen - K + 1, dtype=np.int64)
+        for s in range(0, len(starts_all), batch):
+            chunk = starts_all[s:s + batch]
+            nb = len(chunk)
+            qp = chunk
+            if nb < batch:
+                qp = np.concatenate([qp, np.full(batch - nb, cstart,
+                                                 np.int64)])
+            reads = g.seq[qp[:, None] + np.arange(K)]
+            out = seed_extend.align_pass(
+                gpack_d, gbad_d, sa_d, lut_d, jnp.asarray(reads),
+                genome_len=len(g.seq), offsets=offsets, lut_k=index.lut_k,
+                cand_per_window=24, n_compact=64, max_ml=max_ml)
+            import jax
+            host = jax.device_get(out)
+            hid = host["hit_id"][:nb]
+            hmm = host["hit_mm"][:nb]
+            ovf = host["overflow"][:nb]
+            for j in range(nb):
+                if ovf[j]:
+                    continue
+                n_exact_self = 0
+                disqualified = False
+                for idd, mm in zip(hid[j], hmm[j]):
+                    if idd == INT32_MAX:
+                        break
+                    p = int(idd) >> 1
+                    cult = int(pos_cult[p])
+                    if mm < min_hamming and cult != target_cultivar:
+                        disqualified = True
+                        break
+                    if mm == 0 and cult == target_cultivar:
+                        n_exact_self += 1
+                if disqualified or n_exact_self != 1:
+                    continue
+                accepted_positions.append(int(chunk[j]))
+
+    # extend runs of consecutive accepted positions into maximal markers
+    markers: list[Marker] = []
+    if not accepted_positions:
+        return markers
+    acc = np.asarray(sorted(accepted_positions))
+    run_start = acc[0]
+    prev = acc[0]
+    def emit(a, b):
+        ci = int(np.searchsorted(g.starts, a, side="right") - 1)
+        off = int(a - g.starts[ci])
+        length = int(b - a) + K
+        markers.append(Marker(g.names[ci], off, length,
+                              g.seq[a:a + length].copy()))
+    for p in acc[1:]:
+        if extend and p == prev + 1:
+            prev = p
+            continue
+        emit(run_start, prev)
+        run_start = prev = p
+    emit(run_start, prev)
+    return markers
+
+
+def write_markers_fasta(path, markers: list[Marker],
+                        prefix: str = "Marker") -> None:
+    from ..io.fasta import write_fasta
+    recs = [SeqRecord(f"{prefix}{i+1}",
+                      f"{m.chrom}|{m.start}|{m.length}", m.seq)
+            for i, m in enumerate(markers)]
+    write_fasta(path, recs)
+
+
+# --- prekmarkers ------------------------------------------------------------
+
+def prefix_kmer_counts(index: SfxIndex, chrom_cult: np.ndarray,
+                       n_cultivars: int, *, kmer_len: int = 25,
+                       block: int = 1 << 18):
+    """Per-distinct-K-mer per-cultivar sense occurrence counts via one pass
+    over the (already sorted) clean suffix array.
+
+    Returns (rep_pos, counts): rep_pos int64 [n_distinct] — representative
+    suffix position of each distinct K-mer; counts int32 [n_distinct,
+    n_cultivars].
+    """
+    g = index.genome
+    sa = index.sa_clean.astype(np.int64)
+    M = len(sa)
+    if M == 0:
+        return np.zeros(0, np.int64), np.zeros((0, n_cultivars), np.int32)
+    K = kmer_len
+    pos_cult = np.repeat(chrom_cult, (g.lengths + 1).astype(np.int64))
+
+    # valid suffixes: K clean bases (first lut_k guaranteed; verify rest)
+    # boundary[i] = True when suffix sa[i] starts a new distinct K-mer
+    boundary = np.zeros(M, bool)
+    boundary[0] = True
+    valid = np.ones(M, bool)
+    for s in range(0, M, block):
+        e = min(M, s + block)
+        idx = sa[s:e, None] + np.arange(K)[None, :]
+        w = g.seq[np.minimum(idx, len(g.seq) - 1)]
+        valid[s:e] = (w < 4).all(axis=1) & (sa[s:e] + K <= len(g.seq))
+        wp = np.vstack([g.seq[np.minimum(sa[s - 1] + np.arange(K),
+                                         len(g.seq) - 1)][None, :]
+                        if s else w[:1], w[:-1]])
+        boundary[s:e] = (w != wp).any(axis=1)
+    boundary[0] = True
+    boundary &= valid
+    # drop invalid suffixes entirely
+    vidx = np.nonzero(valid)[0]
+    vb = boundary[vidx].copy()
+    vb[0] = True
+    # re-detect boundaries across removed invalid runs
+    group = np.cumsum(vb) - 1
+    n_groups = int(group[-1]) + 1 if len(group) else 0
+    rep_pos = sa[vidx[np.nonzero(vb)[0]]]
+    cult = pos_cult[sa[vidx]]
+    counts = np.zeros((n_groups, n_cultivars), np.int32)
+    np.add.at(counts, (group, cult), 1)
+    return rep_pos, counts
+
+
+def shared_prefix_markers(index: SfxIndex, chrom_cult: np.ndarray,
+                          n_cultivars: int, *, kmer_len: int = 25,
+                          min_cultivars: int = 2,
+                          max_per_cultivar: int = 0):
+    """prekmarkers report: distinct K-mers present in >= min_cultivars
+    (optionally at most max_per_cultivar copies each — homozygotic
+    constraint). Returns list of (kmer_codes, per-cultivar counts)."""
+    rep_pos, counts = prefix_kmer_counts(index, chrom_cult, n_cultivars,
+                                         kmer_len=kmer_len)
+    present = counts > 0
+    n_present = present.sum(axis=1)
+    ok = n_present >= min_cultivars
+    if max_per_cultivar:
+        ok &= (counts <= max_per_cultivar).all(axis=1)
+    out = []
+    g = index.genome
+    for i in np.nonzero(ok)[0]:
+        p = int(rep_pos[i])
+        out.append((g.seq[p:p + kmer_len].copy(), counts[i].copy()))
+    return out

@@ -1,0 +1,109 @@
+"""kmarkers / prekmarkers / pseudogenome."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome, SeqRecord, write_fasta
+from kit4b_tpu.kmer import kmarkers
+
+
+@pytest.fixture(scope="module")
+def cultivars(tmp_path_factory):
+    """Two cultivars sharing most sequence; cultivar A carries a unique
+    inserted segment."""
+    d = tmp_path_factory.mktemp("cult")
+    rng = np.random.default_rng(55)
+    shared = rng.integers(0, 4, 40_000).astype(np.uint8)
+    unique = rng.integers(0, 4, 600).astype(np.uint8)
+    seq_a = np.concatenate([shared[:20_000], unique, shared[20_000:]])
+    # cultivar B: shared sequence with scattered SNPs (~0.5%)
+    seq_b = shared.copy()
+    snp_idx = rng.choice(len(seq_b), 200, replace=False)
+    seq_b[snp_idx] = (seq_b[snp_idx] + 1 + rng.integers(0, 3, 200)) % 4
+    write_fasta(d / "a.fa", [SeqRecord("chrA", "", seq_a)])
+    write_fasta(d / "b.fa", [SeqRecord("chrB", "", seq_b)])
+    return d, seq_a, seq_b, unique
+
+
+def test_pseudogenome(tmp_path, cultivars):
+    d, seq_a, seq_b, unique = cultivars
+    g, cc, names = kmarkers.build_pseudogenome(
+        {"A": [d / "a.fa"], "B": [d / "b.fa"]})
+    assert names == ["A", "B"]
+    assert g.names == ["A.chrA", "B.chrB"]
+    assert cc.tolist() == [0, 1]
+    kmarkers.write_pseudogenome_bed(tmp_path / "pg.bed", g, cc, names)
+    lines = (tmp_path / "pg.bed").read_text().splitlines()
+    assert lines[0].split("\t")[0] == "A.chrA"
+    assert lines[1].split("\t")[3] == "B"
+
+
+def test_cultivar_markers(cultivars):
+    d, seq_a, seq_b, unique = cultivars
+    g, cc, names = kmarkers.build_pseudogenome(
+        {"A": [d / "a.fa"], "B": [d / "b.fa"]})
+    idx = SfxIndex.build(g)
+    K = 50
+    markers = kmarkers.find_cultivar_markers(
+        idx, cc, target_cultivar=0, kmer_len=K, min_hamming=2,
+        batch=2048)
+    # markers must exist and cluster on the unique insert
+    assert markers
+    total_marker_bases = sum(m.length for m in markers)
+    in_insert = [m for m in markers
+                 if 20_000 - K < m.start < 20_600]
+    # the unique 600bp insert must be (mostly) marked
+    assert sum(m.length for m in in_insert) >= 400
+    # no marker may have a <=1-mismatch match inside cultivar B
+    gs_b = dna.decode(seq_b)
+    for m in markers[:10]:
+        s = dna.decode(m.seq[:K])
+        assert s not in gs_b
+        rc = dna.decode(dna.revcomp(m.seq[:K]))
+        assert rc not in gs_b
+
+
+def test_shared_prefix_markers(cultivars):
+    d, seq_a, seq_b, unique = cultivars
+    g, cc, names = kmarkers.build_pseudogenome(
+        {"A": [d / "a.fa"], "B": [d / "b.fa"]})
+    idx = SfxIndex.build(g)
+    K = 25
+    out = kmarkers.shared_prefix_markers(idx, cc, 2, kmer_len=K,
+                                         min_cultivars=2)
+    assert len(out) > 30_000  # most shared 25-mers present in both
+    # spot check: reported kmers really occur in both cultivars
+    gs_a = dna.decode(seq_a)
+    gs_b = dna.decode(seq_b)
+    for codes, counts in out[:20]:
+        s = dna.decode(codes)
+        assert counts[0] >= 1 and counts[1] >= 1
+        assert s in gs_a and s in gs_b
+
+
+def test_prefix_counts_match_bruteforce():
+    rng = np.random.default_rng(8)
+    seqs = [rng.integers(0, 4, 300).astype(np.uint8) for _ in range(2)]
+    chunks = []
+    for s in seqs:
+        chunks.append(s)
+        chunks.append(np.array([dna.BASE_EOS], np.uint8))
+    seq = np.concatenate(chunks)
+    seq[-1] = dna.BASE_EOG
+    g = Genome(["c0", "c1"], np.array([0, 301]), np.array([300, 300]), seq)
+    idx = SfxIndex.build(g)
+    K = 10
+    rep, counts = kmarkers.prefix_kmer_counts(idx, np.array([0, 1]), 2,
+                                              kmer_len=K)
+    # brute force
+    from collections import Counter
+    want = {}
+    for ci, s in enumerate(seqs):
+        for i in range(300 - K + 1):
+            key = dna.decode(s[i:i + K])
+            want.setdefault(key, [0, 0])[ci] += 1
+    got = {}
+    for p, c in zip(rep, counts):
+        got[dna.decode(g.seq[p:p + K])] = list(c)
+    assert got == want
