@@ -323,6 +323,21 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_benchmark(args) -> int:
+    """ngskit4b benchmark equivalent (ground-truth scoring mode)."""
+    from .align.benchmark import score_sam
+    from .utils.runtime import log
+    r = score_sam(args.infile, tolerance=args.tolerance)
+    out = json.dumps(r.summary(), indent=2)
+    if args.outfile:
+        with open(args.outfile, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    log.info("benchmark: %d reads scored", r.n_reads)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="kit4b_tpu", fromfile_prefix_chars="@",
@@ -458,6 +473,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("benchmark",
+                       help="score a SAM against simreads ground truth")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="SAM to score")
+    p.add_argument("-o", "--out", dest="outfile", default=None,
+                   help="JSON summary output (default: stdout)")
+    p.add_argument("-t", "--tolerance", type=int, default=0)
+    _common(p)
+    p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("hammings", help="genome-wide K-mer Hamming distances")
     p.add_argument("-i", "--in", dest="infile", required=True)

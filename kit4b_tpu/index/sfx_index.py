@@ -106,17 +106,36 @@ class SfxIndex:
         return cls(g, int(z["lut_k"]), z["sa_clean"], z["lut"])
 
     # --- device view --------------------------------------------------------
-    def device_arrays(self, max_read_len: int = 1024):
+    def device_arrays(self, max_read_len: int = 1024,
+                      pad_quantum: int = 1 << 20):
         """Returns (gpack, gbad, sa, lut) jax arrays for the align path.
 
         gpack/gbad are the 2-bit packed genome + invalid-base mask
         (ops/extend_packed.py); the raw byte genome stays host-side.
+        Arrays are padded up to `pad_quantum` multiples so different genomes
+        of the same scale share jit-compiled executables (XLA shapes are
+        static; an unpadded sa/gpack length would recompile per genome).
         """
         import jax.numpy as jnp
         from ..ops.extend_packed import pack_genome
         nw = (max_read_len + 30) // 16
         gpack, gbad = pack_genome(self.genome.seq, nw)
+
+        def pad_to(arr, fill=0):
+            n = len(arr)
+            target = -(-max(n, 1) // pad_quantum) * pad_quantum
+            if target == n:
+                return arr
+            out = np.full(target, fill, dtype=arr.dtype)
+            out[:n] = arr
+            return out
+
+        # padded gbad marks every slot invalid -> padded windows can never
+        # score as matches; padded sa entries are unreachable via the LUT
+        gpack = pad_to(gpack)
+        gbad = pad_to(gbad, fill=np.uint32(0xFFFFFFFF))
+        sa = pad_to(self.sa_clean)
         lut = (jnp.asarray(self.lut, dtype=jnp.int32)
                if self.lut[-1] < 2**31 else jnp.asarray(self.lut))
         return (jnp.asarray(gpack), jnp.asarray(gbad),
-                jnp.asarray(self.sa_clean), lut)
+                jnp.asarray(sa), lut)
