@@ -30,104 +30,91 @@ from .. import dna
 BIG = np.uint16(0xFFFF)
 
 
-def _window_valid_and_sum(diff, sent_pair, K):
-    """Sliding-window sum of diff and window-validity (no sentinel) masks."""
-    cdiff = jnp.cumsum(diff.astype(jnp.int32))
-    csent = jnp.cumsum(sent_pair.astype(jnp.int32))
-    pad = jnp.zeros(1, jnp.int32)
-    cdiff = jnp.concatenate([pad, cdiff])
-    csent = jnp.concatenate([pad, csent])
-    wsum = cdiff[K:] - cdiff[:-K]          # [G-K+1]
-    wbad = (csent[K:] - csent[:-K]) > 0
-    return wsum, wbad
+@functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(2,))
+def _sweep_range(g: jnp.ndarray, partner: jnp.ndarray, hmin: jnp.ndarray,
+                 d_start, d_end, *, K: int) -> jnp.ndarray:
+    """Fused on-device sweep: for every offset d in [d_start, d_end), compare
+    g-windows at i against partner-windows at i+d (d may be negative; rolls
+    wrap and bounds masks reject). Window sums use 5+5 shifted adds —
+    elementwise slices that XLA fuses into one pass per offset, unlike the
+    cumsum formulation. One compile covers any offset range (traced bounds).
 
-
-@functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(3,))
-def _watson_pass(g: jnp.ndarray, sent: jnp.ndarray, d: jnp.ndarray,
-                 hmin: jnp.ndarray, *, K: int) -> jnp.ndarray:
-    """One sense offset pass: compare K-mers at i and i+d for all i."""
-    G = g.shape[0]
-    gs = jnp.roll(g, -d)
-    ss = jnp.roll(sent, -d)
-    diff = g != gs
-    pairsent = sent | ss
-    wsum, wbad = _window_valid_and_sum(diff, pairsent, K)
-    idx = jnp.arange(G - K + 1, dtype=jnp.int32)
-    valid = (~wbad) & (idx + d + K <= G)
-    w = jnp.where(valid, wsum, jnp.int32(BIG)).astype(jnp.uint16)
-    # record at i …
-    hmin = hmin.at[: G - K + 1].min(w)
-    # … and at i+d (roll pads with wrapped BIGs only where invalid)
-    w_at_jd = jnp.roll(jnp.concatenate(
-        [w, jnp.full((K - 1,), BIG, jnp.uint16)]), d)
-    return jnp.minimum(hmin, w_at_jd)
-
-
-@functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(4,))
-def _crick_pass(g: jnp.ndarray, rc: jnp.ndarray, sent: jnp.ndarray,
-                rsent: jnp.ndarray, hmin: jnp.ndarray, dprime: jnp.ndarray,
-                *, K: int) -> jnp.ndarray:
-    """One antisense pass: g-window at i vs rc-window at i+d' (d' may be 0).
-
-    rc-window position j' maps to original genome K-mer start G-K-j'.
+    g/partner: uint8 codes. Sentinels (>= BASE_UNDEF) add a +32 penalty so
+    sentinel-spanning windows fail the ws < 32 validity cut. hmin: int16.
     """
     G = g.shape[0]
-    gs = jnp.roll(rc, -dprime)
-    ss = jnp.roll(rsent, -dprime)
-    diff = g != gs
-    pairsent = sent | ss
-    wsum, wbad = _window_valid_and_sum(diff, pairsent, K)
-    idx = jnp.arange(G - K + 1, dtype=jnp.int32)
-    jprime = idx + dprime
-    valid = (~wbad) & (jprime + K <= G) & (jprime >= 0)
-    # self-pair exclusion: a K-mer vs its own revcomp IS a valid comparison in
-    # the reference (palindromes score 0 against themselves only via the
-    # antisense of the identical loci) — keep it, matching GHamDistCrick.
-    w = jnp.where(valid, wsum, jnp.int32(BIG)).astype(jnp.uint16)
-    hmin = hmin.at[: G - K + 1].min(w)
-    # record at original coords of the rc window: p2 = G - K - jprime
-    # scatter via flip: positions p2 = (G-K) - (idx + dprime)
-    w_flip = jnp.flip(w)  # value for p2 = dprime + (G-K) - ... needs shift
-    # p2 = G-K-dprime-idx → flipped index (G-K-idx) shifted by -dprime
-    w_at_p2 = jnp.roll(jnp.concatenate(
-        [w_flip, jnp.full((K - 1,), BIG, jnp.uint16)]), -dprime)
-    return jnp.minimum(hmin, w_at_p2)
+    idx = jnp.arange(G, dtype=jnp.int32)
+    gpen = (g >= 5).astype(jnp.int16) * 32
+    BIG16 = jnp.int16(9999)
+
+    def body(d, hmin):
+        p = jnp.roll(partner, -d)
+        ppen = jnp.roll((partner >= 5).astype(jnp.int16) * 32, -d)
+        dvp = (g != p).astype(jnp.int16) + jnp.maximum(gpen, ppen)
+        q, r = divmod(K, 5)
+        ws = jnp.zeros((G,), jnp.int16)
+        if q:
+            s5 = dvp
+            s5 = (dvp + jnp.roll(dvp, -1) + jnp.roll(dvp, -2)
+                  + jnp.roll(dvp, -3) + jnp.roll(dvp, -4))
+            for m in range(q):
+                ws = ws + jnp.roll(s5, -5 * m)
+        for j in range(5 * q, K):
+            ws = ws + jnp.roll(dvp, -j)
+        ok = ((idx + K <= G) & (idx + d >= 0) & (idx + d + K <= G)
+              & (ws < 32))
+        return jnp.minimum(hmin, jnp.where(ok, ws, BIG16))
+
+    return jax.lax.fori_loop(d_start, d_end, body, hmin)
 
 
 def hammings_exhaustive(genome_seq: np.ndarray, K: int,
                         *, antisense: bool = True,
                         node: int = 0, numnodes: int = 1,
-                        progress_every: int = 0) -> np.ndarray:
-    """Minimum Hamming distance per K-mer start position (uint16, BIG where
-    no valid K-mer). Offsets are range-partitioned across `numnodes` and this
-    call computes node `node`'s share (merge partial results with
-    np.minimum, as the reference's ePMmerge does)."""
-    g = jnp.asarray(genome_seq)
-    G = int(g.shape[0])
+                        progress_every: int = 0,
+                        use_kernel: bool | None = None,
+                        chunk: int = 1 << 14) -> np.ndarray:
+    """Minimum Hamming distance per K-mer start position (uint16, 0xFFFF
+    where no valid K-mer). Offset ranges are chunk-partitioned; nodes take
+    every numnodes-th chunk (merge partial results with np.minimum, as the
+    reference's ePMmerge does)."""
+    G = len(genome_seq)
     if G < K:
         return np.full(0, BIG, np.uint16)
-    sent = g >= dna.BASE_EOS
-    rc = jnp.where(jnp.flip(g) < 4, 3 - jnp.flip(g), jnp.flip(g))
-    rsent = jnp.flip(sent)
-    hmin = jnp.full((G,), BIG, dtype=jnp.uint16)
+    if use_kernel:
+        # experimental Pallas path (hammings_kernel.py): correct under the
+        # interpreter, but this image's Mosaic lacks dynamic rotate for
+        # int8/int16/1-D data, so on-hardware compilation currently fails;
+        # opt-in only until the kernel is reworked to 2-D int32 rotates.
+        from .hammings_kernel import hammings_exhaustive_tpu
+        return hammings_exhaustive_tpu(np.asarray(genome_seq), K,
+                                       antisense=antisense)
+    g = jnp.asarray(np.ascontiguousarray(genome_seq, np.uint8))
+    rc_np = np.where(genome_seq[::-1] < 4, 3 - genome_seq[::-1],
+                     genome_seq[::-1]).astype(np.uint8)
+    rc = jnp.asarray(rc_np)
+    hmin = jnp.full((G,), jnp.int16(9999), dtype=jnp.int16)
 
-    # sense offsets 1..G-K, split across nodes
-    all_off = np.arange(1, G - K + 1)
-    my_off = all_off[node::numnodes]
-    for i, d in enumerate(my_off):
-        hmin = _watson_pass(g, sent, jnp.int32(d), hmin, K=K)
+    # offset ranges: sense skips d=0 (self), antisense includes it
+    spans = []
+    lo, hi = -(G - K), G - K
+    for a in range(lo, hi + 1, chunk):
+        b = min(a + chunk, hi + 1)
+        spans.append(("sense", a, b))
+        if antisense:
+            spans.append(("anti", a, b))
+    my = spans[node::numnodes]
+    for i, (kind, a, b) in enumerate(my):
+        partner = g if kind == "sense" else rc
+        if kind == "sense" and a <= 0 < b:
+            hmin = _sweep_range(g, partner, hmin, a, 0, K=K)
+            hmin = _sweep_range(g, partner, hmin, 1, b, K=K)
+        else:
+            hmin = _sweep_range(g, partner, hmin, a, b, K=K)
         if progress_every and (i + 1) % progress_every == 0:
-            print(f"hammings sense: {i+1}/{len(my_off)} offsets")
-    if antisense:
-        # d' spans negative offsets too: the pair (p1, p2) lives on
-        # anti-diagonal p1 + p2 = (G-K) - d', which must cover 0..2(G-K)
-        all_dp = np.arange(-(G - K), G - K + 1)
-        my_dp = all_dp[node::numnodes]
-        for i, dp in enumerate(my_dp):
-            hmin = _crick_pass(g, rc, sent, rsent, hmin, jnp.int32(dp), K=K)
-            if progress_every and (i + 1) % progress_every == 0:
-                print(f"hammings antisense: {i+1}/{len(my_dp)} offsets")
-    out = np.array(jax.device_get(hmin))
+            print(f"hammings: chunk {i+1}/{len(my)}")
+    out = np.array(jax.device_get(hmin)).astype(np.int32)
+    out = np.where(out >= 9999, 0xFFFF, out).astype(np.uint16)
     out[max(0, G - K + 1):] = BIG
     return out
 

@@ -41,3 +41,16 @@ def test_with_n_bases():
     got = hammings.hammings_exhaustive(g, K)
     want = hammings.hammings_oracle(g, K)
     np.testing.assert_array_equal(got[: n - K + 1], want[: n - K + 1])
+
+
+def test_kernel_interpret_matches_oracle():
+    """Experimental Pallas kernel (interpret mode; hardware blocked on
+    Mosaic dynamic-rotate support)."""
+    from kit4b_tpu.kmer.hammings_kernel import hammings_exhaustive_tpu
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, 1200).astype(np.uint8)
+    g[600] = dna.BASE_EOS
+    got = hammings_exhaustive_tpu(g, 25, tile=512, span=512, interpret=True)
+    want = hammings.hammings_oracle(g, 25)
+    np.testing.assert_array_equal(got[:1176].astype(int),
+                                  want[:1176].astype(int))
