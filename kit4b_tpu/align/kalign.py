@@ -148,8 +148,8 @@ class KAligner:
                  mm_delta: int = 1,          # MinEditDist (-r)
                  max_ml: int = 5,            # cDfltMaxMultiHits
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
-                 cand_per_window: int = 24,  # per-core candidate budget
-                 n_compact: int = 96,        # post-dedup candidate capacity
+                 cand_per_window: int = 16,  # per-core candidate budget
+                 n_compact: int = 64,        # post-dedup candidate capacity
                  batch_size: int = 4096,
                  sens: str = "default"):
         self.index = index
@@ -254,13 +254,33 @@ class KAligner:
             yield rec, res
 
 
+def write_align_stats(path, stats: dict, sub_hist: np.ndarray,
+                      insert_hist: np.ndarray | None = None) -> None:
+    """Aligner stats CSV (reference -O output: substitution distribution,
+    KAligner.cpp:3600; PE insert-size distribution, :5323)."""
+    with open(path, "w") as f:
+        f.write('"section","key","value"\n')
+        for k, v in stats.items():
+            f.write(f'"classification","{k}",{v}\n')
+        for i, c in enumerate(sub_hist):
+            if c:
+                f.write(f'"substitutions","{i}",{int(c)}\n')
+        if insert_hist is not None:
+            for i, c in enumerate(insert_hist):
+                if c:
+                    f.write(f'"insert_size","{i}",{int(c)}\n')
+
+
 def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
-              emit_unmapped: bool = True, snp_caller=None) -> dict:
-    """Write (SeqRecord, AlignResult) stream to SAM; returns counters.
+              emit_unmapped: bool = True, snp_caller=None,
+              stats_path=None) -> dict:
+    """Write (SeqRecord, AlignResult) stream to SAM (or BAM when the path
+    ends .bam); returns counters.
 
     When `snp_caller` (align.snp.SnpCaller) is given, accepted alignments are
     also accumulated into its pileup (the kalign SNP phase input,
-    KAligner.cpp:795-809).
+    KAligner.cpp:795-809). `stats_path` writes the substitution-distribution
+    CSV (-O equivalent).
     """
     g = index.genome
     stats = {NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0}
@@ -274,7 +294,12 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
             snp_pos.clear()
             snp_reads.clear()
 
-    with SamWriter(path, g.names, g.lengths, pg_cl=cmdline) as w:
+    sub_hist = np.zeros(64, np.int64)
+    writer_cls = SamWriter
+    if str(path).endswith(".bam"):
+        from ..io.bam import BamWriter
+        writer_cls = BamWriter
+    with writer_cls(path, g.names, g.lengths, pg_cl=cmdline) as w:
         for rec, res in aligned:
             stats[res.nar] += 1
             if res.nar == NAR_ACCEPTED:
@@ -287,6 +312,7 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                     rname=g.names[ci], pos=off + 1, mapq=254,
                     cigar=f"{len(rec.codes)}M", seq=seq, qual=qual,
                     tags=(f"NM:i:{res.mm}",)))
+                sub_hist[min(res.mm, 63)] += 1
                 if snp_caller is not None:
                     oriented = (dna.revcomp(rec.codes) if rev
                                 else rec.codes)
@@ -308,4 +334,6 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                 snp_pos.append(last_p)
                 snp_reads.append(last_r)
     flush_snp()
+    if stats_path:
+        write_align_stats(stats_path, stats, sub_hist)
     return stats

@@ -1,0 +1,147 @@
+"""ngsqc: readset quality-control statistics (CReadStats equivalent).
+
+Capability parity with `ngskit4b ngsqc` (ngskit4b/ReadStats.cpp:1165
+ProcessReadsetDist, :2432 ProcNGSQC): per-cycle base composition, per-cycle
+Phred quality distribution, read-length distribution, duplicate rate,
+K-mer spectrum, GC distribution. The reference renders plots through its
+vendored PLplot fork; here the distributions are emitted as CSV (and a JSON
+summary) for any plotting frontend.
+
+Vectorized NumPy accumulation over record batches; the duplicate rate uses
+the same lexicographic-sort dedup as the filter stage.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import dna
+
+MAX_CYCLES = 2048
+MAX_PHRED = 64
+
+
+@dataclass
+class ReadStats:
+    n_reads: int = 0
+    n_bases: int = 0
+    max_len: int = 0
+    # [cycle, base A/C/G/T/N]
+    cycle_base: np.ndarray = field(
+        default_factory=lambda: np.zeros((MAX_CYCLES, 5), np.int64))
+    # [cycle, phred]
+    cycle_qual: np.ndarray = field(
+        default_factory=lambda: np.zeros((MAX_CYCLES, MAX_PHRED), np.int64))
+    len_dist: dict = field(default_factory=dict)
+    gc_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(101, np.int64))
+    kmer_counts: dict = field(default_factory=dict)
+    n_dup: int = 0
+
+    def summary(self) -> dict:
+        total = self.cycle_base.sum()
+        base_frac = (self.cycle_base.sum(axis=0) / total).tolist() \
+            if total else [0] * 5
+        mean_q = 0.0
+        qtot = self.cycle_qual.sum()
+        if qtot:
+            mean_q = float((self.cycle_qual.sum(axis=0)
+                            * np.arange(MAX_PHRED)).sum() / qtot)
+        return {
+            "reads": self.n_reads,
+            "bases": self.n_bases,
+            "max_len": self.max_len,
+            "mean_len": round(self.n_bases / max(1, self.n_reads), 2),
+            "base_fractions_ACGTN": [round(x, 5) for x in base_frac],
+            "gc_pct_mean": round(float(
+                (self.gc_hist * np.arange(101)).sum()
+                / max(1, self.gc_hist.sum())), 3),
+            "mean_phred": round(mean_q, 3),
+            "duplicate_reads": self.n_dup,
+            "duplicate_pct": round(100 * self.n_dup
+                                   / max(1, self.n_reads), 3),
+        }
+
+
+def compute_readstats(records, kmer_len: int = 5,
+                      track_dups: bool = True) -> ReadStats:
+    st = ReadStats()
+    keys = []
+    kmer_acc = np.zeros(4 ** kmer_len, np.int64)
+    pow4 = 4 ** np.arange(kmer_len - 1, -1, -1)
+    for rec in records:
+        c = rec.codes
+        L = len(c)
+        st.n_reads += 1
+        st.n_bases += L
+        st.max_len = max(st.max_len, L)
+        st.len_dist[L] = st.len_dist.get(L, 0) + 1
+        Lc = min(L, MAX_CYCLES)
+        cb = np.minimum(c[:Lc], dna.BASE_N)
+        np.add.at(st.cycle_base, (np.arange(Lc), cb), 1)
+        if rec.qual is not None:
+            q = np.clip(rec.qual[:Lc], 0, MAX_PHRED - 1)
+            np.add.at(st.cycle_qual, (np.arange(Lc), q), 1)
+        acgt = c[c < 4]
+        if len(acgt):
+            gc = int(round(100 * float(((acgt == 1) | (acgt == 2)).mean())))
+            st.gc_hist[gc] += 1
+        # K-mer spectrum over clean K-mers
+        if L >= kmer_len:
+            w = np.lib.stride_tricks.sliding_window_view(c, kmer_len)
+            ok = (w < 4).all(axis=1)
+            if ok.any():
+                vals = (w[ok].astype(np.int64) * pow4).sum(axis=1)
+                kmer_acc += np.bincount(vals, minlength=4 ** kmer_len)
+        if track_dups:
+            keys.append(c.tobytes())
+    if track_dups and keys:
+        seen: set = set()
+        for k in keys:
+            if k in seen:
+                st.n_dup += 1
+            else:
+                seen.add(k)
+    # keep the top spectrum sparsely
+    nz = np.nonzero(kmer_acc)[0]
+    st.kmer_counts = {int(v): int(kmer_acc[v]) for v in nz}
+    return st
+
+
+def write_readstats_csv(prefix, st: ReadStats, kmer_len: int = 5) -> None:
+    """Distribution CSVs: <prefix>.cycles.csv, .quals.csv, .lens.csv,
+    .kmers.csv + <prefix>.summary.json."""
+    mx = st.max_len
+    with open(f"{prefix}.cycles.csv", "w") as f:
+        f.write('"cycle","A","C","G","T","N"\n')
+        for i in range(min(mx, MAX_CYCLES)):
+            row = st.cycle_base[i]
+            f.write(f"{i+1}," + ",".join(str(int(x)) for x in row) + "\n")
+    with open(f"{prefix}.quals.csv", "w") as f:
+        f.write('"cycle","mean_phred","p25","p50","p75"\n')
+        for i in range(min(mx, MAX_CYCLES)):
+            h = st.cycle_qual[i]
+            n = h.sum()
+            if not n:
+                continue
+            cum = np.cumsum(h)
+            mean = (h * np.arange(MAX_PHRED)).sum() / n
+            pct = [int(np.searchsorted(cum, n * p)) for p in
+                   (0.25, 0.5, 0.75)]
+            f.write(f"{i+1},{mean:.2f},{pct[0]},{pct[1]},{pct[2]}\n")
+    with open(f"{prefix}.lens.csv", "w") as f:
+        f.write('"length","count"\n')
+        for ln in sorted(st.len_dist):
+            f.write(f"{ln},{st.len_dist[ln]}\n")
+    with open(f"{prefix}.kmers.csv", "w") as f:
+        f.write(f'"kmer","count"\n')
+        for v, cnt in sorted(st.kmer_counts.items(),
+                             key=lambda kv: -kv[1])[:4 ** kmer_len]:
+            codes = [(v >> (2 * (kmer_len - 1 - j))) & 3
+                     for j in range(kmer_len)]
+            f.write(f'"{dna.decode(np.asarray(codes, np.uint8))}",{cnt}\n')
+    with open(f"{prefix}.summary.json", "w") as f:
+        json.dump(st.summary(), f, indent=2)
+        f.write("\n")

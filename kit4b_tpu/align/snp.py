@@ -165,6 +165,91 @@ class SnpCaller:
             axis=1).astype(np.uint32)
 
 
+# --- DiSNP / TriSNP ---------------------------------------------------------
+
+def call_multisnps(sam_path, calls: list[SnpCall], *, max_sep: int = 300,
+                   order: int = 2, min_reads: int = 1):
+    """Di/Tri-SNP haplotype counting (KAligner.cpp:10475
+    IterateReadsOverlapping; cDfltMaxDiSNPSep=300, KAligner.h): for every
+    pair (order=2) or triple (order=3) of accepted SNP loci within `max_sep`
+    bp, count reads covering all loci per allele combination.
+
+    Returns list of (chrom, loci_tuple, {allele_string: read_count}).
+    Implemented as a second pass over the emitted SAM (the reference
+    re-iterates its in-memory read store).
+    """
+    from collections import defaultdict
+
+    from .. import dna as _dna
+    from ..io.sam import read_sam
+
+    by_chrom: dict[str, list[int]] = defaultdict(list)
+    for c in calls:
+        by_chrom[c.chrom].append(c.loci)
+    groups: list[tuple[str, tuple]] = []
+    for chrom, loci in by_chrom.items():
+        loci.sort()
+        n = len(loci)
+        for i in range(n):
+            if order == 2:
+                for j in range(i + 1, n):
+                    if loci[j] - loci[i] > max_sep:
+                        break
+                    groups.append((chrom, (loci[i], loci[j])))
+            else:
+                for j in range(i + 1, n):
+                    if loci[j] - loci[i] > max_sep:
+                        break
+                    for k in range(j + 1, n):
+                        if loci[k] - loci[i] > max_sep:
+                            break
+                        groups.append((chrom, (loci[i], loci[j], loci[k])))
+    gidx: dict[tuple, dict] = {g: defaultdict(int) for g in groups}
+    loci_sorted = {chrom: sorted(l) for chrom, l in by_chrom.items()}
+
+    for rec in read_sam(sam_path):
+        if not rec.is_mapped:
+            continue
+        loci = loci_sorted.get(rec.rname)
+        if not loci:
+            continue
+        start = rec.pos - 1
+        end = start + len(rec.seq)
+        import bisect
+        lo = bisect.bisect_left(loci, start)
+        hi = bisect.bisect_left(loci, end)
+        cover = loci[lo:hi]
+        if len(cover) < order:
+            continue
+        for t in _combos(cover, order):
+            key = (rec.rname, t)
+            if key in gidx:
+                allele = "".join(rec.seq[x - start] for x in t)
+                gidx[key][allele] += 1
+    out = []
+    for (chrom, loci), combos in gidx.items():
+        total = sum(combos.values())
+        if total >= min_reads and combos:
+            out.append((chrom, loci, dict(combos)))
+    return out
+
+
+def _combos(items, order):
+    from itertools import combinations
+    return combinations(items, order)
+
+
+def write_multisnps_csv(path, groups, order: int = 2) -> None:
+    name = "DiSNP" if order == 2 else "TriSNP"
+    with open(path, "w") as f:
+        f.write(f'"{name}_ID","Chrom","Loci","Alleles","Counts"\n')
+        for i, (chrom, loci, combos) in enumerate(groups, start=1):
+            alleles = ";".join(sorted(combos))
+            counts = ";".join(str(combos[a]) for a in sorted(combos))
+            f.write(f'{i},"{chrom}","{"|".join(map(str, loci))}",'
+                    f'"{alleles}","{counts}"\n')
+
+
 # --- output writers ---------------------------------------------------------
 
 _BASE_CHR = "ACGTN"

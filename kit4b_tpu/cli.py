@@ -109,7 +109,8 @@ def cmd_kalign(args) -> int:
             stats = kalign.write_sam(
                 args.outfile, idx, al.align_records(stream(args.infile)),
                 cmdline=" ".join(sys.argv),
-                emit_unmapped=(args.format == 1), snp_caller=caller)
+                emit_unmapped=(args.format == 1), snp_caller=caller,
+                stats_path=args.statsfile)
         log.info("kalign: %d reads, %s", sum(stats.values()), stats)
     if caller is not None:
         with t.phase("snp call"):
@@ -122,6 +123,14 @@ def cmd_kalign(args) -> int:
             log.info("snps: %d accepted -> %s", len(calls), args.snpfile)
         if args.wigfile:
             write_wig(args.wigfile, idx.genome, caller.coverage())
+        if args.disnpfile and calls:
+            with t.phase("disnp"):
+                di = snp.call_multisnps(args.outfile, calls, order=2)
+                snp.write_multisnps_csv(args.disnpfile + ".disnp.csv", di, 2)
+                tri = snp.call_multisnps(args.outfile, calls, order=3)
+                snp.write_multisnps_csv(args.disnpfile + ".trisnp.csv",
+                                        tri, 3)
+            log.info("disnp: %d pairs, %d triples", len(di), len(tri))
     log.info("phases: %s", json.dumps(t.phases))
     return 0
 
@@ -323,6 +332,46 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_ngsqc(args) -> int:
+    """ngskit4b ngsqc equivalent (CReadStats)."""
+    from .align.readstats import compute_readstats, write_readstats_csv
+    from .io.fasta import read_seqs
+    from .utils.runtime import log
+
+    def stream():
+        for p_ in args.infile:
+            yield from read_seqs(p_)
+    st = compute_readstats(stream(), kmer_len=args.kmerlen)
+    write_readstats_csv(args.outprefix, st, kmer_len=args.kmerlen)
+    print(json.dumps(st.summary(), indent=2))
+    log.info("ngsqc: %d reads -> %s.*", st.n_reads, args.outprefix)
+    return 0
+
+
+def cmd_fasta2nxx(args) -> int:
+    """ngskit4b fasta2nxx equivalent: Nxx + length stats over multifasta."""
+    from .io.fasta import read_seqs
+    lens = sorted((len(r.codes) for p_ in args.infile
+                   for r in read_seqs(p_)), reverse=True)
+    total = sum(lens)
+    out = {"seqs": len(lens), "total_bp": total,
+           "min": lens[-1] if lens else 0, "max": lens[0] if lens else 0,
+           "mean": round(total / max(1, len(lens)), 1)}
+    acc = 0
+    targets = {f"N{p}": total * p / 100 for p in range(10, 100, 10)}
+    for ln in lens:
+        acc += ln
+        for name, thr in list(targets.items()):
+            if acc >= thr:
+                out[name] = ln
+                del targets[name]
+    print(json.dumps(out, indent=2))
+    if args.outfile:
+        with open(args.outfile, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """ngskit4b benchmark equivalent (ground-truth scoring mode)."""
     from .align.benchmark import score_sam
@@ -388,6 +437,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SNP output (.csv or .vcf)")
     p.add_argument("-g", "--wig", dest="wigfile", default=None,
                    help="coverage WIG output")
+    p.add_argument("-O", "--stats", dest="statsfile", default=None,
+                   help="aligner stats CSV (substitution distribution)")
+    p.add_argument("-X", "--disnp", dest="disnpfile", default=None,
+                   help="DiSNP/TriSNP output prefix (requires -S)")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
     p.add_argument("-P", "--qvalue", type=float, default=0.05)
     p.add_argument("-b", "--batchsize", type=int, default=8192)
@@ -473,6 +526,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("ngsqc", help="readset QC distributions")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outprefix", required=True,
+                   help="output file prefix")
+    p.add_argument("-K", "--kmerlen", type=int, default=5)
+    _common(p)
+    p.set_defaults(fn=cmd_ngsqc)
+
+    p = sub.add_parser("fasta2nxx", help="Nxx/length stats over multifasta")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", default=None)
+    _common(p)
+    p.set_defaults(fn=cmd_fasta2nxx)
 
     p = sub.add_parser("benchmark",
                        help="score a SAM against simreads ground truth")

@@ -1,0 +1,206 @@
+"""BAM output/input with BGZF compression.
+
+Capability parity with the reference's BAM path (libkit4b/bgzf.cpp +
+ngskit4b/KAligner.cpp:5718 WriteBAMReadHits): BGZF blocks (gzip members with
+the BC extra subfield, <=64KB payload, EOF marker block) wrapping the BAM1
+binary record layout. Pure python/zlib — the writer streams SamAlignment
+records, sharing the SamWriter interface. A minimal reader provides
+roundtrip tests and downstream consumption (BAI indexing later).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .sam import SamAlignment
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_CIGAR_OPS = "MIDNSHP=X"
+_SEQ_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+class BgzfWriter:
+    def __init__(self, path):
+        self._f = open(path, "wb")
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 60000:
+            self._flush_block(self._buf[:60000])
+            del self._buf[:60000]
+
+    def _flush_block(self, payload: bytes) -> None:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(bytes(payload)) + co.flush()
+        bsize = len(cdata) + 25 + 1
+        block = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                 + struct.pack("<HHH", 6, 0x4342, 2)
+                 + struct.pack("<H", bsize - 1)
+                 + cdata
+                 + struct.pack("<II", zlib.crc32(bytes(payload)),
+                               len(payload)))
+        self._f.write(block)
+
+    def close(self) -> None:
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._f.write(BGZF_EOF)
+        self._f.close()
+
+
+def read_bgzf(path) -> bytes:
+    """Decompress a whole BGZF file (gzip members concatenate)."""
+    out = bytearray()
+    d = zlib.decompressobj(31)
+    data = open(path, "rb").read()
+    while data:
+        out += d.decompress(data)
+        data = d.unused_data
+        d = zlib.decompressobj(31)
+    return bytes(out)
+
+
+def _encode_cigar(cigar: str) -> list[int]:
+    if cigar == "*":
+        return []
+    out = []
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            out.append((int(num) << 4) | _CIGAR_OPS.index(ch))
+            num = ""
+    return out
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """UCSC binning (SAM spec; KAligner.cpp:5930 BAMreg2bin)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    """SamWriter-compatible BAM writer."""
+
+    def __init__(self, path, chrom_names, chrom_lengths,
+                 pg_name: str = "kit4b_tpu", pg_cl: str = ""):
+        self._w = BgzfWriter(path)
+        self._refs = {n: i for i, n in enumerate(chrom_names)}
+        text = "@HD\tVN:1.4\tSO:unsorted\n"
+        for name, ln in zip(chrom_names, chrom_lengths):
+            text += f"@SQ\tSN:{name}\tLN:{int(ln)}\n"
+        text += f"@PG\tID:{pg_name}\tPN:{pg_name}\tCL:{pg_cl}\n"
+        hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+        hdr += struct.pack("<i", len(chrom_names))
+        for name, ln in zip(chrom_names, chrom_lengths):
+            nb = name.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i",
+                                                                 int(ln))
+        self._w.write(hdr)
+
+    def write(self, a: SamAlignment) -> None:
+        ref_id = self._refs.get(a.rname, -1)
+        pos = a.pos - 1
+        name = a.qname.encode() + b"\x00"
+        cigar = _encode_cigar(a.cigar)
+        seq = a.seq if a.seq != "*" else ""
+        l_seq = len(seq)
+        packed = bytearray((l_seq + 1) // 2)
+        for i, ch in enumerate(seq):
+            nib = _SEQ_NIBBLE.get(ch.upper(), 15)
+            packed[i // 2] |= nib << (4 if i % 2 == 0 else 0)
+        qual = (bytes(255 for _ in range(l_seq)) if a.qual == "*"
+                else bytes(max(0, min(93, ord(q) - 33)) for q in a.qual))
+        if a.rnext == "=":
+            next_ref = ref_id
+        else:
+            next_ref = self._refs.get(a.rnext, -1)
+        end = pos + sum(c >> 4 for c in cigar
+                        if _CIGAR_OPS[c & 0xF] in "MDN=X") if cigar else \
+            pos + 1
+        tags = b""
+        for t in a.tags:
+            tag, typ, val = t.split(":", 2)
+            if typ == "i":
+                tags += tag.encode() + b"i" + struct.pack("<i", int(val))
+            else:
+                tags += tag.encode() + b"Z" + val.encode() + b"\x00"
+        rec = struct.pack(
+            "<iiBBHHHiiii", ref_id, pos if ref_id >= 0 else -1,
+            len(name), a.mapq, _reg2bin(max(pos, 0), max(end, 1)),
+            len(cigar), a.flag, l_seq, next_ref,
+            (a.pnext - 1) if a.pnext else -1, a.tlen)
+        rec += name + b"".join(struct.pack("<I", c) for c in cigar)
+        rec += bytes(packed) + qual + tags
+        self._w.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_bam(path):
+    """Minimal BAM reader yielding SamAlignment records."""
+    data = read_bgzf(path)
+    assert data[:4] == b"BAM\x01", "not a BAM file"
+    off = 4
+    (l_text,) = struct.unpack_from("<i", data, off)
+    off += 4 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, off)
+        off += 4
+        refs.append(data[off:off + l_name - 1].decode())
+        off += l_name + 4
+    while off < len(data):
+        (block,) = struct.unpack_from("<i", data, off)
+        off += 4
+        (ref_id, pos, l_name, mapq, _bin, n_cig, flag, l_seq, nref, npos,
+         tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+        p = off + 32
+        qname = data[p:p + l_name - 1].decode()
+        p += l_name
+        cig = ""
+        for _ in range(n_cig):
+            (c,) = struct.unpack_from("<I", data, p)
+            cig += f"{c >> 4}{_CIGAR_OPS[c & 0xF]}"
+            p += 4
+        seq = ""
+        for i in range(l_seq):
+            nib = (data[p + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF
+            seq += "=ACMGRSVTWYHKDBN"[nib]
+        p += (l_seq + 1) // 2
+        qual = data[p:p + l_seq]
+        quals = ("*" if (l_seq == 0 or qual[0] == 255)
+                 else "".join(chr(q + 33) for q in qual))
+        yield SamAlignment(
+            qname, flag, refs[ref_id] if ref_id >= 0 else "*", pos + 1,
+            mapq, cig or "*",
+            ("=" if nref == ref_id and nref >= 0 else
+             (refs[nref] if nref >= 0 else "*")),
+            npos + 1 if npos >= 0 else 0, tlen, seq or "*", quals)
+        off += block  # past this record (block_size counts the record body)

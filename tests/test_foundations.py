@@ -123,3 +123,25 @@ def test_pick_lut_k():
     assert pick_lut_k(1000) == 8
     assert pick_lut_k(4_600_000) == 12
     assert pick_lut_k(3_000_000_000) == 13
+
+
+def test_readstats(tmp_path):
+    from kit4b_tpu.align.readstats import compute_readstats, \
+        write_readstats_csv
+    rng = np.random.default_rng(4)
+    recs = [fasta.SeqRecord(f"r{i}", "",
+                            rng.integers(0, 4, 80).astype(np.uint8),
+                            rng.integers(5, 40, 80).astype(np.uint8))
+            for i in range(50)]
+    recs.append(fasta.SeqRecord("dup", "", recs[0].codes.copy(),
+                                recs[0].qual.copy()))
+    st = compute_readstats(recs)
+    s = st.summary()
+    assert s["reads"] == 51
+    assert s["duplicate_reads"] == 1
+    assert abs(sum(s["base_fractions_ACGTN"][:4]) - 1.0) < 1e-6
+    assert s["max_len"] == 80
+    write_readstats_csv(tmp_path / "qc", st)
+    assert (tmp_path / "qc.summary.json").exists()
+    cyc = (tmp_path / "qc.cycles.csv").read_text().splitlines()
+    assert len(cyc) == 81

@@ -89,3 +89,24 @@ def test_ref_binomial_quirk():
     # clamped: k=int(0.1*100)=10, n=5000, p unchanged
     from scipy.stats import binom
     assert big == float(min(binom.cdf(10, 5000, 0.001), 1.0))
+
+
+def test_disnp_trisnp(tmp_path, setup):
+    g, idx, reads, truth = setup
+    al = kalign.KAligner(idx, batch_size=4096)
+    caller = snp.SnpCaller(g)
+    kalign.write_sam(tmp_path / "o.sam", idx, al.align_records(reads),
+                     snp_caller=caller)
+    calls = caller.call()
+    di = snp.call_multisnps(tmp_path / "o.sam", calls, order=2)
+    # truth SNP pairs within 300bp exist at rate=0.0005 over 150kb (~75 SNPs)
+    if di:
+        chrom, loci, combos = di[0]
+        assert chrom == "c1" and len(loci) == 2
+        assert sum(combos.values()) > 0
+        for allele in combos:
+            assert len(allele) == 2 and set(allele) <= set("ACGTN")
+    snp.write_multisnps_csv(tmp_path / "di.csv", di, order=2)
+    tri = snp.call_multisnps(tmp_path / "o.sam", calls, order=3)
+    snp.write_multisnps_csv(tmp_path / "tri.csv", tri, order=3)
+    assert (tmp_path / "di.csv").read_text().startswith('"DiSNP_ID"')
