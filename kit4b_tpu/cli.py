@@ -332,6 +332,26 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_blitz(args) -> int:
+    """ngskit4b blitz equivalent (CBlitz local aligner)."""
+    from .align.blitz import blitz_align, write_psl
+    from .index.sfx_index import SfxIndex
+    from .io.fasta import read_seqs
+    from .utils.runtime import log
+    idx = SfxIndex.load(args.sfxfile)
+    recs = [r for p_ in args.infile for r in read_seqs(p_)]
+    hits = blitz_align(idx, recs, stride=args.stride,
+                       min_hits=args.minhits, band=args.band,
+                       min_score=args.minscore)
+    q_lens = {r.name: len(r.codes) for r in recs}
+    t_lens = {n: int(l) for n, l in zip(idx.genome.names,
+                                        idx.genome.lengths)}
+    write_psl(args.outfile, hits, q_lens, t_lens)
+    log.info("blitz: %d queries, %d hits -> %s", len(recs), len(hits),
+             args.outfile)
+    return 0
+
+
 def cmd_ngsqc(args) -> int:
     """ngskit4b ngsqc equivalent (CReadStats)."""
     from .align.readstats import compute_readstats, write_readstats_csv
@@ -526,6 +546,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("blitz", help="local-align long queries vs index")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True,
+                   help="PSL output")
+    p.add_argument("-s", "--stride", type=int, default=4)
+    p.add_argument("-c", "--minhits", type=int, default=3)
+    p.add_argument("-w", "--band", type=int, default=12)
+    p.add_argument("-m", "--minscore", type=int, default=50)
+    _common(p)
+    p.set_defaults(fn=cmd_blitz)
 
     p = sub.add_parser("ngsqc", help="readset QC distributions")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)

@@ -1,0 +1,67 @@
+"""blitz local aligner: long queries located correctly."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align import blitz
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome, SeqRecord
+
+
+@pytest.fixture(scope="module")
+def index():
+    rng = np.random.default_rng(91)
+    n = 300_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["cA"], np.array([0]), np.array([n]), seq)
+    return SfxIndex.build(g)
+
+
+def test_blitz_exact_and_divergent(index):
+    g = index.genome
+    rng = np.random.default_rng(3)
+    queries = []
+    truths = []
+    for i, (start, ln, div, rev) in enumerate(
+            [(5_000, 2_000, 0.0, False), (50_000, 5_000, 0.02, False),
+             (120_000, 3_000, 0.01, True)]):
+        q = g.seq[start:start + ln].copy()
+        nmut = int(ln * div)
+        if nmut:
+            idx = rng.choice(ln, nmut, replace=False)
+            q[idx] = (q[idx] + 1) % 4
+        if rev:
+            q = dna.revcomp(q)
+        queries.append(SeqRecord(f"q{i}", "", q))
+        truths.append((start, ln, "-" if rev else "+"))
+    hits = blitz.blitz_align(index, queries)
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h.query, []).append(h)
+    for i, (start, ln, strand) in enumerate(truths):
+        hs = by_q[f"q{i}"]
+        best = hs[0]
+        assert best.strand == strand
+        assert abs(best.t_start - start) < 50
+        assert best.matches > 0.9 * ln
+        assert best.q_end - best.q_start > 0.9 * ln
+
+
+def test_blitz_no_hit(index):
+    rng = np.random.default_rng(4)
+    q = SeqRecord("rand", "", rng.integers(0, 4, 500).astype(np.uint8))
+    hits = blitz.blitz_align(index, [q])
+    # random 500bp won't chain 3+ seeds on one diagonal
+    assert not hits
+
+
+def test_psl_output(tmp_path, index):
+    g = index.genome
+    q = SeqRecord("qq", "", g.seq[1000:3000].copy())
+    hits = blitz.blitz_align(index, [q])
+    blitz.write_psl(tmp_path / "o.psl", hits, {"qq": 2000},
+                    {n: int(l) for n, l in zip(g.names, g.lengths)})
+    txt = (tmp_path / "o.psl").read_text()
+    assert txt.startswith("psLayout version 3")
+    assert "\tqq\t" in txt.splitlines()[-1]
