@@ -21,6 +21,12 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="diagnostics log file")
     p.add_argument("-f", "--loglevel", dest="loglevel", default="info",
                    help="log level (none|info|debug)")
+    p.add_argument("-q", "--sumrslts", dest="sumrslts", default=None,
+                   help="SQLite experiment-summaries DB")
+    p.add_argument("-w", "--experimentname", dest="experimentname",
+                   default="exp")
+    p.add_argument("-W", "--experimentdescr", dest="experimentdescr",
+                   default="")
 
 
 def cmd_index(args) -> int:
@@ -332,6 +338,22 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_maploci(args) -> int:
+    """ngskit4b maploci equivalent (CMapLoci2Feat)."""
+    from .io.bed import BedFile, map_loci_to_features
+    from .io.sam import read_sam
+    from .utils.runtime import log
+    bed = BedFile.load(args.bedfile)
+    counts, miss = map_loci_to_features(bed, read_sam(args.infile))
+    with open(args.outfile, "w") as f:
+        f.write('"Feature","Hits"\n')
+        for name in sorted(counts):
+            f.write(f'"{name}",{counts[name]}\n')
+    log.info("maploci: %d features hit, %d loci outside features -> %s",
+             len(counts), miss, args.outfile)
+    return 0
+
+
 def cmd_blitz(args) -> int:
     """ngskit4b blitz equivalent (CBlitz local aligner)."""
     from .align.blitz import blitz_align, write_psl
@@ -436,7 +458,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "uniform", "illumina"])
     p.add_argument("-z", "--subsrate", type=float, default=0.01)
     p.add_argument("-s", "--strand", default="both", choices=["both", "+"])
-    p.add_argument("-q", "--fastq", action="store_true")
+    p.add_argument("-Q", "--fastq", action="store_true")
     p.add_argument("-S", "--seed", type=int, default=1)
     _common(p)
     p.set_defaults(fn=cmd_simreads)
@@ -513,7 +535,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-k", "--checkpoint", default=None,
                    help="packed-store checkpoint file (resume if exists)")
-    p.add_argument("-q", "--minphred", type=int, default=0)
+    p.add_argument("-Q", "--minphred", type=int, default=0)
     p.add_argument("-x", "--trim5", type=int, default=0)
     p.add_argument("-X", "--trim3", type=int, default=0)
     p.add_argument("-l", "--minlen", type=int, default=30)
@@ -547,6 +569,14 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
 
+    p = sub.add_parser("maploci", help="map aligned loci onto BED features")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="SAM input")
+    p.add_argument("-b", "--bed", dest="bedfile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_maploci)
+
     p = sub.add_parser("blitz", help="local-align long queries vs index")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
@@ -554,7 +584,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PSL output")
     p.add_argument("-s", "--stride", type=int, default=4)
     p.add_argument("-c", "--minhits", type=int, default=3)
-    p.add_argument("-w", "--band", type=int, default=12)
+    p.add_argument("-b", "--band", type=int, default=12)
     p.add_argument("-m", "--minscore", type=int, default=50)
     _common(p)
     p.set_defaults(fn=cmd_blitz)
@@ -589,7 +619,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-K", "--kmerlen", type=int, default=25)
     p.add_argument("-N", "--node", type=int, default=1)
     p.add_argument("-n", "--numnodes", type=int, default=1)
-    p.add_argument("-w", "--watsononly", action="store_true")
+    p.add_argument("-y", "--watsononly", action="store_true")
     _common(p)
     p.set_defaults(fn=cmd_hammings)
 
@@ -602,11 +632,26 @@ def main(argv=None) -> int:
     setup_logging(getattr(args, "loglevel", "info"),
                   getattr(args, "logfile", None))
     t0 = time.time()
+    summ = None
+    if getattr(args, "sumrslts", None):
+        from . import __version__
+        from .utils.summaries import Summaries
+        summ = Summaries(args.sumrslts, args.experimentname,
+                         args.experimentdescr, process=args.cmd,
+                         version=__version__)
+        summ.params(**{k: v for k, v in vars(args).items()
+                       if k not in ("fn",) and v is not None})
     try:
         rc = args.fn(args)
     except (FileNotFoundError, ValueError) as e:
         print(f"kit4b_tpu {args.cmd}: error: {e}", file=sys.stderr)
+        if summ:
+            summ.log(f"error: {e}")
+            summ.finish(1)
         return 1
+    if summ:
+        summ.results(wall_seconds=round(time.time() - t0, 2))
+        summ.finish(rc)
     print(f"kit4b_tpu {args.cmd}: done in {time.time() - t0:.1f}s",
           file=sys.stderr)
     return rc

@@ -1,0 +1,53 @@
+"""BED parsing, interval queries, maploci."""
+import numpy as np
+
+from kit4b_tpu.io.bed import BedFeature, BedFile, map_loci_to_features, \
+    write_bed
+from kit4b_tpu.io.sam import SamAlignment, SamWriter, read_sam
+
+
+def test_bed_roundtrip_and_query(tmp_path):
+    feats = [
+        BedFeature("c1", 100, 200, "geneA", 0, "+"),
+        BedFeature("c1", 150, 400, "geneB", 5, "-"),
+        BedFeature("c1", 500, 600, "geneC"),
+        BedFeature("c2", 0, 50, "geneD"),
+    ]
+    p = tmp_path / "t.bed"
+    write_bed(p, feats)
+    bed = BedFile.load(p)
+    assert len(bed) == 4
+    hits = bed.overlapping("c1", 180, 190)
+    assert {h.name for h in hits} == {"geneA", "geneB"}
+    assert [h.name for h in bed.overlapping("c1", 450, 520)] == ["geneC"]
+    assert bed.overlapping("c1", 400, 500) == []
+    assert bed.overlapping("c3", 0, 10) == []
+    assert {h.name for h in bed.contains("c1", 150)} == {"geneA", "geneB"}
+
+
+def test_bed_nonoverlap_after_long_feature(tmp_path):
+    # a long early feature must not hide later non-overlaps (maxend walk)
+    feats = [BedFeature("c1", 0, 1000, "long"),
+             BedFeature("c1", 100, 110, "short")]
+    bed = BedFile(feats)
+    assert {h.name for h in bed.overlapping("c1", 500, 510)} == {"long"}
+    assert {h.name for h in bed.overlapping("c1", 105, 106)} == \
+        {"long", "short"}
+
+
+def test_maploci(tmp_path):
+    feats = [BedFeature("c1", 100, 300, "gA"),
+             BedFeature("c1", 1000, 1200, "gB")]
+    bed = BedFile(feats)
+    sp = tmp_path / "t.sam"
+    with SamWriter(sp, ["c1"], [5000]) as w:
+        w.write(SamAlignment("r1", 0, "c1", 151, 254, "100M",
+                             seq="A" * 100))
+        w.write(SamAlignment("r2", 0, "c1", 1051, 254, "100M",
+                             seq="A" * 100))
+        w.write(SamAlignment("r3", 0, "c1", 3001, 254, "100M",
+                             seq="A" * 100))
+        w.write(SamAlignment("r4", 4, "*", 0, 0, "*", seq="A" * 100))
+    counts, miss = map_loci_to_features(bed, read_sam(sp))
+    assert counts == {"gA": 1, "gB": 1}
+    assert miss == 1
