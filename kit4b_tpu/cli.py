@@ -338,6 +338,26 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_mergeoverlaps(args) -> int:
+    """ngskit4b mergeoverlaps equivalent (CMergeReadPairs)."""
+    from .assembly.mergepairs import MergeParams, merge_pairs
+    from .io.fasta import read_seqs, write_fasta, write_fastq
+    from .utils.runtime import log
+    r1 = [r for p_ in args.infile for r in read_seqs(p_)]
+    r2 = [r for p_ in args.pairfile for r in read_seqs(p_)]
+    merged, kept, stats = merge_pairs(
+        r1, r2, MergeParams(min_overlap=args.minoverlap,
+                            max_subs_pct=args.subs))
+    writer = write_fastq if any(m.qual is not None for m in merged) \
+        else write_fasta
+    writer(args.outfile, merged)
+    if args.unmerged1:
+        writer(args.unmerged1, [a for a, _ in kept])
+        writer(args.unmerged2, [b for _, b in kept])
+    log.info("mergeoverlaps: %s -> %s", stats, args.outfile)
+    return 0
+
+
 def cmd_maploci(args) -> int:
     """ngskit4b maploci equivalent (CMapLoci2Feat)."""
     from .io.bed import BedFile, map_loci_to_features
@@ -568,6 +588,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("mergeoverlaps",
+                       help="merge overlapping PE pairs into SE reads")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-u", "--pair", dest="pairfile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-j", "--unmerged1", default=None)
+    p.add_argument("-J", "--unmerged2", default=None)
+    p.add_argument("-y", "--minoverlap", type=int, default=16)
+    p.add_argument("-s", "--subs", type=int, default=5)
+    _common(p)
+    p.set_defaults(fn=cmd_mergeoverlaps)
 
     p = sub.add_parser("maploci", help="map aligned loci onto BED features")
     p.add_argument("-i", "--in", dest="infile", required=True,

@@ -51,3 +51,27 @@ def test_maploci(tmp_path):
     counts, miss = map_loci_to_features(bed, read_sam(sp))
     assert counts == {"gA": 1, "gB": 1}
     assert miss == 1
+
+
+def test_gff_gtf(tmp_path):
+    from kit4b_tpu.io.gff import read_gff, to_bed
+    gff = tmp_path / "a.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "c1\tsrc\tgene\t100\t500\t.\t+\t.\tID=gene1;Name=abc\n"
+        "c1\tsrc\texon\t100\t200\t0.5\t+\t.\tID=exon1;Parent=gene1\n")
+    recs = list(read_gff(gff))
+    assert len(recs) == 2
+    assert recs[0].attrs["ID"] == "gene1"
+    assert recs[1].score == 0.5
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(
+        'c1\tsrc\tgene\t10\t90\t.\t-\t.\tgene_id "g2"; gene_name "xyz";\n')
+    recs2 = list(read_gff(gtf))
+    assert recs2[0].attrs["gene_id"] == "g2"
+    assert recs2[0].strand == "-"
+    bed = to_bed(recs, ftype="gene")
+    assert len(bed) == 1
+    assert bed.features[0].start == 99 and bed.features[0].end == 500
+    assert bed.overlapping("c1", 98, 99) == []
+    assert len(bed.overlapping("c1", 99, 100)) == 1
