@@ -151,9 +151,14 @@ def cmd_hammings(args) -> int:
     with t.phase("load genome"):
         g = Genome.load(args.infile)
     with t.phase("sweep"):
-        hd = hammings.hammings_exhaustive(
-            g.seq, args.kmerlen, antisense=not args.watsononly,
-            node=args.node - 1, numnodes=args.numnodes)
+        if args.mesh:
+            from .parallel.hammings_mesh import hammings_mesh
+            hd = hammings_mesh(g.seq, args.kmerlen,
+                               antisense=not args.watsononly)
+        else:
+            hd = hammings.hammings_exhaustive(
+                g.seq, args.kmerlen, antisense=not args.watsononly,
+                node=args.node - 1, numnodes=args.numnodes)
     with t.phase("write"):
         if args.outfile.endswith(".csv"):
             hammings.write_csv(args.outfile, g, hd, args.kmerlen)
@@ -652,6 +657,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-N", "--node", type=int, default=1)
     p.add_argument("-n", "--numnodes", type=int, default=1)
     p.add_argument("-y", "--watsononly", action="store_true")
+    p.add_argument("-M", "--mesh", action="store_true",
+                   help="shard the offset sweep over all local devices")
     _common(p)
     p.set_defaults(fn=cmd_hammings)
 

@@ -53,3 +53,29 @@ def test_sharded_pass_matches_single(setup, dp, tp):
                                       np.asarray(ref[key]), err_msg=key)
     np.testing.assert_array_equal(np.asarray(out["hit_id"]),
                                   np.asarray(ref["hit_id"]))
+
+
+def test_hammings_mesh_matches_oracle():
+    from kit4b_tpu import dna
+    from kit4b_tpu.kmer.hammings import hammings_oracle
+    from kit4b_tpu.parallel.hammings_mesh import hammings_mesh
+    rng = np.random.default_rng(15)
+    n, K = 300, 8
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    g[150] = dna.BASE_EOS
+    got = hammings_mesh(g, K)
+    want = hammings_oracle(g, K)
+    np.testing.assert_array_equal(got[: n - K + 1].astype(int),
+                                  want[: n - K + 1].astype(int))
+
+
+def test_hammings_mesh_sense_only():
+    from kit4b_tpu.kmer.hammings import hammings_oracle
+    from kit4b_tpu.parallel.hammings_mesh import hammings_mesh
+    rng = np.random.default_rng(16)
+    n, K = 200, 6
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    got = hammings_mesh(g, K, antisense=False)
+    want = hammings_oracle(g, K, antisense=False)
+    np.testing.assert_array_equal(got[: n - K + 1].astype(int),
+                                  want[: n - K + 1].astype(int))
