@@ -343,6 +343,77 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_locateroi(args) -> int:
+    """ngskit4b locateroi equivalent (CLocateROI)."""
+    from .align.regions import coverage_from_sam, locate_roi
+    from .io.bed import write_bed
+    from .io.sam import read_sam
+    from .utils.runtime import log
+    # chrom lengths from the SAM header
+    lens = {}
+    with open(args.infile) as f:
+        for line in f:
+            if not line.startswith("@"):
+                break
+            if line.startswith("@SQ"):
+                d = dict(x.split(":", 1) for x in line.split("\t")[1:])
+                lens[d["SN"]] = int(d["LN"])
+    cov = coverage_from_sam(args.infile, lens)
+    rois = locate_roi(cov, min_cov=args.mincov, min_len=args.minlen)
+    write_bed(args.outfile, rois)
+    log.info("locateroi: %d regions -> %s", len(rois), args.outfile)
+    return 0
+
+
+def cmd_filtchrom(args) -> int:
+    """ngskit4b filtchrom equivalent (FilterSAMAlignments)."""
+    from .align.regions import filter_sam_by_chrom
+    from .utils.runtime import log
+    stats = filter_sam_by_chrom(args.infile, args.outfile,
+                                include=args.include, exclude=args.exclude)
+    log.info("filtchrom: %s -> %s", stats, args.outfile)
+    return 0
+
+
+def cmd_xfasta(args) -> int:
+    """ngskit4b xfasta equivalent: extract fasta subset by name regex or
+    length bounds."""
+    import re as _re
+    from .io.fasta import read_seqs, write_fasta
+    from .utils.runtime import log
+    pat = _re.compile(args.pattern) if args.pattern else None
+    out = []
+    for p_ in args.infile:
+        for rec in read_seqs(p_):
+            if pat and not pat.search(rec.name):
+                continue
+            if len(rec.codes) < args.minlen:
+                continue
+            if args.maxlen and len(rec.codes) > args.maxlen:
+                continue
+            out.append(rec)
+    write_fasta(args.outfile, out)
+    log.info("xfasta: %d seqs -> %s", len(out), args.outfile)
+    return 0
+
+
+def cmd_gendeseq(args) -> int:
+    """ngskit4b gendeseq equivalent: feature x sample counts matrix."""
+    from .align.regions import de_counts, write_de_counts
+    from .io.bed import BedFile
+    from .utils.runtime import log
+    bed = BedFile.load(args.bedfile)
+    sams = {}
+    for spec in args.sample:
+        name, path = spec.split("=", 1)
+        sams[name] = path
+    samples, counts = de_counts(sams, bed)
+    write_de_counts(args.outfile, samples, counts)
+    log.info("gendeseq: %d features x %d samples -> %s",
+             len(counts), len(samples), args.outfile)
+    return 0
+
+
 def cmd_mergeoverlaps(args) -> int:
     """ngskit4b mergeoverlaps equivalent (CMergeReadPairs)."""
     from .assembly.mergepairs import MergeParams, merge_pairs
@@ -593,6 +664,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("locateroi", help="coverage regions of interest")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-c", "--mincov", type=int, default=2)
+    p.add_argument("-l", "--minlen", type=int, default=100)
+    _common(p)
+    p.set_defaults(fn=cmd_locateroi)
+
+    p = sub.add_parser("filtchrom", help="filter SAM by chrom regex")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-Z", "--include", nargs="+", default=None)
+    p.add_argument("-z", "--exclude", nargs="+", default=None)
+    _common(p)
+    p.set_defaults(fn=cmd_filtchrom)
+
+    p = sub.add_parser("xfasta", help="extract fasta subset")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-p", "--pattern", default=None)
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    p.add_argument("-L", "--maxlen", type=int, default=0)
+    _common(p)
+    p.set_defaults(fn=cmd_xfasta)
+
+    p = sub.add_parser("gendeseq", help="DE counts matrix from sample SAMs")
+    p.add_argument("-s", "--sample", nargs="+", required=True,
+                   metavar="NAME=sam")
+    p.add_argument("-b", "--bed", dest="bedfile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gendeseq)
 
     p = sub.add_parser("mergeoverlaps",
                        help="merge overlapping PE pairs into SE reads")

@@ -75,3 +75,24 @@ def test_gff_gtf(tmp_path):
     assert bed.features[0].start == 99 and bed.features[0].end == 500
     assert bed.overlapping("c1", 98, 99) == []
     assert len(bed.overlapping("c1", 99, 100)) == 1
+
+
+def test_locateroi_and_filtchrom(tmp_path):
+    from kit4b_tpu.align.regions import (coverage_from_sam,
+                                         filter_sam_by_chrom, locate_roi)
+    sp = tmp_path / "a.sam"
+    with SamWriter(sp, ["c1", "chrM"], [2000, 500]) as w:
+        for i in range(20):
+            w.write(SamAlignment(f"r{i}", 0, "c1", 101, 254, "100M",
+                                 seq="A" * 100))
+        w.write(SamAlignment("m", 0, "chrM", 1, 254, "100M", seq="A" * 100))
+    cov = coverage_from_sam(sp, {"c1": 2000, "chrM": 500})
+    assert cov["c1"][150] == 20
+    rois = locate_roi(cov, min_cov=5, min_len=50)
+    assert len(rois) == 1
+    assert (rois[0].chrom, rois[0].start, rois[0].end) == ("c1", 100, 200)
+    out = tmp_path / "f.sam"
+    stats = filter_sam_by_chrom(sp, out, exclude=["chrM"])
+    assert stats == {"kept": 20, "dropped": 1}
+    stats = filter_sam_by_chrom(sp, out, include=["^chrM$"])
+    assert stats == {"kept": 1, "dropped": 20}
