@@ -148,8 +148,8 @@ class KAligner:
                  mm_delta: int = 1,          # MinEditDist (-r)
                  max_ml: int = 5,            # cDfltMaxMultiHits
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
-                 cand_per_window: int = 16,  # per-core candidate budget
-                 n_compact: int = 64,        # post-dedup candidate capacity
+                 cand_per_window: int = 24,  # per-core candidate budget
+                 n_compact: int = 96,        # post-dedup candidate capacity
                  batch_size: int = 4096,
                  sens: str = "default"):
         self.index = index

@@ -107,14 +107,15 @@ class SfxIndex:
 
     # --- device view --------------------------------------------------------
     def device_arrays(self, max_read_len: int = 1024,
-                      pad_quantum: int = 1 << 20):
+                      pad_quantum: int = 0):
         """Returns (gpack, gbad, sa, lut) jax arrays for the align path.
 
         gpack/gbad are the 2-bit packed genome + invalid-base mask
         (ops/extend_packed.py); the raw byte genome stays host-side.
-        Arrays are padded up to `pad_quantum` multiples so different genomes
-        of the same scale share jit-compiled executables (XLA shapes are
-        static; an unpadded sa/gpack length would recompile per genome).
+        With pad_quantum > 0, arrays pad up to that multiple so same-scale
+        genomes share jit-compiled executables (off by default: the remote
+        compiler in this environment is slow enough that reusing existing
+        cache entries wins over cross-genome shape sharing).
         """
         import jax.numpy as jnp
         from ..ops.extend_packed import pack_genome
@@ -122,6 +123,8 @@ class SfxIndex:
         gpack, gbad = pack_genome(self.genome.seq, nw)
 
         def pad_to(arr, fill=0):
+            if not pad_quantum:
+                return arr
             n = len(arr)
             target = -(-max(n, 1) // pad_quantum) * pad_quantum
             if target == n:

@@ -66,7 +66,7 @@ def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
     mm [B, NC] int32 mismatch counts, overflow [B] bool (candidates truncated).
     """
     B, L = reads.shape
-    G = jnp.asarray(genome_len, jnp.int32)  # traced: no recompile per genome
+    G = genome_len
     M = sa.shape[0]
     C = cand_per_window
     NC = n_compact
@@ -165,7 +165,7 @@ def finalize_candidates(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "lut_k",
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
                               "cand_per_window", "n_compact", "max_ml",
                               "reads_have_ns"))
 def align_pass(gpack: jnp.ndarray, gbad: jnp.ndarray, sa: jnp.ndarray,
