@@ -254,6 +254,66 @@ class KAligner:
             yield rec, res
 
 
+def filter_alignments(aligned, genome, *, chrom_include=None,
+                      chrom_exclude=None, priority_bed=None,
+                      max_pcr_dups: int = 0):
+    """Post-acceptance filters applied to the (rec, res) stream, mirroring
+    the reference phases FiltByChroms (KAligner.cpp:696),
+    FiltByPriorityRegions (:707), and ReducePCRduplicates (:634).
+
+    - chrom include/exclude regex lists (-Z/-z) demote accepted hits on
+      excluded chromosomes to 'nohit'.
+    - priority_bed: accepted hits must overlap a feature.
+    - max_pcr_dups: at most this many accepted reads per (start, strand)
+      locus; 0 disables. Requires a buffered pass (sorted by locus), so this
+      generator materializes when enabled.
+    """
+    import re
+    inc = [re.compile(x) for x in (chrom_include or [])]
+    exc = [re.compile(x) for x in (chrom_exclude or [])]
+
+    def chrom_ok(name: str) -> bool:
+        if inc:
+            return any(p_.search(name) for p_ in inc)
+        if exc:
+            return not any(p_.search(name) for p_ in exc)
+        return True
+
+    def apply(rec, res):
+        if res.nar != NAR_ACCEPTED:
+            return rec, res
+        ci, off = genome.locate(np.array([res.pos]))
+        name = genome.names[int(ci[0])]
+        if not chrom_ok(name):
+            return rec, AlignResult(NAR_NOHIT)
+        if priority_bed is not None:
+            L = len(rec.codes)
+            if not priority_bed.overlapping(name, int(off[0]),
+                                            int(off[0]) + L):
+                return rec, AlignResult(NAR_NOHIT)
+        return rec, res
+
+    if not max_pcr_dups:
+        for rec, res in aligned:
+            yield apply(rec, res)
+        return
+    # PCR duplicate reduction needs locus grouping: buffer, count per
+    # (pos, strand), demote beyond the cap (reference keeps the first)
+    buffered = [apply(rec, res) for rec, res in aligned]
+    counts: dict = {}
+    for rec, res in buffered:
+        if res.nar != NAR_ACCEPTED:
+            yield rec, res
+            continue
+        key = (res.pos, res.strand)
+        n = counts.get(key, 0) + 1
+        counts[key] = n
+        if n > max_pcr_dups:
+            yield rec, AlignResult(NAR_NOHIT)
+        else:
+            yield rec, res
+
+
 def write_align_stats(path, stats: dict, sub_hist: np.ndarray,
                       insert_hist: np.ndarray | None = None) -> None:
     """Aligner stats CSV (reference -O output: substitution distribution,

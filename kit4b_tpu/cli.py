@@ -111,9 +111,19 @@ def cmd_kalign(args) -> int:
                 emit_unmapped=(args.format == 1), snp_caller=caller)
         log.info("kalign PE: %s", stats)
     else:
+        aligned = al.align_records(stream(args.infile))
+        if args.include or args.exclude or args.priobed or args.pcrdups:
+            pbed = None
+            if args.priobed:
+                from .io.bed import BedFile
+                pbed = BedFile.load(args.priobed)
+            aligned = kalign.filter_alignments(
+                aligned, idx.genome, chrom_include=args.include,
+                chrom_exclude=args.exclude, priority_bed=pbed,
+                max_pcr_dups=args.pcrdups)
         with t.phase("align"):
             stats = kalign.write_sam(
-                args.outfile, idx, al.align_records(stream(args.infile)),
+                args.outfile, idx, aligned,
                 cmdline=" ".join(sys.argv),
                 emit_unmapped=(args.format == 1), snp_caller=caller,
                 stats_path=args.statsfile)
@@ -577,6 +587,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coverage WIG output")
     p.add_argument("-O", "--stats", dest="statsfile", default=None,
                    help="aligner stats CSV (substitution distribution)")
+    p.add_argument("-Z", "--include", nargs="+", default=None,
+                   help="only accept hits on chroms matching these regexes")
+    p.add_argument("-z", "--exclude", nargs="+", default=None,
+                   help="reject hits on chroms matching these regexes")
+    p.add_argument("-B", "--priorityregions", dest="priobed", default=None,
+                   help="BED: accepted hits must overlap these regions")
+    p.add_argument("-5", "--pcrdups", type=int, default=0,
+                   help="cap accepted reads per (loci,strand); 0 disables")
     p.add_argument("-X", "--disnp", dest="disnpfile", default=None,
                    help="DiSNP/TriSNP output prefix (requires -S)")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)

@@ -121,3 +121,39 @@ def test_sam_output(tmp_path, genome, index):
         assert int(f[3]) == truth["start"] + 1
         assert f[5] == "100M"
         assert (flag & 0x10 != 0) == (truth["strand"] == "-")
+
+
+def test_filter_alignments(genome, index):
+    from kit4b_tpu.io.bed import BedFeature, BedFile
+    params = simreads.SimParams(n_reads=60, read_len=100, seed=77)
+    recs = simreads.sim_reads(genome, params)
+    al = kalign.KAligner(index, batch_size=512)
+    base = list(al.align_records(recs))
+    # chrom exclude: drop chr2 hits
+    out = list(kalign.filter_alignments(iter(base), genome,
+                                        chrom_exclude=["chr2"]))
+    for (rec, res), (_, res0) in zip(out, base):
+        if res0.nar != kalign.NAR_ACCEPTED:
+            continue
+        t = simreads.parse_truth(rec.name)
+        if t["chrom"] == "chr2":
+            assert res.nar == kalign.NAR_NOHIT
+        else:
+            assert res.nar == kalign.NAR_ACCEPTED
+    # priority regions: only first 10kb of chr1
+    bed = BedFile([BedFeature("chr1", 0, 10_000, "prio")])
+    out = list(kalign.filter_alignments(iter(base), genome,
+                                        priority_bed=bed))
+    n_kept = sum(1 for _, r in out if r.nar == kalign.NAR_ACCEPTED)
+    for rec, res in out:
+        if res.nar == kalign.NAR_ACCEPTED:
+            t = simreads.parse_truth(rec.name)
+            assert t["chrom"] == "chr1" and t["start"] < 10_000
+    assert 0 < n_kept < len(base)
+    # PCR duplicate cap: duplicate one read 5 times, cap at 2
+    dup = [recs[0]] * 5
+    aligned = list(al.align_records(dup))
+    out = list(kalign.filter_alignments(iter(aligned), genome,
+                                        max_pcr_dups=2))
+    kept = sum(1 for _, r in out if r.nar == kalign.NAR_ACCEPTED)
+    assert kept == 2
