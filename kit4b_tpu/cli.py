@@ -89,7 +89,7 @@ def cmd_kalign(args) -> int:
                          max_ns=args.maxns, batch_size=args.batchsize,
                          sens=sens)
     caller = None
-    if args.snpfile or args.wigfile:
+    if args.snpfile or args.wigfile or args.pbafile:
         caller = snp.SnpCaller(idx.genome, snp.SnpOptions(
             min_snp_reads=args.minsnpreads, qvalue=args.qvalue))
 
@@ -139,6 +139,12 @@ def cmd_kalign(args) -> int:
             log.info("snps: %d accepted -> %s", len(calls), args.snpfile)
         if args.wigfile:
             write_wig(args.wigfile, idx.genome, caller.coverage())
+        if args.pbafile:
+            from .kmer.pba import pba_from_counts, save_pba
+            import numpy as _np
+            counts = caller._counts.reshape(-1, 5)
+            save_pba(args.pbafile, idx.genome, pba_from_counts(counts))
+            log.info("pba: -> %s", args.pbafile)
         if args.disnpfile and calls:
             with t.phase("disnp"):
                 di = snp.call_multisnps(args.outfile, calls, order=2)
@@ -350,6 +356,36 @@ def cmd_prekmarkers(args) -> int:
             f.write(dna.decode(codes) + ","
                     + ",".join(str(int(c)) for c in counts) + "\n")
     log.info("prekmarkers: %d shared K-mers -> %s", len(out), args.outfile)
+    return 0
+
+
+def cmd_snpmarkers(args) -> int:
+    """ngskit4b snpmarkers equivalent (CMarkers)."""
+    from .kmer.snpmarkers import find_snp_markers, write_snp_markers_csv
+    from .utils.runtime import log
+    csvs = {}
+    for spec in args.cultivar:
+        name, path = spec.split("=", 1)
+        csvs[name] = path
+    markers = find_snp_markers(csvs, min_cov=args.mincov,
+                               min_purity=args.purity / 100.0)
+    write_snp_markers_csv(args.outfile, markers, list(csvs))
+    log.info("snpmarkers: %d markers across %d cultivars -> %s",
+             len(markers), len(csvs), args.outfile)
+    return 0
+
+
+def cmd_pbautils(args) -> int:
+    """ngskit4b pbautils equivalent (concat / coverage WIG)."""
+    from .kmer.pba import concat_pba, pba_coverage_wig
+    from .utils.runtime import log
+    if args.mode == "concat":
+        concat_pba(args.infile, args.outfile)
+    elif args.mode == "coverage":
+        pba_coverage_wig(args.infile[0], args.outfile)
+    else:
+        raise ValueError(f"unknown pbautils mode {args.mode}")
+    log.info("pbautils %s -> %s", args.mode, args.outfile)
     return 0
 
 
@@ -595,6 +631,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BED: accepted hits must overlap these regions")
     p.add_argument("-5", "--pcrdups", type=int, default=0,
                    help="cap accepted reads per (loci,strand); 0 disables")
+    p.add_argument("-3", "--pba", dest="pbafile", default=None,
+                   help="Packed Base Allele output (.pba.npz; genpba mode)")
     p.add_argument("-X", "--disnp", dest="disnpfile", default=None,
                    help="DiSNP/TriSNP output prefix (requires -S)")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
@@ -682,6 +720,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("snpmarkers",
+                       help="cross-cultivar SNP-derived markers")
+    p.add_argument("-c", "--cultivar", nargs="+", required=True,
+                   metavar="NAME=snps.csv")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-m", "--mincov", type=int, default=5)
+    p.add_argument("-p", "--purity", type=float, default=80.0,
+                   help="min major-allele percent")
+    _common(p)
+    p.set_defaults(fn=cmd_snpmarkers)
+
+    p = sub.add_parser("pbautils", help="PBA utilities (concat, coverage)")
+    p.add_argument("-m", "--mode", choices=["concat", "coverage"],
+                   required=True)
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_pbautils)
 
     p = sub.add_parser("locateroi", help="coverage regions of interest")
     p.add_argument("-i", "--in", dest="infile", required=True)

@@ -107,3 +107,39 @@ def test_prefix_counts_match_bruteforce():
     for p, c in zip(rep, counts):
         got[dna.decode(g.seq[p:p + K])] = list(c)
     assert got == want
+
+
+def test_snpmarkers(tmp_path):
+    """Two cultivars aligned to the same assembly; divergent fixed alleles
+    become markers; impure or low-coverage loci do not."""
+    from kit4b_tpu.align.snp import SnpCall, write_snps_csv
+    from kit4b_tpu.kmer.snpmarkers import find_snp_markers, \
+        write_snp_markers_csv
+
+    def call(chrom, loci, ref, counts, tot):
+        c = np.zeros(5, np.int64)
+        for b, n in counts.items():
+            c["ACGTN".index(b)] = n
+        nonref = tot - counts.get(ref, 0)
+        return SnpCall(chrom, loci, "ACGT".index(ref), c, tot, nonref,
+                       0.01, 1e-9)
+
+    # cultivar A: fixed T at 100 (ref A), messy at 200, fixed G at 300
+    a = [call("c1", 100, "A", {"T": 19, "A": 1}, 20),
+         call("c1", 200, "C", {"G": 10, "C": 10}, 20),
+         call("c1", 300, "A", {"G": 18, "A": 2}, 20)]
+    # cultivar B: no SNP at 100 (imputed ref) -> divergent vs A's T
+    #             fixed T at 300 -> divergent vs A's G
+    b = [call("c1", 300, "A", {"T": 20}, 20)]
+    pa, pb = tmp_path / "a.csv", tmp_path / "b.csv"
+    write_snps_csv(pa, a)
+    write_snps_csv(pb, b)
+    markers = find_snp_markers({"A": pa, "B": pb})
+    got = {(m.chrom, m.loci) for m in markers}
+    assert got == {("c1", 100), ("c1", 300)}
+    m100 = [m for m in markers if m.loci == 100][0]
+    assert m100.alleles["A"][0] == "T" and m100.alleles["B"][0] == "A"
+    m300 = [m for m in markers if m.loci == 300][0]
+    assert m300.alleles["A"][0] == "G" and m300.alleles["B"][0] == "T"
+    write_snp_markers_csv(tmp_path / "mk.csv", markers, ["A", "B"])
+    assert len((tmp_path / "mk.csv").read_text().splitlines()) == 3
