@@ -138,6 +138,7 @@ class AlignResult:
     n_low: int = 0
     nxt_mm: int = INT32_MAX
     multi_ids: np.ndarray | None = None  # pos*2+strand of multiloci hits
+    cigar: str | None = None             # non-None for microInDel rescues
 
 
 class KAligner:
@@ -151,7 +152,8 @@ class KAligner:
                  cand_per_window: int = 24,  # per-core candidate budget
                  n_compact: int = 96,        # post-dedup candidate capacity
                  batch_size: int = 4096,
-                 sens: str = "default"):
+                 sens: str = "default",
+                 micro_indel: int = 0):  # microInDel max length (-y), 0=off
         self.index = index
         self.max_subs = max_subs
         self.mm_delta = mm_delta
@@ -161,6 +163,7 @@ class KAligner:
         self.n_compact = n_compact
         self.batch_size = batch_size
         self.sens = sens
+        self.micro_indel = micro_indel
         self._dev = index.device_arrays()
         self._schedules: dict[int, tuple[list[PassSpec], int]] = {}
 
@@ -222,11 +225,49 @@ class KAligner:
                                            n_low=int(n_low[i]),
                                            nxt_mm=int(nxt[i]),
                                            multi_ids=ml))
+        if self.micro_indel:
+            self._indel_rescue(reads, results, hit_id, hit_mm, max_tot_mm)
         if return_raw:
             return results, {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
                              "hit_id": hit_id, "hit_mm": hit_mm,
                              "overflow": overflow}
         return results
+
+    def _indel_rescue(self, reads, results, hit_id, hit_mm, max_tot_mm):
+        """Second-chance microInDel pass (LocateInDels equivalent) for reads
+        the substitutions-only pass rejected: their over-budget candidate
+        loci anchor a single-indel split search (ops/indel.py)."""
+        from ..ops.indel import find_indels
+        todo = [i for i, r in enumerate(results)
+                if r.nar == NAR_NOHIT and hit_mm[i][0] < INT32_MAX]
+        if not todo:
+            return
+        g = self.index.genome.seq
+        B = len(todo)
+        C = hit_id.shape[1]
+        L = reads.shape[1]
+        oriented = np.zeros((B, L), np.uint8)
+        pos = np.full((B, C), INT32_MAX, np.int64)
+        strand = np.zeros((B, C), np.int64)
+        for j, i in enumerate(todo):
+            top_strand = int(hit_id[i][0]) & 1
+            r = reads[i]
+            oriented[j] = dna.revcomp(r) if top_strand else r
+            for c in range(C):
+                hid = int(hit_id[i][c])
+                if hid == INT32_MAX or (hid & 1) != top_strand:
+                    continue
+                pos[j, c] = hid >> 1
+                strand[j, c] = top_strand
+        hits = find_indels(g, oriented, pos, strand,
+                           max_indel=self.micro_indel)
+        for j, i in enumerate(todo):
+            h = hits[j]
+            if h is None:
+                continue
+            results[i] = AlignResult(
+                NAR_ACCEPTED, strand=h.strand, pos=h.pos, mm=h.mm,
+                n_low=1, cigar=h.cigar(L))
 
     def align_records(self, records: Iterable[SeqRecord]
                       ) -> Iterator[tuple[SeqRecord, AlignResult]]:
@@ -367,12 +408,22 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                 ci, off = int(ci[0]), int(off[0])
                 rev = res.strand == 1
                 seq, qual = seq_qual_for_strand(rec.codes, rec.qual, rev)
+                cigar = res.cigar or f"{len(rec.codes)}M"
+                nm = res.mm
+                if res.cigar:
+                    # NM counts indel bases (SAM spec)
+                    import re as _re
+                    nm += sum(int(x) for x in
+                              _re.findall(r"(\d+)[ID]", res.cigar))
                 w.write(SamAlignment(
                     qname=rec.name, flag=FLAG_REVERSE if rev else 0,
-                    rname=g.names[ci], pos=off + 1, mapq=254,
-                    cigar=f"{len(rec.codes)}M", seq=seq, qual=qual,
-                    tags=(f"NM:i:{res.mm}",)))
+                    rname=g.names[ci], pos=off + 1,
+                    mapq=244 if res.cigar else 254,  # MAPQ-10 for InDel hits
+                    cigar=cigar, seq=seq, qual=qual,
+                    tags=(f"NM:i:{nm}",)))
                 sub_hist[min(res.mm, 63)] += 1
+                if res.cigar is not None:
+                    continue  # indel reads do not feed the subs-only pileup
                 if snp_caller is not None:
                     oriented = (dna.revcomp(rec.codes) if rev
                                 else rec.codes)

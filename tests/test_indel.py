@@ -1,0 +1,91 @@
+"""microInDel rescue: reads with one small indel align with correct CIGAR."""
+import numpy as np
+import pytest
+
+from kit4b_tpu import dna
+from kit4b_tpu.align import kalign
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.io.fasta import Genome, SeqRecord
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(19)
+    n = 150_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    return g, SfxIndex.build(g)
+
+
+def test_deletion_read(setup):
+    g, idx = setup
+    rng = np.random.default_rng(2)
+    al = kalign.KAligner(idx, batch_size=512, micro_indel=20)
+    recs, truths = [], []
+    for i in range(20):
+        start = 1000 + i * 500
+        d = 1 + i % 8
+        split = 30 + (i * 7) % 40
+        # read skips d genome bases at `split` -> deletion in read vs genome
+        r = np.concatenate([g.seq[start:start + split],
+                            g.seq[start + split + d:start + split + d
+                                  + (100 - split)]])
+        recs.append(SeqRecord(f"del{i}", "", r))
+        truths.append((start, split, d, "D"))
+    out = list(al.align_records(recs))
+    n_ok = 0
+    for (rec, res), (start, split, d, kind) in zip(out, truths):
+        if res.nar != kalign.NAR_ACCEPTED:
+            continue
+        # split position may left/right-shift when flanking bases repeat —
+        # verify the alignment semantically: same deletion length, zero
+        # mismatches, and the CIGAR reconstructs the read from the genome
+        assert f"{d}D" in res.cigar, (rec.name, res.cigar)
+        assert res.pos == start
+        assert res.mm == 0
+        import re
+        m = re.fullmatch(r"(\d+)M(\d+)D(\d+)M", res.cigar)
+        s2, d2, r2 = map(int, m.groups())
+        recon = np.concatenate([
+            g.seq[start:start + s2],
+            g.seq[start + s2 + d2:start + s2 + d2 + r2]])
+        np.testing.assert_array_equal(recon, rec.codes)
+        n_ok += 1
+    assert n_ok >= 18
+
+
+def test_insertion_read(setup):
+    g, idx = setup
+    rng = np.random.default_rng(3)
+    al = kalign.KAligner(idx, batch_size=512, micro_indel=20)
+    recs, truths = [], []
+    for i in range(20):
+        start = 60_000 + i * 500
+        d = 1 + i % 8
+        split = 30 + (i * 7) % 40
+        ins = rng.integers(0, 4, d).astype(np.uint8)
+        r = np.concatenate([g.seq[start:start + split], ins,
+                            g.seq[start + split:start + 100 - d]])
+        recs.append(SeqRecord(f"ins{i}", "", r))
+        truths.append((start, split, d))
+    out = list(al.align_records(recs))
+    n_ok = 0
+    for (rec, res), (start, split, d) in zip(out, truths):
+        if res.nar != kalign.NAR_ACCEPTED or res.cigar is None:
+            continue
+        # inserted random bases may coincidentally extend the match; accept
+        # the canonical split or a nearby equivalent with same indel length
+        assert f"{d}I" in res.cigar
+        assert res.pos == start
+        n_ok += 1
+    assert n_ok >= 16
+
+
+def test_subs_only_reads_keep_plain_cigar(setup):
+    g, idx = setup
+    al = kalign.KAligner(idx, batch_size=512, micro_indel=20)
+    rec = SeqRecord("plain", "", g.seq[5000:5100].copy())
+    [(_, res)] = list(al.align_records([rec]))
+    assert res.nar == kalign.NAR_ACCEPTED
+    assert res.cigar is None
