@@ -87,7 +87,8 @@ def cmd_kalign(args) -> int:
     al = kalign.KAligner(idx, max_subs=args.substitutions,
                          mm_delta=args.editdelta, max_ml=args.maxmulti,
                          max_ns=args.maxns, batch_size=args.batchsize,
-                         sens=sens, micro_indel=args.microindellen)
+                         sens=sens, micro_indel=args.microindellen,
+                         splice_max=args.splicemax)
     caller = None
     if args.snpfile or args.wigfile or args.pbafile:
         caller = snp.SnpCaller(idx.genome, snp.SnpOptions(
@@ -633,6 +634,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap accepted reads per (loci,strand); 0 disables")
     p.add_argument("-y", "--microindellen", type=int, default=0,
                    help="microInDel rescue up to this length (0 disables)")
+    p.add_argument("-l", "--splicemax", type=int, default=0,
+                   help="splice junction rescue up to this gap (0 disables)")
     p.add_argument("-3", "--pba", dest="pbafile", default=None,
                    help="Packed Base Allele output (.pba.npz; genpba mode)")
     p.add_argument("-X", "--disnp", dest="disnpfile", default=None,
