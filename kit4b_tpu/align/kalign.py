@@ -154,7 +154,8 @@ class KAligner:
                  batch_size: int = 4096,
                  sens: str = "default",
                  micro_indel: int = 0,   # microInDel max length (-y), 0=off
-                 splice_max: int = 0):   # splice junction max gap (-l), 0=off
+                 splice_max: int = 0,    # splice junction max gap (-l), 0=off
+                 chimeric_pct: int = 0): # min chimeric len % (-c), 0=off
         self.index = index
         self.max_subs = max_subs
         self.mm_delta = mm_delta
@@ -166,6 +167,7 @@ class KAligner:
         self.sens = sens
         self.micro_indel = micro_indel
         self.splice_max = splice_max
+        self.chimeric_pct = chimeric_pct
         self._dev = index.device_arrays()
         self._schedules: dict[int, tuple[list[PassSpec], int]] = {}
 
@@ -231,11 +233,48 @@ class KAligner:
             self._indel_rescue(reads, results, hit_id, hit_mm, max_tot_mm)
         if self.splice_max:
             self._splice_rescue(reads, results, hit_id, hit_mm)
+        if self.chimeric_pct:
+            self._chimeric_rescue(reads, results, hit_id, hit_mm)
         if return_raw:
             return results, {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
                              "hit_id": hit_id, "hit_mm": hit_mm,
                              "overflow": overflow}
         return results
+
+    def _chimeric_rescue(self, reads, results, hit_id, hit_mm):
+        """Chimeric flank-trim pass (SfxArray.cpp:7925 adaptive trim)."""
+        from ..ops.chimeric import find_chimeric
+        todo = [i for i, r in enumerate(results)
+                if r.nar == NAR_NOHIT and hit_mm[i][0] < INT32_MAX]
+        if not todo:
+            return
+        g = self.index.genome.seq
+        C = hit_id.shape[1]
+        L = reads.shape[1]
+        B = len(todo)
+        oriented = np.zeros((B, L), np.uint8)
+        pos = np.full((B, C), INT32_MAX, np.int64)
+        strand = np.zeros((B, C), np.int64)
+        for j, i in enumerate(todo):
+            top_strand = int(hit_id[i][0]) & 1
+            r = reads[i]
+            oriented[j] = dna.revcomp(r) if top_strand else r
+            for c in range(C):
+                hid = int(hit_id[i][c])
+                if hid == INT32_MAX or (hid & 1) != top_strand:
+                    continue
+                pos[j, c] = hid >> 1
+                strand[j, c] = top_strand
+        hits = find_chimeric(g, oriented, pos, strand,
+                             min_chimeric_pct=self.chimeric_pct,
+                             subs_per_100=self.max_subs)
+        for j, i in enumerate(todo):
+            h = hits[j]
+            if h is None:
+                continue
+            results[i] = AlignResult(
+                NAR_ACCEPTED, strand=h.strand, pos=h.pos, mm=h.mm,
+                n_low=1, cigar=h.cigar(L))
 
     def _splice_rescue(self, reads, results, hit_id, hit_mm):
         """Splice-junction pass (LocateSpliceJuncts equivalent): candidate

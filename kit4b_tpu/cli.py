@@ -88,7 +88,8 @@ def cmd_kalign(args) -> int:
                          mm_delta=args.editdelta, max_ml=args.maxmulti,
                          max_ns=args.maxns, batch_size=args.batchsize,
                          sens=sens, micro_indel=args.microindellen,
-                         splice_max=args.splicemax)
+                         splice_max=args.splicemax,
+                         chimeric_pct=args.chimeric)
     caller = None
     if args.snpfile or args.wigfile or args.pbafile:
         caller = snp.SnpCaller(idx.genome, snp.SnpOptions(
@@ -636,6 +637,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microInDel rescue up to this length (0 disables)")
     p.add_argument("-l", "--splicemax", type=int, default=0,
                    help="splice junction rescue up to this gap (0 disables)")
+    p.add_argument("-C", "--chimeric", type=int, default=0,
+                   help="chimeric trim: min retained %% of read (0 disables)")
     p.add_argument("-3", "--pba", dest="pbafile", default=None,
                    help="Packed Base Allele output (.pba.npz; genpba mode)")
     p.add_argument("-X", "--disnp", dest="disnpfile", default=None,

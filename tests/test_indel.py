@@ -89,3 +89,38 @@ def test_subs_only_reads_keep_plain_cigar(setup):
     [(_, res)] = list(al.align_records([rec]))
     assert res.nar == kalign.NAR_ACCEPTED
     assert res.cigar is None
+
+
+def test_chimeric_reads(setup):
+    g, idx = setup
+    rng = np.random.default_rng(7)
+    al = kalign.KAligner(idx, batch_size=512, chimeric_pct=50)
+    recs, truths = [], []
+    for i in range(12):
+        start = 3_000 + i * 700
+        keep = 60 + (i * 5) % 30        # aligned portion
+        t5 = (i * 3) % (100 - keep)     # garbage at 5'
+        t3 = 100 - keep - t5
+        r = np.concatenate([
+            rng.integers(0, 4, t5).astype(np.uint8),
+            g.seq[start:start + keep],
+            rng.integers(0, 4, t3).astype(np.uint8)])
+        recs.append(SeqRecord(f"ch{i}", "", r))
+        truths.append((start, t5, keep, t3))
+    out = list(al.align_records(recs))
+    n_ok = 0
+    for (rec, res), (start, t5, keep, t3) in zip(out, truths):
+        if res.nar != kalign.NAR_ACCEPTED or res.cigar is None:
+            continue
+        import re
+        m = re.fullmatch(r"(?:(\d+)S)?(\d+)M(?:(\d+)S)?", res.cigar)
+        assert m, res.cigar
+        s5 = int(m.group(1) or 0)
+        mid = int(m.group(2))
+        # random flank bases chance-extend the window while the sub budget
+        # holds (correct under the model) — allow up to ~2 budget-widths
+        assert abs(s5 - t5) <= 8 and abs(mid - keep) <= 10, \
+            (res.cigar, t5, keep)
+        assert abs(res.pos - start) <= 8
+        n_ok += 1
+    assert n_ok >= 9, n_ok
