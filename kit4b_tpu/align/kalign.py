@@ -474,6 +474,8 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
             snp_reads.clear()
 
     sub_hist = np.zeros(64, np.int64)
+    import bisect
+    starts_list = g.starts.tolist()  # per-read locate via bisect (fast path)
     writer_cls = SamWriter
     if str(path).endswith(".bam"):
         from ..io.bam import BamWriter
@@ -482,8 +484,8 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
         for rec, res in aligned:
             stats[res.nar] += 1
             if res.nar == NAR_ACCEPTED:
-                ci, off = g.locate(np.array([res.pos]))
-                ci, off = int(ci[0]), int(off[0])
+                ci = bisect.bisect_right(starts_list, res.pos) - 1
+                off = res.pos - starts_list[ci]
                 rev = res.strand == 1
                 seq, qual = seq_qual_for_strand(rec.codes, rec.qual, rev)
                 cigar = res.cigar or f"{len(rec.codes)}M"

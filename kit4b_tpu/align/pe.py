@@ -190,7 +190,9 @@ class PeAligner:
                               FLAG_PROPER_PAIR, FLAG_REVERSE, FLAG_SECOND,
                               FLAG_UNMAPPED, SamAlignment, SamWriter,
                               seq_qual_for_strand)
+        import bisect
         g = self.al.index.genome
+        starts_list = g.starts.tolist()
         stats = {"pairs": 0, NAR_PE_ACCEPTED: 0, NAR_PE_NOPAIR: 0,
                  "rescued": 0}
         snp_pos, snp_reads = [], []
@@ -224,16 +226,17 @@ class PeAligner:
                     rev = res.strand == 1
                     if rev:
                         flag |= FLAG_REVERSE
-                    ci, off = g.locate(np.array([res.pos]))
-                    ci, off = int(ci[0]), int(off[0])
+                    ci = bisect.bisect_right(starts_list, res.pos) - 1
+                    off = res.pos - starts_list[ci]
                     rnext, pnext, tlen = "*", 0, 0
                     if mate_ok:
                         if mate_res.strand == 1:
                             flag |= FLAG_MATE_REVERSE
-                        mci, moff = g.locate(np.array([mate_res.pos]))
-                        rnext = ("=" if int(mci[0]) == ci
-                                 else g.names[int(mci[0])])
-                        pnext = int(moff[0]) + 1
+                        mci = bisect.bisect_right(starts_list,
+                                                  mate_res.pos) - 1
+                        moff = mate_res.pos - starts_list[mci]
+                        rnext = "=" if mci == ci else g.names[mci]
+                        pnext = moff + 1
                         tlen = pp.tlen if res.pos <= mate_res.pos \
                             else -pp.tlen
                     else:
