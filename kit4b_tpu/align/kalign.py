@@ -347,19 +347,58 @@ class KAligner:
                 NAR_ACCEPTED, strand=h.strand, pos=h.pos, mm=h.mm,
                 n_low=1, cigar=h.cigar(L))
 
-    def align_records(self, records: Iterable[SeqRecord]
+    def align_records(self, records: Iterable[SeqRecord], *,
+                      prefetch: bool = True
                       ) -> Iterator[tuple[SeqRecord, AlignResult]]:
-        """Stream records, batching by read length."""
-        buckets: dict[int, list[SeqRecord]] = {}
-        for rec in records:
-            buckets.setdefault(len(rec.codes), []).append(rec)
-            bl = buckets[len(rec.codes)]
-            if len(bl) >= self.batch_size:
+        """Stream records, batching by read length.
+
+        With prefetch (default), record parsing/batching runs on a background
+        thread so host IO overlaps device compute — the reference's
+        background reads-loader (KAligner.cpp:4786 InitiateLoadingReads /
+        P4 in SURVEY.md §2.5).
+        """
+        def batches():
+            buckets: dict[int, list[SeqRecord]] = {}
+            for rec in records:
+                buckets.setdefault(len(rec.codes), []).append(rec)
+                bl = buckets[len(rec.codes)]
+                if len(bl) >= self.batch_size:
+                    yield bl
+                    buckets[len(rec.codes)] = []
+            for bl in buckets.values():
+                if bl:
+                    yield bl
+
+        if not prefetch:
+            for bl in batches():
                 yield from self._flush(bl)
-                buckets[len(rec.codes)] = []
-        for bl in buckets.values():
-            if bl:
-                yield from self._flush(bl)
+            return
+
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for bl in batches():
+                    q.put(bl)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            bl = q.get()
+            if bl is SENTINEL:
+                break
+            yield from self._flush(bl)
+        t.join()
+        if err:
+            raise err[0]
 
     def _flush(self, recs: list[SeqRecord]):
         arr = np.stack([r.codes for r in recs])

@@ -79,3 +79,48 @@ def test_hammings_mesh_sense_only():
     want = hammings_oracle(g, K, antisense=False)
     np.testing.assert_array_equal(got[: n - K + 1].astype(int),
                                   want[: n - K + 1].astype(int))
+
+
+def test_distributed_helpers(tmp_path):
+    from kit4b_tpu.parallel import distributed as dist
+    pid, pcount = dist.initialize()  # single-process: no-op wiring
+    assert pid == 0 and pcount == 1
+    items = list(range(10))
+    assert list(dist.host_shard(items, 1, 3)) == [1, 4, 7]
+    assert list(dist.host_shard(items, 0, 1)) == items
+    assert dist.shard_output_path("o.sam", 0).endswith("o.sam")
+    assert dist.shard_output_path("o.sam", 3) == "o.p3.sam"
+    # shard merge keeps one header
+    a, b = tmp_path / "a.sam", tmp_path / "b.sam"
+    a.write_text("@HD\tVN:1.4\nr1\t0\tc\t1\t0\t*\t*\t0\t0\tA\t*\n")
+    b.write_text("@HD\tVN:1.4\nr2\t0\tc\t2\t0\t*\t*\t0\t0\tA\t*\n")
+    out = tmp_path / "m.sam"
+    dist.merge_sam_shards(out, [a, b])
+    lines = out.read_text().splitlines()
+    assert sum(1 for l in lines if l.startswith("@")) == 1
+    assert len(lines) == 3
+    m = dist.global_mesh(("dp", "tp"), (4, 2))
+    assert m.devices.shape == (4, 2)
+
+
+def test_align_records_prefetch_equivalent():
+    import numpy as np
+    from kit4b_tpu import dna
+    from kit4b_tpu.align import kalign
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome
+    from kit4b_tpu.sim import simreads
+    rng = np.random.default_rng(33)
+    n = 60_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(g)
+    recs = simreads.sim_reads(g, simreads.SimParams(n_reads=300,
+                                                    read_len=100, seed=2))
+    al = kalign.KAligner(idx, batch_size=128)
+    r1 = [(rec.name, res.nar, res.pos)
+          for rec, res in al.align_records(recs, prefetch=True)]
+    r2 = [(rec.name, res.nar, res.pos)
+          for rec, res in al.align_records(recs, prefetch=False)]
+    assert r1 == r2
