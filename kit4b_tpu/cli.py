@@ -169,7 +169,13 @@ def cmd_hammings(args) -> int:
     with t.phase("load genome"):
         g = Genome.load(args.infile)
     with t.phase("sweep"):
-        if args.mesh:
+        if args.restricted:
+            from .index.sfx_index import SfxIndex
+            idx = SfxIndex.build(g)
+            hd = hammings.hammings_restricted(
+                idx, args.kmerlen, max_hamming=args.restricted,
+                antisense=not args.watsononly)
+        elif args.mesh:
             from .parallel.hammings_mesh import hammings_mesh
             hd = hammings_mesh(g.seq, args.kmerlen,
                                antisense=not args.watsononly)
@@ -846,6 +852,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-y", "--watsononly", action="store_true")
     p.add_argument("-M", "--mesh", action="store_true",
                    help="shard the offset sweep over all local devices")
+    p.add_argument("-r", "--restricted", type=int, default=0,
+                   help="pigeonhole mode: exact distances up to this bound "
+                        "(values above report bound+1); 0 = exhaustive")
     _common(p)
     p.set_defaults(fn=cmd_hammings)
 

@@ -119,6 +119,79 @@ def hammings_exhaustive(genome_seq: np.ndarray, K: int,
     return out
 
 
+def hammings_restricted(index, K: int, *, max_hamming: int = 3,
+                        batch: int = 4096, antisense: bool = True,
+                        cand_per_window: int = 24) -> np.ndarray:
+    """Restricted-mode hammings (ngskit4b hammings ePMrestrict;
+    CSfxArray::LocateSfxHammings SfxArray.cpp:4107): per K-mer position, the
+    minimum Hamming distance up to `max_hamming` (values above report
+    max_hamming + 1), found by pigeonhole suffix-array probes instead of the
+    exhaustive sweep — every genome K-mer becomes a query batch through the
+    same batched seed-and-extend pass kalign uses (cores of length
+    K // (max_hamming + 1) guarantee discovery of any hit within the
+    constraint).
+
+    `index`: SfxIndex over the genome. Returns uint16 [G]."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import seed_extend
+
+    g = index.genome
+    G = len(g.seq)
+    nk = G - K + 1
+    out = np.full(G, BIG, np.uint16)
+    if nk <= 0:
+        return out
+    gpack_d, gbad_d, sa_d, lut_d = index.device_arrays(
+        max_read_len=max(K, 64))
+    ncores = max_hamming + 1
+    if K // ncores < index.lut_k:
+        raise ValueError(
+            f"restricted mode needs K//(max_hamming+1) >= lut_k "
+            f"({K}//{ncores} < {index.lut_k}): the pigeonhole cores would "
+            f"be shorter than the seed width and miss hits")
+    cl = K // ncores
+    offsets = tuple(min(j * cl, K - index.lut_k) for j in range(ncores))
+    INT32_MAX = np.iinfo(np.int32).max
+
+    starts_all = np.arange(nk, dtype=np.int64)
+    for s in range(0, nk, batch):
+        chunk = starts_all[s: s + batch]
+        nb = len(chunk)
+        qp = chunk
+        if nb < batch:
+            qp = np.concatenate([qp, np.zeros(batch - nb, np.int64)])
+        reads = g.seq[qp[:, None] + np.arange(K)]
+        o = seed_extend.align_pass(
+            gpack_d, gbad_d, sa_d, lut_d, jnp.asarray(reads),
+            genome_len=G, offsets=offsets, lut_k=index.lut_k,
+            cand_per_window=cand_per_window, n_compact=64, max_ml=8)
+        host = jax.device_get(o)
+        hid = host["hit_id"][:nb]
+        hmm = host["hit_mm"][:nb]
+        for j in range(nb):
+            p0 = int(chunk[j])
+            best = max_hamming + 1
+            for idd, mm in zip(hid[j], hmm[j]):
+                if idd == INT32_MAX or mm > max_hamming:
+                    break
+                pos = int(idd) >> 1
+                strand = int(idd) & 1
+                if strand == 0 and pos == p0:
+                    continue  # self (sense at own locus)
+                if strand == 1 and not antisense:
+                    continue
+                best = min(best, int(mm))
+            # windows containing non-ACGT stay BIG (clean-suffix queries
+            # never resolve, hit lists come back empty)
+            if (g.seq[p0:p0 + K] < 4).all():
+                out[p0] = best
+        if not antisense:
+            continue
+    return out
+
+
 def hammings_oracle(genome_seq: np.ndarray, K: int,
                     antisense: bool = True) -> np.ndarray:
     """Naive NumPy oracle for tests."""

@@ -54,3 +54,28 @@ def test_kernel_interpret_matches_oracle():
     want = hammings.hammings_oracle(g, 25)
     np.testing.assert_array_equal(got[:1176].astype(int),
                                   want[:1176].astype(int))
+
+
+def test_restricted_matches_oracle_capped():
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome
+    rng = np.random.default_rng(21)
+    n, K, H = 2000, 32, 3
+    g = rng.integers(0, 4, n).astype(np.uint8)
+    # plant a near-duplicate pair to exercise small distances
+    g[500:532] = g[100:132]
+    g[800:832] = g[200:232]
+    g[803] = (g[803] + 1) % 4  # hamming 1 vs source
+    g[850:882] = ((g[250:282] + 1) % 4)  # far from everything
+    seq = np.concatenate([g, [dna.BASE_EOG]]).astype(np.uint8)
+    gen = Genome(["c"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(gen, lut_k=8)
+    got = hammings.hammings_restricted(idx, K, max_hamming=H, batch=512)
+    want = hammings.hammings_oracle(seq, K)
+    nk = n - K + 1
+    w = np.minimum(want[:nk].astype(int), H + 1)
+    gt = got[:nk].astype(int)
+    # restricted mode guarantees exact values <= H; above H it reports H+1
+    mismatch = np.nonzero(gt != w)[0]
+    assert len(mismatch) == 0, (mismatch[:5], gt[mismatch[:5]],
+                                w[mismatch[:5]])
