@@ -217,6 +217,13 @@ def cmd_filter(args) -> int:
                 r2 = []
                 for p_ in args.pairfile:
                     r2.extend(read_seqs(p_))
+            if args.adapters:
+                from .assembly.contaminants import trim_adapters
+                r1, st1 = trim_adapters(r1, min_len=args.minlen)
+                log.info("filter adapters r1: %s", st1)
+                if r2 is not None:
+                    r2, st2 = trim_adapters(r2, min_len=args.minlen)
+                    log.info("filter adapters r2: %s", st2)
             store = SeqStore.from_records(
                 r1, r2, min_phred=args.minphred, trim5=args.trim5,
                 trim3=args.trim3, min_len=args.minlen)
@@ -709,6 +716,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-y", "--minoverlap", type=int, default=70,
                    help="min flank overlap support percent")
     p.add_argument("-c", "--passes", type=int, default=1)
+    p.add_argument("-a", "--adapters", action="store_true",
+                   help="trim standard Illumina adapter read-through")
     _common(p)
     p.set_defaults(fn=cmd_filter)
 

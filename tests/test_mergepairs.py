@@ -41,3 +41,32 @@ def test_merge_with_errors_and_quality():
     merged, kept, stats = merge_pairs(r1, r2)
     assert stats["merged"] == 1
     np.testing.assert_array_equal(merged[0].codes, f)  # consensus fixed it
+
+
+def test_adapter_trimming():
+    from kit4b_tpu.assembly.contaminants import (DEFAULT_ADAPTERS,
+                                                 TrimStats, trim_adapters)
+    rng = np.random.default_rng(12)
+    ad = dna.encode(DEFAULT_ADAPTERS["TruSeq_R1"])
+    recs = []
+    # read-through: 70bp genome + full adapter + junk
+    body = rng.integers(0, 4, 70).astype(np.uint8)
+    recs.append(SeqRecord("rt", "", np.concatenate(
+        [body, ad, rng.integers(0, 4, 10).astype(np.uint8)])[:100]))
+    # partial adapter at tail (12bp of adapter)
+    body2 = rng.integers(0, 4, 88).astype(np.uint8)
+    recs.append(SeqRecord("pt", "", np.concatenate([body2, ad[:12]])))
+    # clean read
+    clean = rng.integers(0, 4, 100).astype(np.uint8)
+    recs.append(SeqRecord("cl", "", clean))
+    # read that would drop below min_len
+    recs.append(SeqRecord("sh", "", np.concatenate(
+        [rng.integers(0, 4, 10).astype(np.uint8), ad, ad])[:80]))
+    out, st = trim_adapters(recs, min_len=30)
+    byname = {r.name: r for r in out}
+    assert len(byname["rt"].codes) == 70
+    np.testing.assert_array_equal(byname["rt"].codes, body)
+    assert len(byname["pt"].codes) == 88
+    assert len(byname["cl"].codes) == 100
+    assert "sh" not in byname
+    assert st.trimmed3 >= 2 and st.dropped == 1
