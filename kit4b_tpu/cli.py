@@ -219,10 +219,12 @@ def cmd_filter(args) -> int:
                     r2.extend(read_seqs(p_))
             if args.adapters:
                 from .assembly.contaminants import trim_adapters
-                r1, st1 = trim_adapters(r1, min_len=args.minlen)
+                # min_len=0: keep PE lists aligned; SeqStore.from_records
+                # drops under-length reads pair-wise afterwards
+                r1, st1 = trim_adapters(r1, min_len=0)
                 log.info("filter adapters r1: %s", st1)
                 if r2 is not None:
-                    r2, st2 = trim_adapters(r2, min_len=args.minlen)
+                    r2, st2 = trim_adapters(r2, min_len=0)
                     log.info("filter adapters r2: %s", st2)
             store = SeqStore.from_records(
                 r1, r2, min_phred=args.minphred, trim5=args.trim5,
