@@ -96,3 +96,24 @@ def test_locateroi_and_filtchrom(tmp_path):
     assert stats == {"kept": 20, "dropped": 1}
     stats = filter_sam_by_chrom(sp, out, include=["^chrM$"])
     assert stats == {"kept": 1, "dropped": 20}
+
+
+def test_rnade():
+    from kit4b_tpu.align.rnade import (differential_expression, pearson,
+                                       write_de_csv)
+    samples = ["ctrl", "expt"]
+    # balanced library totals (1000 vs 1000) so CPM normalization is neutral
+    counts = {"up4x": [100, 400], "down4x": [400, 100],
+              "flat": [300, 300], "low": [2, 3], "pad": [198, 197]}
+    res = differential_expression(samples, counts, "ctrl", "expt")
+    by = {r.feature: r for r in res}
+    assert "low" not in by          # below min_counts
+    assert by["flat"].fold_bin == 0
+    assert by["up4x"].fold_bin == 4
+    assert by["down4x"].fold_bin == -4
+    assert abs(pearson([1, 2, 3], [2, 4, 6]) - 1.0) < 1e-9
+    assert pearson([1, 1], [2, 3]) is None
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    write_de_csv(os.path.join(d, "de.csv"), res)
+    assert open(os.path.join(d, "de.csv")).read().startswith('"Feature"')
