@@ -376,6 +376,23 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_callhaplotypes(args) -> int:
+    """ngskit4b callhaplotypes equivalent (two-founder skim calling)."""
+    from .kmer.callhaplotypes import call_haplotypes, write_haplotype_calls
+    from .utils.runtime import log
+    founders = {}
+    for spec in args.founder:
+        name, path = spec.split("=", 1)
+        founders[name] = path
+    calls = call_haplotypes(args.progeny, founders, bin_size=args.binsize,
+                            min_loci=args.minloci)
+    write_haplotype_calls(args.outfile, calls)
+    from collections import Counter
+    log.info("callhaplotypes: %s -> %s",
+             dict(Counter(c.call for c in calls)), args.outfile)
+    return 0
+
+
 def cmd_snpmarkers(args) -> int:
     """ngskit4b snpmarkers equivalent (CMarkers)."""
     from .kmer.snpmarkers import find_snp_markers, write_snp_markers_csv
@@ -745,6 +762,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("callhaplotypes",
+                       help="founder/progeny haplotype calls from PBAs")
+    p.add_argument("-i", "--progeny", required=True, help="progeny PBA")
+    p.add_argument("-c", "--founder", nargs=2, required=True,
+                   metavar="NAME=pba", help="exactly two founder PBAs")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-b", "--binsize", type=int, default=10_000)
+    p.add_argument("-m", "--minloci", type=int, default=5)
+    _common(p)
+    p.set_defaults(fn=cmd_callhaplotypes)
 
     p = sub.add_parser("snpmarkers",
                        help="cross-cultivar SNP-derived markers")

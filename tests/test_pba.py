@@ -44,3 +44,49 @@ def test_container_roundtrip(tmp_path):
     concat_pba([p, p], tmp_path / "m.pba.npz")
     _, m = load_pba(tmp_path / "m.pba.npz")
     np.testing.assert_array_equal(m["c1"], chroms["c1"])
+
+
+def test_callhaplotypes(tmp_path):
+    """Synthetic F2: founders differ at scattered SNP loci; progeny is Fa on
+    the first half, Fb on the second, het in a middle stripe."""
+    from kit4b_tpu.kmer.callhaplotypes import call_haplotypes, \
+        write_haplotype_calls
+    from kit4b_tpu.kmer.pba import pba_from_counts, save_pba
+    rng = np.random.default_rng(8)
+    n = 60_000
+    g = Genome(["c1"], np.array([0]), np.array([n]), np.zeros(n, np.uint8))
+
+    def fixed_counts(base_idx):
+        c = np.zeros((n, 5), np.int64)
+        c[np.arange(n), base_idx] = 20
+        return c
+
+    ref = rng.integers(0, 4, n)
+    alt = (ref + 1) % 4
+    # founders share most loci; differ at informative SNPs every ~50bp
+    snp = np.zeros(n, bool)
+    snp[::50] = True
+    fa_b = ref.copy()
+    fb_b = ref.copy()
+    fb_b[snp] = alt[snp]
+    # progeny: Fa [0, 30k), het [30k, 40k), Fb [40k, 60k)
+    prog_c = fixed_counts(fa_b)
+    prog_c[40_000:] = fixed_counts(fb_b)[40_000:]
+    het = slice(30_000, 40_000)
+    prog_c[het] = 0
+    idxs = np.arange(30_000, 40_000)
+    prog_c[idxs, fa_b[het]] += 10
+    prog_c[idxs, fb_b[het]] += 10
+    pa, pb, pp = (tmp_path / x for x in ("fa.npz", "fb.npz", "prog.npz"))
+    save_pba(pa, g, pba_from_counts(fixed_counts(fa_b)))
+    save_pba(pb, g, pba_from_counts(fixed_counts(fb_b)))
+    save_pba(pp, g, pba_from_counts(prog_c))
+    calls = call_haplotypes(pp, {"Fa": pa, "Fb": pb}, bin_size=5000)
+    byreg = {(c.start, c.end): c.call for c in calls}
+    assert byreg[(0, 5000)] == "Fa"
+    assert byreg[(25_000, 30_000)] == "Fa"
+    assert byreg[(30_000, 35_000)] == "FaFb"
+    assert byreg[(45_000, 50_000)] == "Fb"
+    assert byreg[(55_000, 60_000)] == "Fb"
+    write_haplotype_calls(tmp_path / "hap.csv", calls)
+    assert (tmp_path / "hap.csv").read_text().startswith('"Chrom"')
