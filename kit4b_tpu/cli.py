@@ -376,6 +376,49 @@ def cmd_prekmarkers(args) -> int:
     return 0
 
 
+def cmd_genwiggle(args) -> int:
+    """genWiggle equivalent: coverage WIG from SAM."""
+    from .align.regions import coverage_from_sam
+    from .utils.runtime import log
+    lens = {}
+    with open(args.infile) as f:
+        for line in f:
+            if not line.startswith("@"):
+                break
+            if line.startswith("@SQ"):
+                d = dict(x.split(":", 1) for x in line.split("\t")[1:])
+                lens[d["SN"]] = int(d["LN"])
+    cov = coverage_from_sam(args.infile, lens)
+    with open(args.outfile, "w") as f:
+        f.write('track type=wiggle_0 name="coverage"\n')
+        import numpy as _np
+        for chrom, c in cov.items():
+            if not c.any():
+                continue
+            change = _np.nonzero(_np.diff(c))[0]
+            starts = _np.concatenate([[0], change + 1])
+            ends = _np.concatenate([change + 1, [len(c)]])
+            for a, b in zip(starts, ends):
+                if c[a]:
+                    f.write(f"variableStep chrom={chrom} span={b - a}\n")
+                    f.write(f"{a + 1}\t{int(c[a])}\n")
+    log.info("genwiggle -> %s", args.outfile)
+    return 0
+
+
+def cmd_fasta2pe(args) -> int:
+    """FastaToPE equivalent: split interleaved fasta/fastq into mate files."""
+    from .io.fasta import read_seqs, write_fasta
+    from .utils.runtime import log
+    recs = list(read_seqs(args.infile))
+    r1 = recs[0::2]
+    r2 = recs[1::2]
+    write_fasta(args.out1, r1)
+    write_fasta(args.out2, r2)
+    log.info("fasta2pe: %d pairs -> %s / %s", len(r2), args.out1, args.out2)
+    return 0
+
+
 def cmd_callhaplotypes(args) -> int:
     """ngskit4b callhaplotypes equivalent (two-founder skim calling)."""
     from .kmer.callhaplotypes import call_haplotypes, write_haplotype_calls
@@ -762,6 +805,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--gap", type=int, default=100)
     _common(p)
     p.set_defaults(fn=cmd_pescaffold)
+
+    p = sub.add_parser("genwiggle", help="coverage WIG from SAM")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_genwiggle)
+
+    p = sub.add_parser("fasta2pe", help="split interleaved reads into mates")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out1", required=True)
+    p.add_argument("-O", "--out2", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_fasta2pe)
 
     p = sub.add_parser("callhaplotypes",
                        help="founder/progeny haplotype calls from PBAs")
