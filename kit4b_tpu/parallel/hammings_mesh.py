@@ -1,16 +1,14 @@
-"""Mesh-parallel hammings: offset-range sharding with a pmin merge.
+"""Mesh-parallel hammings: own-row sharding of the MXU min-matmul engine.
 
 The reference distributes the exhaustive sweep across machines by static
 genome-sweep partitioning with a filesystem merge (`-n numnodes -N node` +
-ePMmerge, ngskit4b/hammings.cpp:99-106). On a device mesh the same
-decomposition runs as a shard_map over an "sp" axis: every device holds the
-(replicated) genome, sweeps its contiguous slice of the relative-offset
-space, and the per-device running minima combine with one jnp.min over the
-gathered axis — the collective replacing the reference's merge pass
-(SURVEY.md §5.8).
-
-Offsets index space avoids the d=0 sense hole by index remapping inside the
-loop (t -> t - (G-K) or +1 past the hole), so device ranges stay contiguous.
+ePMmerge, ngskit4b/hammings.cpp:99-106). On a device mesh the MXU
+formulation (kmer/hammings_mxu.py) shards the *own-window rows* over an "sp"
+axis: every device holds the (replicated) window one-hot matrix, computes
+max-matches for its contiguous row block against all partner spans, and the
+row blocks concatenate back — embarrassingly parallel, no collective beyond
+the output gather. Node-level partitioning composes orthogonally via
+partner-span ranges (merge = elementwise min, as the reference's ePMmerge).
 """
 from __future__ import annotations
 
@@ -21,82 +19,89 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-
-def _sweep_indices(g, partner, hmin, t_start, t_end, index_to_d, K):
-    """fori over index space [t_start, t_end); index_to_d maps to offsets."""
-    G = g.shape[0]
-    idx = jnp.arange(G, dtype=jnp.int32)
-    gpen = (g >= 5).astype(jnp.int16) * 32
-    BIG16 = jnp.int16(9999)
-
-    def body(t, hmin):
-        d = index_to_d(t)
-        p = jnp.roll(partner, -d)
-        ppen = jnp.roll((partner >= 5).astype(jnp.int16) * 32, -d)
-        dvp = (g != p).astype(jnp.int16) + jnp.maximum(gpen, ppen)
-        q, r = divmod(K, 5)
-        ws = jnp.zeros((G,), jnp.int16)
-        if q:
-            s5 = (dvp + jnp.roll(dvp, -1) + jnp.roll(dvp, -2)
-                  + jnp.roll(dvp, -3) + jnp.roll(dvp, -4))
-            for m in range(q):
-                ws = ws + jnp.roll(s5, -5 * m)
-        for j in range(5 * q, K):
-            ws = ws + jnp.roll(dvp, -j)
-        ok = ((idx + K <= G) & (idx + d >= 0) & (idx + d + K <= G)
-              & (ws < 32))
-        return jnp.minimum(hmin, jnp.where(ok, ws, BIG16))
-
-    return jax.lax.fori_loop(t_start, t_end, body, hmin)
+from ..kmer.hammings_mxu import (OUT_BIG, _minmm_pallas, _minmm_xla,
+                                 _round_up, _window_onehot_dev)
 
 
-def make_hammings_mesh(mesh: Mesh, G: int, K: int, antisense: bool = True):
-    """Build the jitted sharded sweep: (g, rc) replicated -> hmin replicated."""
+def make_hammings_mesh(mesh: Mesh, G: int, K: int, *, antisense: bool = True,
+                       T: int = 1024, S: int = 1024,
+                       span_lo: int = 0, span_cnt: int | None = None,
+                       use_pallas: bool | None = None):
+    """Build the jitted sharded engine: ext codes (replicated) -> hmin [G]."""
     D = mesh.devices.size
-    nk = G - K
+    Gp = _round_up(G, max(D * T, S))
+    R = Gp // D
+    n_spans = Gp // S
+    cnt = n_spans if span_cnt is None else span_cnt
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
 
-    def _local(g, rc):
+    def _local(ext):
         i = jax.lax.axis_index("sp")
-        hmin = jnp.full((G,), jnp.int16(9999), jnp.int16)
-        # sense: index space [0, 2*nk) maps around the d=0 hole
-        total_s = 2 * nk
-        per = -(-total_s // D)
-        lo = i * per
-        hi = jnp.minimum(lo + per, total_s)
-        hmin = _sweep_indices(
-            g, g, hmin, lo, hi,
-            lambda t: jnp.where(t < nk, t - nk, t - nk + 1), K)
+        W, valid = _window_onehot_dev(ext, K, Gp, G)
+        wo = jax.lax.dynamic_slice_in_dim(W, i * R, R)
+        row_base = (i * R).reshape(1).astype(jnp.int32)
         if antisense:
-            total_a = 2 * nk + 1
-            per_a = -(-total_a // D)
-            lo_a = i * per_a
-            hi_a = jnp.minimum(lo_a + per_a, total_a)
-            hmin = _sweep_indices(g, rc, hmin, lo_a, hi_a,
-                                  lambda t: t - nk, K)
-        # merge partial minima across the offset shards (ePMmerge analog)
-        all_h = jax.lax.all_gather(hmin, "sp")          # [D, G]
-        return jnp.min(all_h, axis=0)
+            grev = ext[:G][::-1]
+            rc = jnp.where(grev < 4, 3 - grev, grev)
+            rc_ext = jnp.concatenate(
+                [rc, jnp.full(Gp + K - G, 0x0F, rc.dtype)])
+            Wrc, _ = _window_onehot_dev(rc_ext, K, Gp, G)
+        if use_pallas:
+            parts = [_minmm_pallas(wo, W, K, diag=True, span_lo=span_lo,
+                                   span_cnt=cnt, T=T, S=S,
+                                   row_base=row_base)]
+            if antisense:
+                parts.append(_minmm_pallas(wo, Wrc, K, diag=False,
+                                           span_lo=span_lo, span_cnt=cnt,
+                                           T=T, S=S))
+            maxm = functools.reduce(jnp.maximum,
+                                    [jnp.max(p, axis=1) for p in parts])
+            hmin = K - maxm
+        else:
+            hmin = _minmm_xla(wo, W, K=K, diag=True, span_lo=span_lo,
+                              span_cnt=cnt, S=S, row_base=row_base)
+            if antisense:
+                hmin = jnp.minimum(
+                    hmin, _minmm_xla(wo, Wrc, K=K, diag=False,
+                                     span_lo=span_lo, span_cnt=cnt, S=S))
+        vloc = jax.lax.dynamic_slice_in_dim(valid, i * R, R)
+        return jnp.where(vloc, jnp.minimum(hmin, int(OUT_BIG)),
+                         int(OUT_BIG))
 
     shmapped = jax.shard_map(_local, mesh=mesh,
-                             in_specs=(P(), P()), out_specs=P(),
+                             in_specs=(P(),), out_specs=P("sp"),
                              check_vma=False)
-    return jax.jit(shmapped)
+    return jax.jit(shmapped), Gp
 
 
 def hammings_mesh(genome_seq: np.ndarray, K: int, *,
-                  antisense: bool = True, devices=None) -> np.ndarray:
-    """Run the sharded sweep over all (or given) devices; same output
-    contract as kmer.hammings.hammings_exhaustive."""
+                  antisense: bool = True, devices=None,
+                  node: int = 0, numnodes: int = 1,
+                  T: int = 1024, S: int = 1024,
+                  use_pallas: bool | None = None) -> np.ndarray:
+    """Run the row-sharded engine over all (or given) devices; same output
+    contract as kmer.hammings.hammings_exhaustive (uint16 [G])."""
     devices = devices if devices is not None else jax.devices()
     mesh = Mesh(np.asarray(devices), ("sp",))
     g = np.ascontiguousarray(genome_seq, np.uint8)
     G = len(g)
+    out = np.full(G, OUT_BIG, np.uint16)
     if G < K:
-        return np.zeros(0, np.uint16)
-    rc = np.where(g[::-1] < 4, 3 - g[::-1], g[::-1]).astype(np.uint8)
-    fn = make_hammings_mesh(mesh, G, K, antisense)
-    out = np.array(jax.device_get(fn(jnp.asarray(g), jnp.asarray(rc))))
-    out = np.where(out >= 9999, 0xFFFF, out.astype(np.int32)).astype(
-        np.uint16)
-    out[max(0, G - K + 1):] = 0xFFFF
-    return out
+        return out[:0] if G == 0 else out
+    D = mesh.devices.size
+    Gp = _round_up(G, max(D * T, S))
+    n_spans = Gp // S
+    lo = (node * n_spans) // numnodes
+    hi = ((node + 1) * n_spans) // numnodes
+    if hi <= lo:
+        return out
+    fn, Gp = make_hammings_mesh(mesh, G, K, antisense=antisense, T=T, S=S,
+                                span_lo=lo, span_cnt=hi - lo,
+                                use_pallas=use_pallas)
+    ext = np.concatenate([g, np.full(Gp + K - G, 0x0F, np.uint8)])
+    h = np.asarray(jax.device_get(fn(jnp.asarray(ext))))[:G]
+    nvalid = int((h != int(OUT_BIG)).sum())
+    if nvalid == 0 or (not antisense and nvalid < 2):
+        return out
+    return h.astype(np.uint16)
