@@ -195,6 +195,76 @@ def cmd_hammings(args) -> int:
     return 0
 
 
+def cmd_ecreads(args) -> int:
+    """pacbiokit4b ecreads equivalent (CPBErrCorrect)."""
+    from .io.fasta import read_seqs, write_fasta
+    from .pacbio.ecreads import ECParams, correct_reads
+    from .utils.runtime import enable_compile_cache, log
+    enable_compile_cache()
+    recs = list(read_seqs(args.infile))
+    corr = correct_reads(recs, ECParams(
+        min_read_len=args.minreadlen,
+        min_corrected_len=args.mincorrectedlen, band=args.band))
+    write_fasta(args.outfile, corr)
+    log.info("ecreads: %d reads in -> %d corrected -> %s",
+             len(recs), len(corr), args.outfile)
+    return 0
+
+
+def cmd_pbfilter(args) -> int:
+    """pacbiokit4b filter equivalent (CPBFilter, SMRTbell hairpins)."""
+    from .io.fasta import read_seqs, write_fasta
+    from .pacbio.pbfilter import FilterParams, filter_reads
+    from .utils.runtime import log
+    out, stats = filter_reads(list(read_seqs(args.infile)),
+                              FilterParams(min_len=args.minlen,
+                                           trim=args.trim))
+    write_fasta(args.outfile, out)
+    log.info("pbfilter: %s -> %s", json.dumps(stats), args.outfile)
+    return 0
+
+
+def cmd_pbassemb(args) -> int:
+    """pacbiokit4b contigs equivalent (CPBAssemb)."""
+    from .io.fasta import read_seqs, write_fasta
+    from .pacbio.pbassemb import AssembParams, assemble
+    from .utils.runtime import enable_compile_cache, log
+    enable_compile_cache()
+    contigs = assemble(list(read_seqs(args.infile)),
+                       AssembParams(min_overlap=args.minoverlap,
+                                    min_identity=args.minidentity))
+    write_fasta(args.outfile, contigs)
+    log.info("pbassemb: %d contigs -> %s", len(contigs), args.outfile)
+    return 0
+
+
+def cmd_eccontigs(args) -> int:
+    """pacbiokit4b eccontigs equivalent (CPBECContigs)."""
+    from .io.fasta import read_seqs, write_fasta
+    from .pacbio.ecreads import ECParams
+    from .pacbio.pbassemb import polish_contigs
+    from .utils.runtime import enable_compile_cache, log
+    enable_compile_cache()
+    polished = polish_contigs(list(read_seqs(args.infile)),
+                              list(read_seqs(args.reads)),
+                              ECParams(min_read_len=0, min_corrected_len=0))
+    write_fasta(args.outfile, polished)
+    log.info("eccontigs: %d contigs polished -> %s",
+             len(polished), args.outfile)
+    return 0
+
+
+def cmd_kmerdist(args) -> int:
+    """pacbiokit4b kmerdist equivalent (CMAFKMerDist)."""
+    from .pacbio.kmerdist import kmer_dist, write_kmer_dist
+    from .utils.runtime import log
+    d = kmer_dist(args.infile, max_k=args.maxk)
+    write_kmer_dist(args.outfile, d)
+    log.info("kmerdist: %d blocks, %d positions -> %s",
+             d["blocks"], d["positions"], args.outfile)
+    return 0
+
+
 def cmd_filter(args) -> int:
     """ngskit4b filter equivalent (CArtefactReduce)."""
     from .assembly import filter as filt
@@ -953,6 +1023,52 @@ def build_parser() -> argparse.ArgumentParser:
                         "(values above report bound+1); 0 = exhaustive")
     _common(p)
     p.set_defaults(fn=cmd_hammings)
+
+    p = sub.add_parser("ecreads",
+                       help="error correct PacBio long reads (pacbiokit4b)")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--minreadlen", type=int, default=1000)
+    p.add_argument("-L", "--mincorrectedlen", type=int, default=500)
+    p.add_argument("-b", "--band", type=int, default=512)
+    _common(p)
+    p.set_defaults(fn=cmd_ecreads)
+
+    p = sub.add_parser("pbfilter",
+                       help="filter PacBio reads for SMRTbell hairpins")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--minlen", type=int, default=500)
+    p.add_argument("-t", "--trim", type=int, default=0)
+    _common(p)
+    p.set_defaults(fn=cmd_pbfilter)
+
+    p = sub.add_parser("pbassemb",
+                       help="assemble corrected PacBio reads into contigs")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--minoverlap", type=int, default=500)
+    p.add_argument("-p", "--minidentity", type=float, default=0.9)
+    _common(p)
+    p.set_defaults(fn=cmd_pbassemb)
+
+    p = sub.add_parser("eccontigs",
+                       help="error correct contigs with corrected reads")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="contigs multifasta")
+    p.add_argument("-r", "--reads", required=True,
+                   help="corrected reads multifasta")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_eccontigs)
+
+    p = sub.add_parser("kmerdist",
+                       help="exact K-mer distributions from MAF")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-K", "--maxk", type=int, default=16)
+    _common(p)
+    p.set_defaults(fn=cmd_kmerdist)
 
     return ap
 

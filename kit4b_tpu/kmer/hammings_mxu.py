@@ -190,40 +190,31 @@ def _minmm_xla(W_own, W_part, *, K, diag, span_lo, span_cnt, S=1024,
     return jax.lax.fori_loop(0, span_cnt, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "K", "Gp", "G", "antisense", "lo", "cnt", "T", "S", "use_pallas",
-    "acc_bf16", "interpret"))
-def _hammings_device(ext, *, K, Gp, G, antisense, lo, cnt, T, S,
-                     use_pallas, acc_bf16, interpret):
-    """Whole pipeline on device: codes -> one-hot -> min-matmul -> hmin.
-    Only G+K bytes go up and G int32 come back."""
-    W, valid = _window_onehot_dev(ext, K, Gp, G)
-    if antisense:
+@functools.partial(jax.jit, static_argnames=("K", "Gp", "G", "rc"))
+def _build_w(ext, *, K, Gp, G, rc):
+    if rc:
         grev = ext[:G][::-1]
-        rc = jnp.where(grev < 4, 3 - grev, grev)
-        rc_ext = jnp.concatenate([rc, jnp.full(Gp + K - G, 0x0F, rc.dtype)])
-        Wrc, _ = _window_onehot_dev(rc_ext, K, Gp, G)
+        c = jnp.where(grev < 4, 3 - grev, grev)
+        ext = jnp.concatenate([c, jnp.full(Gp + K - G, 0x0F, c.dtype)])
+    return _window_onehot_dev(ext, K, Gp, G)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "K", "R", "diag", "lo", "cnt", "T", "S", "use_pallas", "acc_bf16",
+    "interpret"))
+def _chunk_maxm(W, W_part, row_base, *, K, R, diag, lo, cnt, T, S,
+                use_pallas, acc_bf16, interpret):
+    """Max matches for own rows [row_base, row_base+R) vs partner spans
+    [lo, lo+cnt); reduced to [R] so only small partials live in HBM."""
+    wo = jax.lax.dynamic_slice_in_dim(W, row_base[0], R)
     if use_pallas:
-        parts = [_minmm_pallas(W, W, K, diag=True, span_lo=lo, span_cnt=cnt,
-                               T=T, S=S, acc_bf16=acc_bf16,
-                               interpret=interpret)]
-        if antisense:
-            parts.append(_minmm_pallas(W, Wrc, K, diag=False, span_lo=lo,
-                                       span_cnt=cnt, T=T, S=S,
-                                       acc_bf16=acc_bf16,
-                                       interpret=interpret))
-        maxm = functools.reduce(jnp.maximum,
-                                [jnp.max(p, axis=1) for p in parts])
-        hmin = K - maxm
-    else:
-        hmin = _minmm_xla(W, W, K=K, diag=True, span_lo=lo, span_cnt=cnt,
-                          S=S)
-        if antisense:
-            hmin = jnp.minimum(
-                hmin, _minmm_xla(W, Wrc, K=K, diag=False, span_lo=lo,
-                                 span_cnt=cnt, S=S))
-    res = jnp.where(valid, jnp.minimum(hmin, int(OUT_BIG)), int(OUT_BIG))
-    return res[:G], jnp.sum(valid.astype(jnp.int32))
+        p = _minmm_pallas(wo, W_part, K, diag=diag, span_lo=lo, span_cnt=cnt,
+                          T=T, S=S, acc_bf16=acc_bf16, row_base=row_base,
+                          interpret=interpret)
+        return jnp.max(p, axis=1)
+    return K - _minmm_xla(wo, W_part, K=K, diag=diag, span_lo=lo,
+                          span_cnt=cnt, S=S,
+                          row_base=row_base if diag else None)
 
 
 def hammings_exhaustive_mxu(genome_seq: np.ndarray, K: int, *,
@@ -232,10 +223,14 @@ def hammings_exhaustive_mxu(genome_seq: np.ndarray, K: int, *,
                             T: int = 2048, S: int = 1024,
                             use_pallas: bool | None = None,
                             acc_bf16: bool = False,
+                            row_chunk: int = 1 << 21,
                             interpret: bool = False) -> np.ndarray:
     """Min window-Hamming per position (uint16 [G]; 0xFFFF where no valid
     window). Node n of N takes partner-span blocks [n*cnt, ...) — partials
-    merge with elementwise min exactly like the reference's ePMmerge."""
+    merge with elementwise min exactly like the reference's ePMmerge.
+
+    Own rows are processed in `row_chunk` slices so HBM holds only W (+Wrc)
+    and one [R, 128] partial — ~40 Mbp genomes fit one 16 GB chip."""
     g = np.ascontiguousarray(genome_seq, np.uint8)
     G = len(g)
     nk = G - K + 1
@@ -254,14 +249,33 @@ def hammings_exhaustive_mxu(genome_seq: np.ndarray, K: int, *,
     if cnt <= 0:
         return out
 
-    ext = np.concatenate([g, np.full(Gp + K - G, 0x0F, np.uint8)])
-    h, nvalid = _hammings_device(
-        jnp.asarray(ext), K=K, Gp=Gp, G=G, antisense=antisense, lo=lo,
-        cnt=cnt, T=T, S=S, use_pallas=use_pallas, acc_bf16=acc_bf16,
-        interpret=interpret)
-    h = np.asarray(jax.device_get(h))
-    nvalid = int(nvalid)
+    ext = jnp.asarray(np.concatenate(
+        [g, np.full(Gp + K - G, 0x0F, np.uint8)]))
+    W, valid = _build_w(ext, K=K, Gp=Gp, G=G, rc=False)
+    parts = [(W, True)]
+    if antisense:
+        Wrc, _ = _build_w(ext, K=K, Gp=Gp, G=G, rc=True)
+        parts.append((Wrc, False))
+    R = min(_round_up(Gp, T), _round_up(row_chunk, T))
+    maxm = np.full(Gp, -(1 << 20), np.int32)
+    for rb in range(0, Gp, R):
+        if rb + R > Gp:
+            rb = Gp - R       # overlap tail chunk; max is idempotent
+        base = jnp.asarray([rb], jnp.int32)
+        mm = None
+        for W_part, diag in parts:
+            m = _chunk_maxm(W, W_part, base, K=K, R=R, diag=diag, lo=lo,
+                            cnt=cnt, T=T, S=S, use_pallas=use_pallas,
+                            acc_bf16=acc_bf16, interpret=interpret)
+            mm = m if mm is None else jnp.maximum(mm, m)
+        maxm[rb: rb + R] = np.asarray(jax.device_get(mm))
+        if rb + R >= Gp:
+            break
+    hv = np.asarray(jax.device_get(valid))
+    nvalid = int(hv.sum())
     if nvalid == 0 or (not antisense and nvalid < 2):
         # no partner exists; all-zero invalid/padded rows would report K
         return out
+    h = np.where(hv[:G], np.minimum(K - maxm[:G], int(OUT_BIG)),
+                 int(OUT_BIG))
     return h.astype(np.uint16)
