@@ -265,6 +265,147 @@ def cmd_kmerdist(args) -> int:
     return 0
 
 
+def cmd_ssr(args) -> int:
+    """ngskit4b ssr equivalent (CSSRDiscovery)."""
+    from .io.fasta import Genome
+    from .tools.ssr import find_ssrs, write_ssrs_bed, write_ssrs_csv
+    from .utils.runtime import log
+    g = Genome.load(args.infile)
+    ssrs = find_ssrs(g, min_unit=args.minunit, max_unit=args.maxunit,
+                     min_repeats=args.minrepeats,
+                     max_repeats=args.maxrepeats)
+    if args.outfile.endswith(".bed"):
+        write_ssrs_bed(args.outfile, ssrs)
+    else:
+        write_ssrs_csv(args.outfile, ssrs)
+    log.info("ssr: %d SSRs -> %s", len(ssrs), args.outfile)
+    return 0
+
+
+def cmd_snps2pgsnps(args) -> int:
+    """ngskit4b snps2pgsnps equivalent (CSNPs2pgSNPs)."""
+    from .tools.snpsfmt import read_snps_csv, write_pgsnp
+    from .utils.runtime import log
+    snps = read_snps_csv(args.infile)
+    if args.outfile.endswith(".vcf"):
+        from .align.snp import SnpCall, write_snps_vcf
+        calls = []
+        for s in snps:
+            cnts = np.array(s["counts"], np.int64)
+            ref_i = "ACGTN".index(s["ref"])
+            cnts[ref_i] = s["bases"] - s["mm"]
+            calls.append(SnpCall(s["chrom"], s["loci"], ref_i, cnts,
+                                 s["bases"], s["mm"], 0.0, s["pvalue"]))
+        write_snps_vcf(args.outfile, calls)
+    else:
+        write_pgsnp(args.outfile, snps, track=args.track,
+                    min_count=args.mincount)
+    log.info("snps2pgsnps: %d SNPs -> %s", len(snps), args.outfile)
+    return 0
+
+
+def cmd_lochap2bed(args) -> int:
+    """ngskit4b lochap2bed equivalent (Di/TriSNP haplotypes -> BED)."""
+    from .tools.snpsfmt import lochap_to_bed
+    from .utils.runtime import log
+    n = lochap_to_bed(args.infile, args.outfile)
+    log.info("lochap2bed: %d haplotypes -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_markerseqs(args) -> int:
+    """ngskit4b markerseqs equivalent (CMarkerSeq)."""
+    from .io.fasta import Genome
+    from .tools.snpsfmt import (marker_seqs, read_snps_csv,
+                                write_marker_seqs_csv)
+    from .utils.runtime import log
+    g = Genome.load(args.genome)
+    m = marker_seqs(g, read_snps_csv(args.infile), flank=args.flank)
+    write_marker_seqs_csv(args.outfile, m)
+    log.info("markerseqs: %d markers -> %s", len(m), args.outfile)
+    return 0
+
+
+def cmd_repassemb(args) -> int:
+    """ngskit4b repassemb equivalent (replace bases w/ major alleles)."""
+    from .io.fasta import Genome, SeqRecord, write_fasta
+    from .tools.snpsfmt import read_snps_csv, replace_assembly_alleles
+    from .utils.runtime import log
+    g = Genome.load(args.genome)
+    n = replace_assembly_alleles(g, read_snps_csv(args.infile),
+                                 min_prop=args.minprop)
+    recs = []
+    for ci, name in enumerate(g.names):
+        s = int(g.starts[ci])
+        recs.append(SeqRecord(name, "", g.seq[s: s + int(g.lengths[ci])]))
+    write_fasta(args.outfile, recs)
+    log.info("repassemb: %d bases replaced -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_wigutils(args) -> int:
+    """ngskit4b wigutils equivalent (CWIGutils)."""
+    from .tools.wigutils import (merge_wigs, read_wig, wig_stats,
+                                 write_wig_csv, write_wig_sparse)
+    from .utils.runtime import log
+    tracks = [read_wig(p) for p in args.infiles]
+    merged = merge_wigs(tracks, op=args.op) if len(tracks) > 1 else tracks[0]
+    if args.mode == "stats":
+        with open(args.outfile, "w") as f:
+            f.write('"Chrom","Covered","Sum","Mean","Max","Min"\n')
+            for r in wig_stats(merged):
+                f.write(f'"{r["chrom"]}",{r["covered"]},{r["sum"]:g},'
+                        f'{r["mean"]:g},{r["max"]:g},{r["min"]:g}\n')
+    elif args.outfile.endswith(".csv"):
+        write_wig_csv(args.outfile, merged)
+    else:
+        write_wig_sparse(args.outfile, merged)
+    log.info("wigutils: %d tracks %s -> %s", len(tracks), args.op,
+             args.outfile)
+    return 0
+
+
+def cmd_remaploci(args) -> int:
+    """ngskit4b remaploci equivalent (CRemapLoci)."""
+    from .tools.remap import remap_bed, remap_sam
+    from .utils.runtime import log
+    if args.infile.endswith(".bed"):
+        stats = remap_bed(args.infile, args.bed, args.outfile)
+    else:
+        stats = remap_sam(args.infile, args.bed, args.outfile)
+    log.info("remaploci: %s -> %s", json.dumps(stats), args.outfile)
+    return 0
+
+
+def cmd_xroiseqs(args) -> int:
+    """ngskit4b xroiseqs equivalent (extract ROI fasta from assembly)."""
+    from .io.bed import BedFile
+    from .io.fasta import Genome, SeqRecord, write_fasta
+    from .utils.runtime import log
+    g = Genome.load(args.genome)
+    bed = BedFile.load(args.infile)
+    name_to_ci = {n: i for i, n in enumerate(g.names)}
+    recs = []
+    for ft in bed.features:
+        ci = name_to_ci.get(ft.chrom)
+        if ci is None:
+            continue
+        s = int(g.starts[ci])
+        ln = int(g.lengths[ci])
+        a, b = max(0, ft.start), min(ln, ft.end)
+        if b <= a:
+            continue
+        nm = ft.name or f"{ft.chrom}:{a}-{b}"
+        seq = g.seq[s + a: s + b]
+        if ft.strand == "-":
+            seq = np.where(seq[::-1] < 4, 3 - seq[::-1], seq[::-1])
+        recs.append(SeqRecord(nm, f"{ft.chrom}:{a}-{b}({ft.strand})",
+                              seq.astype(np.uint8)))
+    write_fasta(args.outfile, recs)
+    log.info("xroiseqs: %d regions -> %s", len(recs), args.outfile)
+    return 0
+
+
 def cmd_filter(args) -> int:
     """ngskit4b filter equivalent (CArtefactReduce)."""
     from .assembly import filter as filt
@@ -1069,6 +1210,81 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-K", "--maxk", type=int, default=16)
     _common(p)
     p.set_defaults(fn=cmd_kmerdist)
+
+    p = sub.add_parser("ssr", help="simple sequence repeat discovery")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-k", "--minunit", type=int, default=2)
+    p.add_argument("-K", "--maxunit", type=int, default=5)
+    p.add_argument("-r", "--minrepeats", type=int, default=5)
+    p.add_argument("-R", "--maxrepeats", type=int, default=1000)
+    _common(p)
+    p.set_defaults(fn=cmd_ssr)
+
+    p = sub.add_parser("snps2pgsnps",
+                       help="kalign SNP CSV -> UCSC pgSnp (or .vcf)")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-t", "--track", default="kit4b_tpu")
+    p.add_argument("-c", "--mincount", type=int, default=1)
+    _common(p)
+    p.set_defaults(fn=cmd_snps2pgsnps)
+
+    p = sub.add_parser("lochap2bed",
+                       help="Di/TriSNP local haplotypes CSV -> BED")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_lochap2bed)
+
+    p = sub.add_parser("markerseqs",
+                       help="marker flank sequences around SNP loci")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="kalign SNP CSV")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--flank", type=int, default=25)
+    _common(p)
+    p.set_defaults(fn=cmd_markerseqs)
+
+    p = sub.add_parser("repassemb",
+                       help="replace assembly bases with SNP major alleles")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="kalign SNP CSV")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-p", "--minprop", type=float, default=0.5)
+    _common(p)
+    p.set_defaults(fn=cmd_repassemb)
+
+    p = sub.add_parser("wigutils", help="WIG utilities (merge/stats/csv)")
+    p.add_argument("-i", "--in", dest="infiles", required=True, nargs="+")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-m", "--mode", choices=["track", "stats"],
+                   default="track")
+    p.add_argument("-p", "--op", choices=["sum", "mean", "min", "max"],
+                   default="sum")
+    _common(p)
+    p.set_defaults(fn=cmd_wigutils)
+
+    p = sub.add_parser("remaploci",
+                       help="remap alignment loci between assemblies")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="SAM or BED alignments")
+    p.add_argument("-I", "--bed", required=True,
+                   help="BED of remapping features (name = target seq)")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_remaploci)
+
+    p = sub.add_parser("xroiseqs",
+                       help="extract ROI fasta from assembly via BED")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="regions BED")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_xroiseqs)
 
     return ap
 

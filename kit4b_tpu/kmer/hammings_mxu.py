@@ -77,15 +77,18 @@ def window_onehot(codes: np.ndarray, K: int, Gp: int,
 
 def _window_onehot_dev(ext: jnp.ndarray, K: int, Gp: int, G: int):
     """Device builder: ext is codes padded to Gp+K with EOG. Returns
-    (W [Gp, C] int8, valid [Gp] bool)."""
+    (W [Gp, C] int8, valid [Gp] bool).
+
+    Channel c encodes (k=c//5, b=c%5); W is built as one gather+compare in
+    full 128-lane layout — never materializing [Gp, 5] or [Gp, K] slices in
+    narrow-lane tiles (they pad 25x and OOM at megabase scale)."""
     C = _round_up(5 * K, 128)
-    cols = []
-    for k in range(K):
-        c = jax.lax.dynamic_slice_in_dim(ext, k, Gp)
-        cols.append(jax.nn.one_hot(c, 5, dtype=jnp.int8))
-    W = jnp.concatenate(cols, axis=1)
-    if C > 5 * K:
-        W = jnp.pad(W, ((0, 0), (0, C - 5 * K)))
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(ext, k, Gp)
+                     for k in range(K)], axis=1)          # [Gp, K] uint8
+    kidx = np.minimum(np.arange(C) // 5, K - 1)
+    bval = np.where(np.arange(C) < 5 * K, np.arange(C) % 5, 255)
+    W = (jnp.take(win, jnp.asarray(kidx), axis=1)
+         == jnp.asarray(bval, ext.dtype)[None, :]).astype(jnp.int8)
     sent = (ext >= 5).astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(sent)])
     nbad = jax.lax.dynamic_slice_in_dim(cs, K, Gp) - cs[:Gp]
