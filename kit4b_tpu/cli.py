@@ -406,6 +406,132 @@ def cmd_xroiseqs(args) -> int:
     return 0
 
 
+def cmd_genmafalgn(args) -> int:
+    """ngskit4b genmafalgn equivalent (MAF -> indexed .algn store)."""
+    from .io.malign import MAlign
+    from .utils.runtime import log
+    ma = MAlign.from_maf(args.infile, ref_species=args.refspecies)
+    ma.save(args.outfile)
+    log.info("genmafalgn: %d blocks, %d species -> %s",
+             len(ma.blocks), len(ma.species), args.outfile)
+    return 0
+
+
+def cmd_hypers(args) -> int:
+    """ngskit4b hypers equivalent (ultra/hyper-conserved elements)."""
+    from .io.malign import MAlign
+    from .tools.hypers import (find_hypercores, length_distribution,
+                               write_hypers_bed, write_hypers_csv)
+    from .utils.runtime import log
+    ma = MAlign.load(args.infile)
+    els = find_hypercores(ma, min_core_len=args.mincorelen,
+                          max_mismatches=args.maxmismatches,
+                          min_species=args.minspecies)
+    if args.outfile.endswith(".bed"):
+        write_hypers_bed(args.outfile, els)
+    else:
+        write_hypers_csv(args.outfile, els)
+    if args.statsfile:
+        with open(args.statsfile, "w") as f:
+            f.write('"BinLen","Count"\n')
+            for b, c in length_distribution(els, num_bins=args.numbins):
+                f.write(f"{b},{c}\n")
+    log.info("hypers: %d elements -> %s", len(els), args.outfile)
+    return 0
+
+
+def cmd_gengoterms(args) -> int:
+    """ngskit4b gengoterms equivalent (parse GO OBO ontology)."""
+    from .tools.go import parse_obo
+    from .utils.runtime import log
+    terms = parse_obo(args.infile)
+    with open(args.outfile, "w") as f:
+        f.write('"GOID","Name","Namespace","Parents","Obsolete"\n')
+        for t in sorted({id(v): v for v in terms.values()}.values(),
+                        key=lambda t: t.goid):
+            f.write(f'"{t.goid}","{t.name}","{t.namespace}",'
+                    f'"{"|".join(t.parents)}",{int(t.obsolete)}\n')
+    log.info("gengoterms: %d terms -> %s", len(terms), args.outfile)
+    return 0
+
+
+def cmd_gengoassoc(args) -> int:
+    """ngskit4b gengoassoc equivalent (GAF -> gene associations)."""
+    from .tools.go import parse_associations, parse_obo, propagate
+    from .utils.runtime import log
+    assoc = parse_associations(args.infile)
+    if args.obo:
+        assoc = propagate(assoc, parse_obo(args.obo))
+    with open(args.outfile, "w") as f:
+        f.write('"Gene","GOIDs"\n')
+        for g in sorted(assoc):
+            f.write(f'"{g}","{"|".join(sorted(assoc[g]))}"\n')
+    log.info("gengoassoc: %d genes -> %s", len(assoc), args.outfile)
+    return 0
+
+
+def cmd_goassoc(args) -> int:
+    """ngskit4b goassoc equivalent (GO term enrichment)."""
+    from .tools.go import (enrich, parse_associations, parse_obo,
+                           propagate, write_enrichment_csv)
+    from .utils.runtime import log
+    assoc = parse_associations(args.assoc)
+    terms = parse_obo(args.obo) if args.obo else None
+    if terms:
+        assoc = propagate(assoc, terms)
+    sample = [l.strip() for l in open(args.infile) if l.strip()]
+    pop = ([l.strip() for l in open(args.population) if l.strip()]
+           if args.population else list(assoc))
+    rows = enrich(sample, pop, assoc, terms, min_hits=args.minhits)
+    write_enrichment_csv(args.outfile, rows)
+    log.info("goassoc: %d enriched terms -> %s", len(rows), args.outfile)
+    return 0
+
+
+def cmd_tosqlite(args) -> int:
+    """snps2sqlite / snpm2sqlite / de2sqlite / psl2sqlite equivalents."""
+    from .tools import tosqlite
+    from .utils.runtime import log
+    fn = {"snps": tosqlite.snps_to_sqlite,
+          "markers": tosqlite.markers_to_sqlite,
+          "de": tosqlite.de_to_sqlite,
+          "psl": tosqlite.psl_to_sqlite}[args.kind]
+    n = fn(args.infile, args.outfile, experiment=args.experimentname,
+           descr=args.experimentdescr or "")
+    log.info("%s2sqlite: %d rows -> %s", args.kind, n, args.outfile)
+    return 0
+
+
+def cmd_genbioseq(args) -> int:
+    """ngskit4b genbioseq equivalent (fasta -> pre-parsed bioseq)."""
+    from .io.fasta import Genome
+    from .utils.runtime import log
+    g = Genome.load(*args.infiles)
+    g.save_bioseq(args.outfile)
+    log.info("genbioseq: %d seqs (%d bp) -> %s", len(g.names),
+             g.total_len, args.outfile)
+    return 0
+
+
+def cmd_genbiobed(args) -> int:
+    """ngskit4b genbiobed equivalent (BED -> pre-parsed binary)."""
+    import numpy as _np
+    from .io.bed import BedFile
+    from .utils.runtime import log
+    bed = BedFile.load(args.infile)
+    _np.savez_compressed(
+        args.outfile, magic=_np.array("kit4b_tpu.biobed.v1"),
+        chrom=_np.array([f.chrom for f in bed.features]),
+        start=_np.array([f.start for f in bed.features], _np.int64),
+        end=_np.array([f.end for f in bed.features], _np.int64),
+        name=_np.array([f.name for f in bed.features]),
+        score=_np.array([f.score for f in bed.features], _np.int64),
+        strand=_np.array([f.strand for f in bed.features]))
+    log.info("genbiobed: %d features -> %s", len(bed.features),
+             args.outfile)
+    return 0
+
+
 def cmd_filter(args) -> int:
     """ngskit4b filter equivalent (CArtefactReduce)."""
     from .assembly import filter as filt
@@ -1285,6 +1411,78 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     _common(p)
     p.set_defaults(fn=cmd_xroiseqs)
+
+    p = sub.add_parser("genmafalgn",
+                       help="MAF -> indexed multialignment (.algn.npz)")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-r", "--refspecies", default=None)
+    _common(p)
+    p.set_defaults(fn=cmd_genmafalgn)
+
+    p = sub.add_parser("hypers",
+                       help="ultra/hyper-conserved element discovery")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help=".algn.npz from genmafalgn")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--mincorelen", type=int, default=50)
+    p.add_argument("-X", "--maxmismatches", type=int, default=0)
+    p.add_argument("-s", "--minspecies", type=int, default=2)
+    p.add_argument("-O", "--statsfile", default=None)
+    p.add_argument("-b", "--numbins", type=int, default=1000)
+    _common(p)
+    p.set_defaults(fn=cmd_hypers)
+
+    p = sub.add_parser("gengoterms", help="parse GO OBO ontology -> CSV")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gengoterms)
+
+    p = sub.add_parser("gengoassoc",
+                       help="GAF/CSV -> propagated gene-GO associations")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-O", "--obo", default=None)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gengoassoc)
+
+    p = sub.add_parser("goassoc", help="GO term enrichment")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="sample gene list (one per line)")
+    p.add_argument("-p", "--population", default=None)
+    p.add_argument("-a", "--assoc", required=True,
+                   help="GAF or gene,goid CSV")
+    p.add_argument("-O", "--obo", default=None)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-c", "--minhits", type=int, default=2)
+    _common(p)
+    p.set_defaults(fn=cmd_goassoc)
+
+    for kind, src in (("snps", "kalign SNP CSV"),
+                      ("markers", "snpmarkers CSV"),
+                      ("de", "rnade DE CSV"), ("psl", "blitz PSL")):
+        p = sub.add_parser(f"{kind}2sqlite" if kind != "markers"
+                           else "snpm2sqlite",
+                           help=f"{src} -> SQLite database")
+        p.add_argument("-i", "--in", dest="infile", required=True)
+        p.add_argument("-o", "--out", dest="outfile", required=True)
+        _common(p)
+        p.set_defaults(fn=cmd_tosqlite, kind=kind)
+
+    p = sub.add_parser("genbioseq",
+                       help="fasta -> pre-parsed bioseq container")
+    p.add_argument("-i", "--in", dest="infiles", required=True, nargs="+")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_genbioseq)
+
+    p = sub.add_parser("genbiobed",
+                       help="BED -> pre-parsed binary features")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_genbiobed)
 
     return ap
 
