@@ -34,6 +34,11 @@ class BlitzHit:
     matches: int
     mismatches: int
     score: int
+    q_gaps: int = 0
+    t_gaps: int = 0
+    q_gap_bases: int = 0
+    t_gap_bases: int = 0
+    blocks: list | None = None   # [(q_start, t_start, len)] gapped blocks
 
 
 def _seed_hits(index: SfxIndex, q: np.ndarray, stride: int,
@@ -104,8 +109,14 @@ def _chain_and_score(index: SfxIndex, q: np.ndarray, qps, tps, *,
 
 def blitz_align(index: SfxIndex, records, *, stride: int = 4,
                 min_hits: int = 3, band: int = 12, min_score: int = 50,
-                max_hits_per_query: int = 16) -> list[BlitzHit]:
-    """Align each query record; returns hits sorted by score per query."""
+                max_hits_per_query: int = 16,
+                gapped: bool = False, sw_band: int = 256) -> list[BlitzHit]:
+    """Align each query record; returns hits sorted by score per query.
+
+    gapped=True refines every chained block with the banded affine SW
+    engine (CBlitz::HighScoreSW, CBlitz.cpp:1560 — here pacbio/sswd),
+    replacing the ungapped score with the gapped alignment, its block
+    structure, and gap accounting for PSL."""
     hits: list[BlitzHit] = []
     for rec in records:
         per_q: list[BlitzHit] = []
@@ -115,9 +126,78 @@ def blitz_align(index: SfxIndex, records, *, stride: int = 4,
             per_q.extend(_chain_and_score(
                 index, q, qps, tps, strand=strand, qname=rec.name,
                 min_hits=min_hits, band=band, min_score=min_score))
+        if gapped and per_q:
+            per_q = _refine_gapped(index, rec, per_q, sw_band, min_score)
         per_q.sort(key=lambda h: -h.score)
         hits.extend(per_q[:max_hits_per_query])
     return hits
+
+
+def _refine_gapped(index: SfxIndex, rec, hits: list[BlitzHit],
+                   sw_band: int, min_score: int) -> list[BlitzHit]:
+    """Banded-SW refinement of chained blocks (one device batch/query)."""
+    from ..pacbio.sswd import SWScores, banded_sw_batch
+    g = index.genome
+    name_to_ci = {n: i for i, n in enumerate(g.names)}
+    B = len(hits)
+    margin = sw_band // 2
+    qs = {s: (rec.codes if s == "+" else dna.revcomp(rec.codes))
+          for s in "+-"}
+    Lp = max(len(rec.codes), 1)
+    jobs = []
+    for h in hits:
+        ci = name_to_ci[h.chrom]
+        ts = int(g.starts[ci])
+        tl = int(g.lengths[ci])
+        t0 = max(0, h.t_start - h.q_start - margin)
+        t1 = min(tl, h.t_end + (Lp - h.q_end) + margin)
+        jobs.append((ts + t0, t1 - t0, t0))
+    Lt = max(j[1] for j in jobs)
+    probes = np.full((B, Lp), 0x0F, np.uint8)
+    targets = np.full((B, Lt), 0x0F, np.uint8)
+    plens = np.zeros(B, np.int32)
+    tlens = np.zeros(B, np.int32)
+    diag0 = np.zeros(B, np.int32)
+    for b, (h, (gt0, tl, t0)) in enumerate(zip(hits, jobs)):
+        q = qs[h.strand]
+        probes[b, :len(q)] = q
+        targets[b, :tl] = g.seq[gt0: gt0 + tl]
+        plens[b] = len(q)
+        tlens[b] = tl
+        diag0[b] = (h.t_start - t0) - h.q_start
+    res = banded_sw_batch(probes, plens, targets, tlens, diag0,
+                          band=sw_band, scores=SWScores(1, -2, -3, -1))
+    out = []
+    for h, a, (gt0, tl, t0) in zip(hits, res, jobs):
+        if a.score < min_score:
+            continue
+        blocks = []
+        qi, ti = a.p_start, a.t_start + t0
+        qg = tg = qgb = tgb = 0
+        for op, n in a.ops:
+            if op == "M":
+                if blocks and blocks[-1][0] + blocks[-1][2] == qi \
+                        and blocks[-1][1] + blocks[-1][2] == ti:
+                    blocks[-1] = (blocks[-1][0], blocks[-1][1],
+                                  blocks[-1][2] + n)
+                else:
+                    blocks.append((qi, ti, n))
+                qi += n
+                ti += n
+            elif op == "D":
+                qg += 1
+                qgb += n
+                qi += n
+            else:
+                tg += 1
+                tgb += n
+                ti += n
+        out.append(BlitzHit(h.query, a.p_start, a.p_end, h.chrom,
+                            a.t_start + t0, a.t_end + t0, h.strand,
+                            a.matches, a.mismatches, a.score,
+                            q_gaps=qg, t_gaps=tg, q_gap_bases=qgb,
+                            t_gap_bases=tgb, blocks=blocks))
+    return out
 
 
 def write_psl(path, hits: list[BlitzHit], q_lens: dict,
@@ -130,9 +210,14 @@ def write_psl(path, hits: list[BlitzHit], q_lens: dict,
                 "qStarts\ttStarts\ncount\tmatch\tmatch\t\tcount\tbases\t"
                 "count\tbases\n" + "-" * 80 + "\n")
         for h in hits:
+            blocks = h.blocks or [(h.q_start, h.t_start,
+                                   h.q_end - h.q_start)]
             f.write("\t".join(map(str, [
-                h.matches, h.mismatches, 0, 0, 0, 0, 0, 0, h.strand,
+                h.matches, h.mismatches, 0, 0, h.q_gaps, h.q_gap_bases,
+                h.t_gaps, h.t_gap_bases, h.strand,
                 h.query, q_lens.get(h.query, 0), h.q_start, h.q_end,
                 h.chrom, t_lens.get(h.chrom, 0), h.t_start, h.t_end,
-                1, f"{h.q_end - h.q_start},", f"{h.q_start},",
-                f"{h.t_start},"])) + "\n")
+                len(blocks),
+                "".join(f"{b[2]}," for b in blocks),
+                "".join(f"{b[0]}," for b in blocks),
+                "".join(f"{b[1]}," for b in blocks)])) + "\n")

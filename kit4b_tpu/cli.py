@@ -921,7 +921,7 @@ def cmd_blitz(args) -> int:
     recs = [r for p_ in args.infile for r in read_seqs(p_)]
     hits = blitz_align(idx, recs, stride=args.stride,
                        min_hits=args.minhits, band=args.band,
-                       min_score=args.minscore)
+                       min_score=args.minscore, gapped=args.gapped)
     q_lens = {r.name: len(r.codes) for r in recs}
     t_lens = {n: int(l) for n, l in zip(idx.genome.names,
                                         idx.genome.lengths)}
@@ -1241,6 +1241,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_maploci)
 
     p = sub.add_parser("blitz", help="local-align long queries vs index")
+    p.add_argument("-G", "--gapped", action="store_true",
+                   help="refine chained blocks with banded affine SW")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True,

@@ -233,15 +233,46 @@ def prefix_kmer_counts(index: SfxIndex, chrom_cult: np.ndarray,
     return rep_pos, counts
 
 
+def antisense_counts(index: SfxIndex, rep_pos: np.ndarray,
+                     counts: np.ndarray, kmer_len: int) -> np.ndarray:
+    """Per-cultivar ANTISENSE counts for each distinct K-mer: occurrences
+    of revcomp(kmer) on the sense strand (CSfxArray::GenKMerCultsCnts
+    counts both orientations, SfxArray.cpp:2805). K-mers pack into 2-bit
+    int64 keys (K <= 31), matched by sort + searchsorted."""
+    K = kmer_len
+    if K > 31:
+        raise ValueError("antisense counts support K <= 31 (2-bit packing)")
+    g = index.genome
+    if len(rep_pos) == 0:
+        return np.zeros_like(counts)
+    w = g.seq[rep_pos[:, None] + np.arange(K)[None, :]].astype(np.int64)
+    pw = 4 ** np.arange(K - 1, -1, -1, dtype=np.int64)
+    keys = w @ pw
+    rc = 3 - w[:, ::-1]
+    rc_keys = rc @ pw
+    order = np.argsort(keys)
+    sk = keys[order]
+    j = np.searchsorted(sk, rc_keys)
+    j_cl = np.minimum(j, len(sk) - 1)
+    hit = sk[j_cl] == rc_keys
+    anti = np.zeros_like(counts)
+    anti[hit] = counts[order[j_cl[hit]]]
+    return anti
+
+
 def shared_prefix_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           n_cultivars: int, *, kmer_len: int = 25,
                           min_cultivars: int = 2,
-                          max_per_cultivar: int = 0):
+                          max_per_cultivar: int = 0,
+                          antisense: bool = True):
     """prekmarkers report: distinct K-mers present in >= min_cultivars
     (optionally at most max_per_cultivar copies each — homozygotic
-    constraint). Returns list of (kmer_codes, per-cultivar counts)."""
+    constraint). Counts include antisense occurrences when antisense=True.
+    Returns list of (kmer_codes, per-cultivar counts)."""
     rep_pos, counts = prefix_kmer_counts(index, chrom_cult, n_cultivars,
                                          kmer_len=kmer_len)
+    if antisense and len(rep_pos):
+        counts = counts + antisense_counts(index, rep_pos, counts, kmer_len)
     present = counts > 0
     n_present = present.sum(axis=1)
     ok = n_present >= min_cultivars

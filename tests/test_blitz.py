@@ -65,3 +65,39 @@ def test_psl_output(tmp_path, index):
     txt = (tmp_path / "o.psl").read_text()
     assert txt.startswith("psLayout version 3")
     assert "\tqq\t" in txt.splitlines()[-1]
+
+def test_blitz_gapped_spans_indel(index):
+    """A query with a deletion relative to the target: ungapped chaining
+    splits it into two blocks; gapped refinement must produce one hit
+    whose blocks bridge the gap and report gap accounting."""
+    g = index.genome
+    start, ln = 200_000, 3_000
+    t = g.seq[start:start + ln]
+    # query = target with the middle 40bp deleted (target gap)
+    q = np.concatenate([t[:1500], t[1540:]])
+    hits = blitz.blitz_align(index, [SeqRecord("gq", "", q)], gapped=True)
+    assert hits
+    best = hits[0]
+    assert best.strand == "+"
+    assert abs(best.t_start - start) < 20
+    # alignment must span both sides of the deletion
+    assert best.t_end - best.t_start > 0.95 * ln
+    assert best.q_end - best.q_start > 0.95 * len(q)
+    assert best.t_gaps >= 1 and best.t_gap_bases >= 30
+    assert best.blocks and len(best.blocks) >= 2
+    # blocks are consistent: each block matches target bases
+    for qb, tb, bl in best.blocks:
+        assert np.array_equal(q[qb:qb + bl], g.seq[tb:tb + bl])
+
+
+def test_psl_gapped_blocks(tmp_path, index):
+    g = index.genome
+    t = g.seq[10_000:12_000]
+    q = np.concatenate([t[:1000], t[1030:]])
+    hits = blitz.blitz_align(index, [SeqRecord("gq", "", q)], gapped=True)
+    blitz.write_psl(tmp_path / "o.psl", hits, {"gq": len(q)},
+                    {n: int(l) for n, l in zip(g.names, g.lengths)})
+    row = (tmp_path / "o.psl").read_text().splitlines()[-1].split("\t")
+    # tNumInsert/tBaseInsert columns populated, blockCount >= 2
+    assert int(row[6]) >= 1 and int(row[7]) >= 20
+    assert int(row[17]) >= 2

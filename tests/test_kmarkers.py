@@ -143,3 +143,32 @@ def test_snpmarkers(tmp_path):
     assert m300.alleles["A"][0] == "G" and m300.alleles["B"][0] == "T"
     write_snp_markers_csv(tmp_path / "mk.csv", markers, ["A", "B"])
     assert len((tmp_path / "mk.csv").read_text().splitlines()) == 3
+
+
+def test_prefix_counts_antisense():
+    """shared_prefix_markers with antisense=True counts revcomp
+    occurrences (GenKMerCultsCnts counts both strands)."""
+    rng = np.random.default_rng(17)
+    s0 = rng.integers(0, 4, 400).astype(np.uint8)
+    K = 12
+    kmer = s0[50:50 + K]
+    # cultivar 1 contains ONLY the revcomp of that kmer
+    s1 = rng.integers(0, 4, 400).astype(np.uint8)
+    s1[100:100 + K] = dna.revcomp(kmer)
+    seq = np.concatenate([s0, [dna.BASE_EOS], s1, [dna.BASE_EOG]])
+    g = Genome(["c0", "c1"], np.array([0, 401]), np.array([400, 400]), seq)
+    idx = SfxIndex.build(g)
+    sense = kmarkers.shared_prefix_markers(idx, np.array([0, 1]), 2,
+                                           kmer_len=K, min_cultivars=2,
+                                           antisense=False)
+    both = kmarkers.shared_prefix_markers(idx, np.array([0, 1]), 2,
+                                          kmer_len=K, min_cultivars=2,
+                                          antisense=True)
+    key = dna.decode(kmer)
+    sense_keys = {dna.decode(c) for c, _ in sense}
+    both_keys = {dna.decode(c) for c, _ in both}
+    # sense-only: the kmer is not shared (cult1 has only revcomp)
+    assert key not in sense_keys
+    # with antisense counting it becomes shared (or its revcomp does)
+    rc_key = dna.decode(dna.revcomp(kmer))
+    assert key in both_keys or rc_key in both_keys
