@@ -89,6 +89,57 @@ def _select_merges(edges, contained_under: set, n_live: int):
     return accepted
 
 
+def merge_pe_to_se(store: SeqStore, *, min_overlap: int = 16,
+                   max_subs_pct: int = 5) -> tuple[SeqStore, int]:
+    """Merge PE fragments whose mates now overlap into single SE sequences
+    (CKit4bdna::SeqMergePE12ToSE, ngskit4b/kit4bdna.cpp:8739). FR library:
+    mate1's 3' end overlaps revcomp(mate2)'s 5' end; lowest-mismatch-rate
+    overlap under the subs budget wins. Non-overlapping pairs keep their
+    mate linkage. Returns (new store, n pairs merged)."""
+    if store.mate is None:
+        return store, 0
+    live = np.nonzero(store.live_mask())[0]
+    live_set = set(int(i) for i in live)
+    arrays: list[np.ndarray] = []
+    mate: list[int] = []
+    n_merged = 0
+    done: set[int] = set()
+    for i in live:
+        i = int(i)
+        if i in done:
+            continue
+        m = int(store.mate[i])
+        if m < 0 or m not in live_set:
+            arrays.append(store.get(i))
+            mate.append(-1)
+            done.add(i)
+            continue
+        a = store.get(i)
+        b_rc = dna.revcomp(store.get(m))
+        done.add(i)
+        done.add(m)
+        best_o, best_rate = 0, 1.0
+        max_o = min(len(a), len(b_rc))
+        for o in range(min_overlap, max_o + 1):
+            mm = int((a[len(a) - o:] != b_rc[:o]).sum())
+            if mm > max(1, o * max_subs_pct // 100):
+                continue
+            rate = mm / o - o * 1e-9   # prefer longer at equal rate
+            if rate < best_rate:
+                best_rate, best_o = rate, o
+        if best_o:
+            arrays.append(np.concatenate([a, b_rc[best_o:]]))
+            mate.append(-1)
+            n_merged += 1
+        else:
+            j = len(arrays)
+            arrays.append(a)
+            arrays.append(store.get(m))
+            mate.extend([j + 1, j])
+    return SeqStore.from_arrays(
+        arrays, mate=np.asarray(mate, np.int64)), n_merged
+
+
 def _apply_merges(store: SeqStore, live: np.ndarray, accepted, contained,
                   n_live: int) -> SeqStore:
     """Concatenate merge chains into new sequences; consumed seqs flagged."""
@@ -124,11 +175,26 @@ def _apply_merges(store: SeqStore, live: np.ndarray, accepted, contained,
         consumed.add(c % n_live)
 
     keep_arrays: list[np.ndarray] = []
+    new_pos: dict[int, int] = {}     # live-index u -> position in new store
     for u in range(n_live):
         if u not in consumed:
+            new_pos[u] = len(new_seqs) + len(keep_arrays)
             keep_arrays.append(store.get(int(live[u])))
     all_arrays = new_seqs + keep_arrays
-    return SeqStore.from_arrays(all_arrays)
+    # preserve PE mate linkage for pairs where BOTH mates survive untouched;
+    # a merged/absorbed mate dissolves the pair (reference: merged seqs get
+    # new SE identity, kit4bdna.cpp:8623)
+    mate = None
+    if store.mate is not None:
+        live_idx_of = {int(v): u for u, v in enumerate(live)}
+        mate_arr = np.full(len(all_arrays), -1, np.int64)
+        for u, npos in new_pos.items():
+            m = int(store.mate[int(live[u])])
+            mu = live_idx_of.get(m, -1) if m >= 0 else -1
+            if mu >= 0 and mu in new_pos:
+                mate_arr[npos] = new_pos[mu]
+        mate = mate_arr
+    return SeqStore.from_arrays(all_arrays, mate=mate)
 
 
 def assemble(store: SeqStore, params: AssembleParams | None = None,
@@ -141,6 +207,12 @@ def assemble(store: SeqStore, params: AssembleParams | None = None,
         frac = (pass_no - 1) / max(1, p.max_passes - 1)
         min_ovl = int(round(p.min_overlap
                             - frac * (p.min_overlap - p.min_overlap_final)))
+        if cur.mate is not None:
+            # PE fragments whose flanks have grown to overlap merge to SE
+            # each pass (SeqMergePE12ToSE, deNovoAssemb pass loop)
+            cur, n_pe = merge_pe_to_se(cur, min_overlap=min_ovl)
+            if progress and n_pe:
+                progress(pass_no, 0, n_pe, 0, cur.n_live())
         edges, contained = find_overlaps(
             cur, min_overlap=min_ovl, max_subs_per_100=p.max_subs_per_100)
         n_live = cur.n_live()

@@ -25,6 +25,7 @@ from .store import FLAG_DELETED, FLAG_DUP, FLAG_NOOVL, SeqStore
 class FilterParams:
     dedup: bool = True
     dedup_pe: bool = True           # pair-level dedup when PE
+    near_dup_subs: int = 0          # >0: also flag near-dups (<= subs)
     min_overlap_pct: int = 70       # flank overlap support requirement
     overlap_passes: int = 1         # iterative support passes
     max_subs_per_100: int = 2
@@ -80,6 +81,62 @@ def mark_duplicates(store: SeqStore, pe: bool = False) -> int:
     return int(dup.sum())
 
 
+def mark_near_duplicates(store: SeqStore, max_subs: int = 2,
+                         batch: int = 8192, cand: int = 32) -> int:
+    """Flag near-duplicates: same-length reads identical up to max_subs
+    substitutions (CArtefactReduce::IdentifyDuplicates near-dup mode,
+    ArtefactReduce.cpp:1548). Device-scored: each read's prefix k-mer is
+    probed against the read-corpus index and full-length compares count
+    mismatches; of each discovered pair the lower store id is retained.
+    Sense-strand only (run after exact dedup, which handles rc pairs via
+    the assembler corpus when enabled)."""
+    import jax.numpy as jnp
+    from ..index.sfx_index import SfxIndex
+    from .overlap import INT32_MAX, _overlap_pass, corpus_genome
+
+    live = np.nonzero(store.live_mask())[0]
+    if len(live) < 2:
+        return 0
+    g, live_ids = corpus_genome(store, with_rc=False)
+    idx = SfxIndex.build(g)
+    genome_d = jnp.asarray(g.seq)
+    sa_d = jnp.asarray(idx.sa_clean.astype(np.int32))
+    lut_d = jnp.asarray(idx.lut.astype(np.int32))
+    starts, lengths = g.starts, g.lengths
+    win = int(lengths.max())
+    n = len(g.names)
+    kill = np.zeros(n, bool)
+    for s in range(0, n, batch):
+        q_ids = np.arange(s, min(s + batch, n))
+        nb = len(q_ids)
+        qs, ql = starts[q_ids], lengths[q_ids]
+        if nb < batch:
+            qs = np.concatenate([qs, np.zeros(batch - nb, np.int64)])
+            ql = np.concatenate([ql, np.zeros(batch - nb, np.int64)])
+        pos, mm = _overlap_pass(genome_d, sa_d, lut_d, jnp.asarray(qs),
+                                jnp.asarray(ql), lut_k=idx.lut_k,
+                                cand=cand, win=win)
+        pos = np.asarray(pos)[:nb]
+        mm = np.asarray(mm)[:nb]
+        for j in range(nb):
+            b = int(q_ids[j])
+            for p, m in zip(pos[j], mm[j]):
+                if p == INT32_MAX or int(m) > max_subs:
+                    continue
+                a = int(np.searchsorted(starts, p, side="right") - 1)
+                if a == b or p != starts[a] or lengths[a] != lengths[b]:
+                    continue
+                kill[max(a, b)] = True
+    flagged = live_ids[np.nonzero(kill)[0]]
+    store.flags[flagged] |= FLAG_DUP | FLAG_DELETED
+    if store.mate is not None:
+        for i in flagged:
+            m = store.mate[i]
+            if m >= 0:
+                store.flags[m] |= FLAG_DUP | FLAG_DELETED
+    return int(kill.sum())
+
+
 def mark_unsupported(store: SeqStore, params: FilterParams) -> int:
     """Flag reads lacking overlap support from any other read.
 
@@ -116,6 +173,11 @@ def artefact_reduce(store: SeqStore, params: FilterParams | None = None,
         n = mark_duplicates(store, pe=pe and p.dedup_pe)
         if progress:
             progress("duplicates", n)
+    if p.near_dup_subs > 0:
+        store = store.compact()
+        n = mark_near_duplicates(store, p.near_dup_subs)
+        if progress:
+            progress("near-duplicates", n)
     store = store.compact()
     for i in range(p.overlap_passes):
         n = mark_unsupported(store, p)

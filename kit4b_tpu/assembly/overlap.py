@@ -173,7 +173,10 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
                 if int(m) > max_mm:
                     continue
                 if o >= lb:      # b contained within a
-                    contained.add(b_corpus)
+                    # exact same-length duplicates are MUTUALLY contained;
+                    # keep the lower underlying id so one copy survives
+                    if la > lb or (a_corpus % n_live) < (b_corpus % n_live):
+                        contained.add(b_corpus)
                     continue
                 if o < min_overlap:
                     continue

@@ -28,6 +28,7 @@ class ScaffoldParams:
     min_links: int = 2          # pairs required to accept a join
     default_gap: int = 100      # N gap when no estimate available
     min_gap: int = 10
+    insert_size: int = 500      # PE library mean insert (gap estimation)
 
 
 def _end_of(strand_fwd: bool):
@@ -51,6 +52,56 @@ def collect_links(sam1, sam2):
             continue
         yield ((r1.rname, _end_of(not r1.is_reverse)),
                (r2.rname, _end_of(not r2.is_reverse)))
+
+
+def collect_seq_links(index, pe1_records, pe2_records,
+                      params: ScaffoldParams | None = None, *,
+                      aligner=None, max_subs: int = 5):
+    """Sequence-aware link generation (CScaffolder::GenSeqEdges,
+    ngskit4b/Scaffolder.cpp:1713): align PE mate reads directly onto the
+    contig index (sense+antisense handled by the aligner) and vote for
+    joining the contig ends that face each other, with a per-pair gap
+    estimate gap = insert - dA - dB where d* is the mate's distance to its
+    facing contig end.
+
+    Yields ((ctgA, endA), (ctgB, endB), gap_estimate).
+    """
+    from ..align.kalign import KAligner, NAR_ACCEPTED
+    p = params or ScaffoldParams()
+    al = aligner or KAligner(index, max_subs=max_subs)
+    g = index.genome
+
+    def locate(records):
+        out = {}
+        for rec, res in al.align_records(records):
+            if res.nar != NAR_ACCEPTED:
+                continue
+            ci = int(np.searchsorted(g.starts, res.pos, side="right") - 1)
+            out[rec.name] = (ci, int(res.pos - g.starts[ci]),
+                             res.strand, len(rec.codes))
+        return out
+
+    m1 = locate(pe1_records)
+    m2 = locate(pe2_records)
+    for qname, (c1, p1, s1, l1) in m1.items():
+        hit2 = m2.get(qname)
+        if hit2 is None:
+            continue
+        c2, p2, s2, l2 = hit2
+        if c1 == c2:
+            continue
+        # forward mate faces the R end; distance from read start to that
+        # end; reverse mate faces the L end, distance to contig start
+        if s1 == 0:
+            e1, d1 = "R", int(g.lengths[c1]) - p1
+        else:
+            e1, d1 = "L", p1 + l1
+        if s2 == 0:
+            e2, d2 = "R", int(g.lengths[c2]) - p2
+        else:
+            e2, d2 = "L", p2 + l2
+        gap = p.insert_size - d1 - d2
+        yield ((g.names[c1], e1), (g.names[c2], e2), gap)
 
 
 class _UnionFind:
@@ -79,15 +130,20 @@ def build_scaffolds(links, contig_names, params: ScaffoldParams | None = None):
     """
     p = params or ScaffoldParams()
     votes = defaultdict(int)
-    for a, b in links:
+    gap_sum = defaultdict(int)
+    for link in links:
+        a, b = link[0], link[1]
         key = tuple(sorted((a, b)))
         votes[key] += 1
+        if len(link) > 2:
+            gap_sum[key] += link[2]
     edges = sorted(((n, a, b) for (a, b), n in votes.items()
                     if n >= p.min_links), reverse=True)
 
     used_ends = set()
     uf = _UnionFind()
     adj = defaultdict(list)  # (ctg,end) -> (other ctg, other end)
+    gaps = {}                # frozenset of the two ends -> gap estimate
     for n, a, b in edges:
         if a in used_ends or b in used_ends:
             continue
@@ -97,6 +153,10 @@ def build_scaffolds(links, contig_names, params: ScaffoldParams | None = None):
         used_ends.add(b)
         adj[a].append(b)
         adj[b].append(a)
+        key = tuple(sorted((a, b)))
+        if key in gap_sum:
+            gaps[frozenset((a, b))] = max(p.min_gap,
+                                          gap_sum[key] // votes[key])
 
     # walk chains: a contig's two ends are implicitly connected internally
     visited = set()
@@ -127,6 +187,9 @@ def build_scaffolds(links, contig_names, params: ScaffoldParams | None = None):
             nxt_ctg, nxt_end = nxts[0]
             if nxt_ctg in visited:
                 break
+            g = gaps.get(frozenset(((cur, exit_end), (nxt_ctg, nxt_end))))
+            if g is not None:
+                path.append(("", g))   # gap marker consumed by writer
             cur, enter = nxt_ctg, nxt_end
         paths.append(path)
     for name in contig_names:
@@ -141,21 +204,51 @@ def write_scaffolds(path, paths, contig_seqs: dict,
     """Emit scaffolded multifasta with N gaps."""
     from ..io.fasta import write_fasta
     p = params or ScaffoldParams()
-    gap = np.full(max(p.min_gap, p.default_gap), dna.BASE_N, np.uint8)
+    dflt_gap = max(p.min_gap, p.default_gap)
     recs = []
     for i, pth in enumerate(paths, start=1):
         parts = []
-        for j, (name, flip) in enumerate(pth):
-            if j:
-                parts.append(gap)
+        names = []
+        pending_gap = None
+        for name, flip in pth:
+            if name == "":            # gap marker: flip holds the estimate
+                pending_gap = max(p.min_gap, int(flip))
+                continue
+            if parts:
+                n_gap = pending_gap if pending_gap is not None else dflt_gap
+                parts.append(np.full(n_gap, dna.BASE_N, np.uint8))
+            pending_gap = None
             s = contig_seqs[name]
             parts.append(dna.revcomp(s) if flip else s)
+            names.append(name)
         recs.append(SeqRecord(
-            f"scaffold{i:05d}",
-            f"contigs={','.join(n for n, _ in pth)}",
+            f"scaffold{i:05d}", f"contigs={','.join(names)}",
             np.concatenate(parts)))
     write_fasta(path, recs)
     return recs
+
+
+def scaffold_contigs(contigs_fasta, pe1_path, pe2_path, out_path,
+                     params: ScaffoldParams | None = None, *,
+                     max_subs: int = 5, min_contig: int = 0):
+    """Sequence-aware scaffolding (CScaffolder::ScaffoldAssemble,
+    ngskit4b/Scaffolder.cpp:788): contigs indexed, PE mates aligned onto
+    them on-device, inter-contig end links voted with insert-derived gap
+    estimates, greedy paths emitted with per-join N gaps."""
+    from ..index.sfx_index import SfxIndex
+    from ..io.fasta import Genome, read_seqs
+    p = params or ScaffoldParams()
+    contigs = [r for r in read_seqs(contigs_fasta)
+               if len(r.codes) >= min_contig]
+    contig_seqs = {r.name: r.codes for r in contigs}
+    g = Genome.from_records(contigs)
+    index = SfxIndex.build(g)
+    links = list(collect_seq_links(index, read_seqs(pe1_path),
+                                   read_seqs(pe2_path), p,
+                                   max_subs=max_subs))
+    paths = build_scaffolds(links, list(contig_seqs), p)
+    recs = write_scaffolds(out_path, paths, contig_seqs, p)
+    return paths, recs
 
 
 def pescaffold(sam1_path, sam2_path, contigs_fasta, out_path,

@@ -570,8 +570,8 @@ def cmd_filter(args) -> int:
         if args.checkpoint:
             store.save(args.checkpoint)
     params = filt.FilterParams(
-        dedup=not args.nodedup, min_overlap_pct=args.minoverlap,
-        overlap_passes=args.passes)
+        dedup=not args.nodedup, near_dup_subs=args.neardup,
+        min_overlap_pct=args.minoverlap, overlap_passes=args.passes)
     with t.phase("filter"):
         out = filt.artefact_reduce(
             store, params,
@@ -594,8 +594,13 @@ def cmd_assemb(args) -> int:
     enable_compile_cache()
     t = PhaseTimer()
     with t.phase("load"):
-        store = SeqStore.from_arrays(
-            [r.codes for p_ in args.infile for r in read_seqs(p_)])
+        if args.pairfile:
+            r1 = [r for p_ in args.infile for r in read_seqs(p_)]
+            r2 = [r for p_ in args.pairfile for r in read_seqs(p_)]
+            store = SeqStore.from_records(r1, r2)
+        else:
+            store = SeqStore.from_arrays(
+                [r.codes for p_ in args.infile for r in read_seqs(p_)])
     params = asmb.AssembleParams(
         min_overlap=args.minoverlap, min_overlap_final=args.minoverlapfinal,
         max_subs_per_100=args.subs, max_passes=args.maxpasses,
@@ -632,6 +637,22 @@ def cmd_pescaffold(args) -> int:
         ScaffoldParams(min_links=args.minlinks, default_gap=args.gap))
     joined = sum(1 for p_ in paths if len(p_) > 1)
     log.info("pescaffold: %d scaffolds (%d multi-contig) -> %s",
+             len(paths), joined, args.outfile)
+    return 0
+
+
+def cmd_scaffold(args) -> int:
+    """ngskit4b scaffold equivalent (CScaffolder, sequence-aware)."""
+    from .assembly.scaffold import ScaffoldParams, scaffold_contigs
+    from .utils.runtime import log
+    paths, recs = scaffold_contigs(
+        args.contigs, args.pe1, args.pe2, args.outfile,
+        ScaffoldParams(min_links=args.minlinks, default_gap=args.gap,
+                       insert_size=args.insert),
+        max_subs=args.subs, min_contig=args.minctg)
+    joined = sum(1 for p_ in paths
+                 if len([e for e in p_ if e[0] != ""]) > 1)
+    log.info("scaffold: %d scaffolds (%d multi-contig) -> %s",
              len(paths), joined, args.outfile)
     return 0
 
@@ -1113,6 +1134,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-X", "--trim3", type=int, default=0)
     p.add_argument("-l", "--minlen", type=int, default=30)
     p.add_argument("-d", "--nodedup", action="store_true")
+    p.add_argument("-D", "--neardup", type=int, default=0,
+                   help="also remove near-duplicates within this many subs")
     p.add_argument("-y", "--minoverlap", type=int, default=70,
                    help="min flank overlap support percent")
     p.add_argument("-c", "--passes", type=int, default=1)
@@ -1123,6 +1146,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("assemb", help="de novo overlap assembly")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-u", "--pair", dest="pairfile", nargs="+", default=None,
+                   help="PE2 mate files (PE-aware assembly)")
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-y", "--minoverlap", type=int, default=50)
     p.add_argument("-Y", "--minoverlapfinal", type=int, default=30)
@@ -1133,6 +1158,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint contigs each N passes")
     _common(p)
     p.set_defaults(fn=cmd_assemb)
+
+    p = sub.add_parser("scaffold",
+                       help="sequence-aware contig scaffolding from PE reads")
+    p.add_argument("-a", "--pe1", required=True)
+    p.add_argument("-A", "--pe2", required=True)
+    p.add_argument("-c", "--contigs", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-L", "--minlinks", type=int, default=2)
+    p.add_argument("-g", "--gap", type=int, default=100)
+    p.add_argument("-p", "--insert", type=int, default=500,
+                   help="PE library mean insert size")
+    p.add_argument("-s", "--subs", type=int, default=5)
+    p.add_argument("--minctg", type=int, default=0,
+                   help="minimum contig length to scaffold")
+    _common(p)
+    p.set_defaults(fn=cmd_scaffold)
 
     p = sub.add_parser("pescaffold", help="scaffold contigs from PE SAMs")
     p.add_argument("-a", "--pe1sam", required=True)

@@ -158,25 +158,29 @@ class Genome:
     seq: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
 
     @classmethod
-    def load(cls, *paths) -> "Genome":
+    def from_records(cls, records) -> "Genome":
         names: list[str] = []
         starts: list[int] = []
         lengths: list[int] = []
         chunks: list[np.ndarray] = []
         pos = 0
-        for path in paths:
-            for rec in read_seqs(path):
-                names.append(rec.name)
-                starts.append(pos)
-                lengths.append(len(rec.codes))
-                chunks.append(rec.codes)
-                chunks.append(np.array([dna.BASE_EOS], dtype=np.uint8))
-                pos += len(rec.codes) + 1
+        for rec in records:
+            names.append(rec.name)
+            starts.append(pos)
+            lengths.append(len(rec.codes))
+            chunks.append(rec.codes)
+            chunks.append(np.array([dna.BASE_EOS], dtype=np.uint8))
+            pos += len(rec.codes) + 1
         seq = (np.concatenate(chunks) if chunks else np.zeros(0, np.uint8))
         if len(seq):
             seq[-1] = dna.BASE_EOG
         return cls(names, np.asarray(starts, np.int64),
                    np.asarray(lengths, np.int64), seq)
+
+    @classmethod
+    def load(cls, *paths) -> "Genome":
+        return cls.from_records(rec for path in paths
+                                for rec in read_seqs(path))
 
     @property
     def total_len(self) -> int:
