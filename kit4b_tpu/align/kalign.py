@@ -491,7 +491,7 @@ def write_align_stats(path, stats: dict, sub_hist: np.ndarray,
 
 def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
               emit_unmapped: bool = True, snp_caller=None,
-              stats_path=None) -> dict:
+              stats_path=None, bam_index: bool = False) -> dict:
     """Write (SeqRecord, AlignResult) stream to SAM (or BAM when the path
     ends .bam); returns counters.
 
@@ -518,7 +518,32 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
     writer_cls = SamWriter
     if str(path).endswith(".bam"):
         from ..io.bam import BamWriter
-        writer_cls = BamWriter
+        if bam_index:
+            # BAI needs coordinate order: buffer, sort by (chrom, loci),
+            # then write BAM+BAI (the reference sorts accepted hits before
+            # WriteBAMReadHits, KAligner.cpp:5718)
+            class _SortedBam:
+                def __init__(self, *a, **kw):
+                    kw["index"] = True
+                    self._a, self._kw = a, kw
+                    self._order = {n: i for i, n in enumerate(a[1])}
+                    self._recs = []
+
+                def write(self, aln):
+                    self._recs.append(aln)
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    self._recs.sort(key=lambda r: (
+                        self._order.get(r.rname, 1 << 30), r.pos))
+                    with BamWriter(*self._a, **self._kw) as bw:
+                        for r in self._recs:
+                            bw.write(r)
+            writer_cls = _SortedBam
+        else:
+            writer_cls = BamWriter
     with writer_cls(path, g.names, g.lengths, pg_cl=cmdline) as w:
         for rec, res in aligned:
             stats[res.nar] += 1

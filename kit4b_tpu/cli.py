@@ -128,7 +128,7 @@ def cmd_kalign(args) -> int:
                 args.outfile, idx, aligned,
                 cmdline=" ".join(sys.argv),
                 emit_unmapped=(args.format == 1), snp_caller=caller,
-                stats_path=args.statsfile)
+                stats_path=args.statsfile, bam_index=args.baindex)
         log.info("kalign: %d reads, %s", sum(stats.values()), stats)
     if caller is not None:
         with t.phase("snp call"):
@@ -1045,6 +1045,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("--baindex", action="store_true",
+                   help="write coordinate-sorted BAM + .bai (out must be .bam)")
     p.add_argument("-m", "--mode", type=int, default=0,
                    help="0 std, 1 more sensitive, 2 ultra, 3 less")
     p.add_argument("-M", "--format", type=int, default=0,

@@ -27,14 +27,30 @@ class BgzfWriter:
     def __init__(self, path):
         self._f = open(path, "wb")
         self._buf = bytearray()
+        self.u_pos = 0               # total uncompressed bytes accepted
+        self._u_flushed = 0          # uncompressed bytes already in blocks
+        # per flushed block: (uncompressed start, compressed file offset)
+        self.block_map: list[tuple[int, int]] = [(0, 0)]
 
     def write(self, data: bytes) -> None:
         self._buf += data
+        self.u_pos += len(data)
         while len(self._buf) >= 60000:
             self._flush_block(self._buf[:60000])
             del self._buf[:60000]
 
+    def virtual_offset(self, u: int) -> int:
+        """BGZF virtual offset (coffset<<16 | uoffset) of uncompressed
+        position u. Valid for positions in already-started blocks; the block
+        map is final once every position <= u has been flushed (call after
+        close for trailing records)."""
+        import bisect
+        i = bisect.bisect_right([b[0] for b in self.block_map], u) - 1
+        u_start, c_off = self.block_map[i]
+        return (c_off << 16) | (u - u_start)
+
     def _flush_block(self, payload: bytes) -> None:
+        self._u_flushed += len(payload)
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(payload)) + co.flush()
         bsize = len(cdata) + 25 + 1
@@ -45,6 +61,7 @@ class BgzfWriter:
                  + struct.pack("<II", zlib.crc32(bytes(payload)),
                                len(payload)))
         self._f.write(block)
+        self.block_map.append((self._u_flushed, self._f.tell()))
 
     def close(self) -> None:
         if self._buf:
@@ -97,11 +114,23 @@ def _reg2bin(beg: int, end: int) -> int:
 
 
 class BamWriter:
-    """SamWriter-compatible BAM writer."""
+    """SamWriter-compatible BAM writer.
+
+    index=True also writes `path + ".bai"` on close (UCSC-binning BAI, the
+    reference's WriteBAMReadHits -M6 path, KAligner.cpp:5718/5930). The BAI
+    is only meaningful when records are written coordinate-sorted, as the
+    reference does (it sorts accepted hits by chrom/loci before output).
+    """
 
     def __init__(self, path, chrom_names, chrom_lengths,
-                 pg_name: str = "kit4b_tpu", pg_cl: str = ""):
+                 pg_name: str = "kit4b_tpu", pg_cl: str = "",
+                 index: bool = False):
+        self._path = str(path)
         self._w = BgzfWriter(path)
+        self._index = index
+        self._n_ref = len(chrom_names)
+        # per record: (ref_id, beg, end, u_start, u_end)
+        self._recs: list[tuple] = []
         self._refs = {n: i for i, n in enumerate(chrom_names)}
         text = "@HD\tVN:1.4\tSO:unsorted\n"
         for name, ln in zip(chrom_names, chrom_lengths):
@@ -149,16 +178,65 @@ class BamWriter:
             (a.pnext - 1) if a.pnext else -1, a.tlen)
         rec += name + b"".join(struct.pack("<I", c) for c in cigar)
         rec += bytes(packed) + qual + tags
+        u_start = self._w.u_pos
         self._w.write(struct.pack("<i", len(rec)) + rec)
+        if self._index and ref_id >= 0:
+            self._recs.append((ref_id, max(pos, 0), max(end, pos + 1),
+                               u_start, self._w.u_pos))
 
     def close(self) -> None:
         self._w.close()
+        if self._index:
+            write_bai(self._path + ".bai", self._recs, self._n_ref, self._w)
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+def write_bai(path, recs, n_ref: int, bgzf: BgzfWriter) -> None:
+    """BAI index (SAM spec section 5.2): per reference, UCSC bins -> chunk
+    lists of BGZF virtual offsets, plus a 16kb-window linear index."""
+    per_ref_bins: list[dict] = [dict() for _ in range(n_ref)]
+    per_ref_linear: list[dict] = [dict() for _ in range(n_ref)]
+    for ref_id, beg, end, u0, u1 in recs:
+        v0 = bgzf.virtual_offset(u0)
+        v1 = bgzf.virtual_offset(u1)
+        b = _reg2bin(beg, end)
+        per_ref_bins[ref_id].setdefault(b, []).append((v0, v1))
+        lin = per_ref_linear[ref_id]
+        for w in range(beg >> 14, ((end - 1) >> 14) + 1):
+            if w not in lin or v0 < lin[w]:
+                lin[w] = v0
+    with open(path, "wb") as f:
+        f.write(b"BAI\x01" + struct.pack("<i", n_ref))
+        for bins, lin in zip(per_ref_bins, per_ref_linear):
+            # merge adjacent chunks within each bin
+            merged_bins = {}
+            for b, chunks in bins.items():
+                chunks.sort()
+                out = [list(chunks[0])]
+                for c0, c1 in chunks[1:]:
+                    if c0 == out[-1][1]:
+                        out[-1][1] = c1
+                    else:
+                        out.append([c0, c1])
+                merged_bins[b] = out
+            f.write(struct.pack("<i", len(merged_bins)))
+            for b in sorted(merged_bins):
+                chunks = merged_bins[b]
+                f.write(struct.pack("<Ii", b, len(chunks)))
+                for c0, c1 in chunks:
+                    f.write(struct.pack("<QQ", c0, c1))
+            n_intv = (max(lin) + 1) if lin else 0
+            f.write(struct.pack("<i", n_intv))
+            prev = 0
+            for w in range(n_intv):
+                v = lin.get(w, prev)
+                f.write(struct.pack("<Q", v))
+                prev = v
 
 
 def read_bam(path):
@@ -197,10 +275,45 @@ def read_bam(path):
         qual = data[p:p + l_seq]
         quals = ("*" if (l_seq == 0 or qual[0] == 255)
                  else "".join(chr(q + 33) for q in qual))
+        p += l_seq
+        tags = []
+        end = off + block
+        while p < end:
+            tag = data[p:p + 2].decode()
+            typ = chr(data[p + 2])
+            p += 3
+            if typ in "cC":
+                val, p = str(struct.unpack_from(
+                    "<b" if typ == "c" else "<B", data, p)[0]), p + 1
+                typ = "i"
+            elif typ in "sS":
+                val, p = str(struct.unpack_from(
+                    "<h" if typ == "s" else "<H", data, p)[0]), p + 2
+                typ = "i"
+            elif typ in "iI":
+                val, p = str(struct.unpack_from(
+                    "<i" if typ == "i" else "<I", data, p)[0]), p + 4
+                typ = "i"
+            elif typ == "f":
+                val, p = repr(struct.unpack_from("<f", data, p)[0]), p + 4
+            elif typ in "ZH":
+                z = data.index(b"\x00", p)
+                val, p = data[p:z].decode(), z + 1
+            elif typ == "A":
+                val, p = chr(data[p]), p + 1
+            else:  # B array — skip
+                atyp = chr(data[p])
+                (n,) = struct.unpack_from("<i", data, p + 1)
+                sz = {"c": 1, "C": 1, "s": 2, "S": 2,
+                      "i": 4, "I": 4, "f": 4}[atyp]
+                p += 5 + n * sz
+                continue
+            tags.append(f"{tag}:{typ}:{val}")
         yield SamAlignment(
             qname, flag, refs[ref_id] if ref_id >= 0 else "*", pos + 1,
             mapq, cig or "*",
             ("=" if nref == ref_id and nref >= 0 else
              (refs[nref] if nref >= 0 else "*")),
-            npos + 1 if npos >= 0 else 0, tlen, seq or "*", quals)
+            npos + 1 if npos >= 0 else 0, tlen, seq or "*", quals,
+            tags=tags)
         off += block  # past this record (block_size counts the record body)

@@ -43,3 +43,77 @@ def test_bam_many_records(tmp_path):
     back = list(read_bam(p))
     assert len(back) == 3000
     assert back[-1].qname == "read2999"
+
+
+def test_bai_index(tmp_path):
+    """BAI written alongside BAM resolves a region query: virtual offsets
+    from the chosen bin land exactly on records overlapping the region."""
+    import struct
+    import zlib
+    from kit4b_tpu.io.bam import _reg2bin
+
+    p = tmp_path / "ix.bam"
+    # coordinate-sorted alignments spanning >1 bgzf block, 2 refs
+    with BamWriter(p, ["c1", "c2"], [100_000, 50_000], index=True) as w:
+        for i in range(2000):
+            w.write(SamAlignment(f"r{i}", 0, "c1", 1 + i * 40, 254, "60M",
+                                 seq="A" * 60, qual="I" * 60))
+        for i in range(500):
+            w.write(SamAlignment(f"s{i}", 0, "c2", 1 + i * 40, 254, "60M",
+                                 seq="C" * 60, qual="I" * 60))
+    bai = (tmp_path / "ix.bam.bai").read_bytes()
+    assert bai[:4] == b"BAI\x01"
+    (n_ref,) = struct.unpack_from("<i", bai, 4)
+    assert n_ref == 2
+
+    # parse ref 0's bins
+    off = 8
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", bai, off)
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", bai, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                c0, c1 = struct.unpack_from("<QQ", bai, off)
+                off += 16
+                chunks.append((c0, c1))
+            bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", bai, off)
+        off += 4
+        lin = struct.unpack_from(f"<{n_intv}Q", bai, off)
+        off += 8 * n_intv
+        refs.append((bins, lin))
+    assert off == len(bai)
+
+    # region query c1:40000-40100 -> leaf bin; decode first chunk's record
+    beg, end = 40_000, 40_100
+    b = _reg2bin(beg, end)
+    bins, lin = refs[0]
+    assert b in bins or lin, bins.keys()
+    # take the linear-index hint for the window and decode the record there
+    voff = lin[beg >> 14]
+    coffset, uoffset = voff >> 16, voff & 0xFFFF
+    raw = open(p, "rb").read()
+    # decompress the single bgzf block at coffset
+    (xlen,) = struct.unpack_from("<H", raw, coffset + 10)
+    (bsize,) = struct.unpack_from("<H", raw, coffset + 16)
+    cdata = raw[coffset + 12 + xlen: coffset + bsize + 1 - 8]
+    payload = zlib.decompress(cdata, -15)
+    # if the record straddles into the next block, append it
+    nxt = coffset + bsize + 1
+    while len(payload) < uoffset + 36:
+        (xl2,) = struct.unpack_from("<H", raw, nxt + 10)
+        (bs2,) = struct.unpack_from("<H", raw, nxt + 16)
+        payload += zlib.decompress(raw[nxt + 12 + xl2: nxt + bs2 + 1 - 8],
+                                   -15)
+        nxt += bs2 + 1
+    ref_id, pos = struct.unpack_from("<ii", payload, uoffset + 4)
+    assert ref_id == 0
+    # first record whose 16kb window covers beg must start at/before beg
+    # and (since sorted, 40bp step, 60M) within one window of it
+    assert pos <= beg
+    assert pos >= (beg >> 14 << 14) - 60
