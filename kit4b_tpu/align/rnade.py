@@ -78,6 +78,46 @@ def differential_expression(samples: list, counts: dict,
     return out
 
 
+def binned_profiles(control_sam, exper_sam, bed, numbins: int = 10) -> dict:
+    """Per-feature binned start-loci coverage profiles for the Pearson
+    congruence test (rnade.cpp bins each transcript into `-b numbins`
+    non-overlapping bins of read start counts, then correlates control vs
+    experiment profiles).
+
+    Returns feature name -> (control_bins, experiment_bins).
+    """
+    from ..io.sam import read_sam
+
+    profiles: dict[str, tuple[list, list]] = {}
+    feats: dict[str, tuple] = {}
+    for which, path in ((0, control_sam), (1, exper_sam)):
+        for rec in read_sam(path):
+            if not rec.is_mapped:
+                continue
+            start = rec.pos - 1
+            for ft in bed.overlapping(rec.rname, start, start + 1):
+                key = ft.name or f"{ft.chrom}:{ft.start}-{ft.end}"
+                if key not in profiles:
+                    profiles[key] = ([0.0] * numbins, [0.0] * numbins)
+                    feats[key] = (ft.start, ft.end)
+                fs, fe = feats[key]
+                b = min(numbins - 1,
+                        (start - fs) * numbins // max(fe - fs, 1))
+                profiles[key][which][b] += 1
+    return profiles
+
+
+def write_bin_counts_csv(path, profiles: dict, numbins: int) -> None:
+    with open(path, "w") as f:
+        hdr = ",".join(f'"CtrlBin{i}"' for i in range(numbins))
+        hdr += "," + ",".join(f'"ExprBin{i}"' for i in range(numbins))
+        f.write('"Feature",' + hdr + "\n")
+        for feat in sorted(profiles):
+            c, e = profiles[feat]
+            f.write(f'"{feat}",' + ",".join(str(int(v)) for v in c) + ","
+                    + ",".join(str(int(v)) for v in e) + "\n")
+
+
 def write_de_csv(path, results: list) -> None:
     with open(path, "w") as f:
         f.write('"Feature","ControlCPM","ExprCPM","Log2Fold","FoldBin",'

@@ -896,6 +896,59 @@ def cmd_gendeseq(args) -> int:
     return 0
 
 
+def cmd_rnade(args) -> int:
+    """ngskit4b rnade equivalent (CRNAde): control vs experiment DE with
+    fold bins and binned-profile Pearson congruence (rnade.cpp)."""
+    from .align.regions import de_counts
+    from .align.rnade import (binned_profiles, differential_expression,
+                              write_bin_counts_csv, write_de_csv)
+    from .io.bed import BedFile
+    from .utils.runtime import log
+    bed = BedFile.load(args.bedfile)
+    samples, counts = de_counts(
+        {"control": args.control, "experiment": args.experiment}, bed)
+    profiles = binned_profiles(args.control, args.experiment, bed,
+                               numbins=args.numbins)
+    results = differential_expression(
+        samples, counts, "control", "experiment",
+        min_counts=args.minfeatcnts, profiles=profiles)
+    write_de_csv(args.outfile, results)
+    if args.bincounts:
+        write_bin_counts_csv(args.bincounts, profiles, args.numbins)
+    log.info("rnade: %d features -> %s", len(results), args.outfile)
+    return 0
+
+
+def cmd_fasta2bed(args) -> int:
+    """ngskit4b fasta2bed equivalent: sequence names+lengths -> BED."""
+    from .io.fasta import read_seqs
+    n = 0
+    with open(args.outfile, "w") as f:
+        for p_ in args.infile:
+            for rec in read_seqs(p_):
+                f.write(f"{rec.name}\t0\t{len(rec.codes)}\t{rec.name}"
+                        f"\t0\t+\n")
+                n += 1
+    from .utils.runtime import log
+    log.info("fasta2bed: %d sequences -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_genpba(args) -> int:
+    """ngskit4b genpba equivalent (KAlignerCL.cpp:1491 kalignerPBA):
+    kalign in PBA output mode — align readsets and emit only the Packed
+    Base Allele file (plus optional SAM)."""
+    import os
+    args.pbafile = args.outfile
+    args.outfile = args.samfile or os.devnull
+    args.snpfile = args.wigfile = args.statsfile = args.disnpfile = None
+    args.include = args.exclude = args.priobed = None
+    args.pcrdups = 0
+    args.baindex = False
+    args.format = 0
+    return cmd_kalign(args)
+
+
 def cmd_mergeoverlaps(args) -> int:
     """ngskit4b mergeoverlaps equivalent (CMergeReadPairs)."""
     from .assembly.mergepairs import MergeParams, merge_pairs
@@ -1521,6 +1574,56 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     _common(p)
     p.set_defaults(fn=cmd_genbioseq)
+
+    p = sub.add_parser("rnade",
+                       help="RNA-seq differential expression + Pearson")
+    p.add_argument("-i", "--control", required=True,
+                   help="control sample SAM")
+    p.add_argument("-I", "--experiment", required=True,
+                   help="experiment sample SAM")
+    p.add_argument("-g", "--ingene", dest="bedfile", required=True,
+                   help="gene/feature BED")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-O", "--bincounts", default=None,
+                   help="per-feature bin counts CSV")
+    p.add_argument("-b", "--numbins", type=int, default=10)
+    p.add_argument("-C", "--minfeatcnts", type=int, default=10)
+    _common(p)
+    p.set_defaults(fn=cmd_rnade)
+
+    p = sub.add_parser("fasta2bed",
+                       help="sequence names+lengths -> BED")
+    p.add_argument("-i", "--in", dest="infile", required=True, nargs="+")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_fasta2bed)
+
+    p = sub.add_parser("genpba",
+                       help="align readsets -> Packed Base Alleles file")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True,
+                   help="PBA output (.pba.npz)")
+    p.add_argument("--sam", dest="samfile", default=None,
+                   help="also write accepted alignments SAM")
+    p.add_argument("-m", "--mode", type=int, default=0)
+    p.add_argument("-s", "--substitutions", type=int, default=5)
+    p.add_argument("-r", "--editdelta", type=int, default=1)
+    p.add_argument("-R", "--maxmulti", type=int, default=5)
+    p.add_argument("-n", "--maxns", type=int, default=1)
+    p.add_argument("-y", "--microindellen", type=int, default=0)
+    p.add_argument("-l", "--splicemax", type=int, default=0)
+    p.add_argument("-C", "--chimeric", type=int, default=0)
+    p.add_argument("-p", "--minsnpreads", type=int, default=5)
+    p.add_argument("-P", "--qvalue", type=float, default=0.05)
+    p.add_argument("-b", "--batchsize", type=int, default=8192)
+    p.add_argument("-u", "--pair", dest="pairfile", nargs="+",
+                   default=None)
+    p.add_argument("-U", "--pemode", type=int, default=0)
+    p.add_argument("-d", "--pairminlen", type=int, default=100)
+    p.add_argument("-D", "--pairmaxlen", type=int, default=1000)
+    _common(p)
+    p.set_defaults(fn=cmd_genpba)
 
     p = sub.add_parser("genbiobed",
                        help="BED -> pre-parsed binary features")
