@@ -949,6 +949,170 @@ def cmd_genpba(args) -> int:
     return cmd_kalign(args)
 
 
+def cmd_pangenome(args) -> int:
+    """ngskit4b pangenome equivalent (CPangenome modes 0-3)."""
+    from .tools import pangenes
+    from .utils.runtime import log
+    if args.mode == 0:
+        n = pangenes.prefix_fasta(args.infile, args.outfile, args.prefix)
+        log.info("pangenome: prefixed %d descriptors -> %s", n,
+                 args.outfile)
+    elif args.mode == 1:
+        st = pangenes.filter_sam_prefix(args.infile, args.outfile,
+                                        args.prefix)
+        log.info("pangenome: %s -> %s", st, args.outfile)
+    else:
+        n = pangenes.binned_wiggle(
+            args.infile, args.outfile, bin_kbp=args.binsizekbp,
+            unique_loci=(args.mode == 3),
+            track_name=args.prefix or "pangenome")
+        log.info("pangenome: %d wiggle bins -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_seghaplotypes(args) -> int:
+    """ngskit4b seghaplotypes equivalent (CSegHaplotypes)."""
+    from .tools import pangenes
+    from .utils.runtime import log
+    markers = None
+    if args.snpmarkers:
+        import csv as _csv
+        from collections import defaultdict
+        import numpy as _np
+        tmp = defaultdict(list)
+        with open(args.snpmarkers, newline="") as f:
+            for row in _csv.reader(f):
+                if len(row) >= 2 and not row[1].strip('"').lower() \
+                        .startswith("loci"):
+                    try:
+                        tmp[row[0].strip('"')].append(int(row[1]))
+                    except ValueError:
+                        continue
+        markers = {c: _np.array(sorted(v)) for c, v in tmp.items()}
+    segs = pangenes.seg_haplotypes(
+        args.infile, bin_kbp=args.binsizekbp,
+        min_bin_score=args.minbinscore, min_bin_prop=args.minbinprop,
+        unique_loci=(args.mode == 0), marker_loci=markers,
+        marker_mult=args.snpmarkermult)
+    pangenes.write_segments_bed(args.outfile, segs,
+                                track_name=args.trackname,
+                                track_descr=args.trackdescr)
+    log.info("seghaplotypes: %d segments -> %s", len(segs), args.outfile)
+    return 0
+
+
+def cmd_gbsmapsnps(args) -> int:
+    """ngskit4b gbsmapsnps equivalent (CGBSmapSNPs)."""
+    from .kmer import gbs
+    from .utils.runtime import log
+    if args.mode == 0:
+        cmap = gbs.load_chrom_map(args.cnmap) if args.cnmap else None
+        founders, progenies, rows = gbs.map_gbs_snps(args.infile, cmap)
+        gbs.write_haplotype_matrix(args.outfile, founders, progenies,
+                                   rows, expr_id=args.exprid)
+        log.info("gbsmapsnps: %d loci x %d progenies -> %s", len(rows),
+                 len(progenies), args.outfile)
+    else:
+        st = gbs.combine_matrices(args.infile, args.cnmap, args.outfile)
+        log.info("gbsmapsnps combine: %s -> %s", st, args.outfile)
+    return 0
+
+
+def cmd_dgts(args) -> int:
+    """ngskit4b dgts equivalent (CDGTvQTLs QTL core)."""
+    from .kmer import gbs
+    from .kmer.pba import load_pba
+    from .utils.runtime import log
+    qtls = gbs.load_qtl_csv(args.qtlsfile)
+    sample_pbas = {}
+    for spec in args.samplefiles:
+        name = spec.split("=", 1)[0] if "=" in spec else spec
+        path = spec.split("=", 1)[1] if "=" in spec else spec
+        _, chroms = load_pba(path)
+        sample_pbas[name] = chroms
+    results = gbs.analyse_qtls(qtls, sample_pbas,
+                               min_cov_prop=args.mincovp,
+                               homoz_prop=args.homozp)
+    gbs.write_qtl_csv(args.outfile, results)
+    log.info("dgts: %d QTL loci x %d samples -> %s", len(qtls),
+             len(sample_pbas), args.outfile)
+    return 0
+
+
+def cmd_rnaexpr(args) -> int:
+    """ngskit4b rnaexpr equivalent (CRNAExpr mode 0)."""
+    from .align import rnaexpr
+    from .utils.runtime import log
+    samples, features, counts = rnaexpr.load_counts_matrix(args.infile)
+    partners = None
+    if args.samplesfile:
+        import csv as _csv
+        partners = {}
+        with open(args.samplesfile, newline="") as f:
+            for row in _csv.reader(f):
+                if len(row) >= 2:
+                    partners[row[0].strip().strip('"')] = \
+                        row[1].strip().strip('"')
+    results = rnaexpr.replicate_consistency(samples, counts, partners)
+    rnaexpr.write_consistency_csv(args.outfile, results)
+    bad = [r["sample"] for r in results if not r["consistent"]]
+    log.info("rnaexpr: %d samples, %d inconsistent (%s) -> %s",
+             len(results), len(bad), ",".join(bad[:10]), args.outfile)
+    return 0
+
+
+def cmd_genmlds(args) -> int:
+    """ngskit4b genmlds equivalent (CGenMLdatasets)."""
+    from .tools import mlds
+    from .utils.runtime import log
+    labels = mlds.load_sample_labels(args.labels) if args.labels \
+        else None
+    ns, nf = mlds.transpose_dataset(args.infile, args.outfile, labels)
+    log.info("genmlds: %d samples x %d features -> %s", ns, nf,
+             args.outfile)
+    return 0
+
+
+def cmd_sarscov2ml(args) -> int:
+    """ngskit4b sarscov2ml equivalent (CSarsCov2ML mode 0)."""
+    import numpy as _np
+    from .tools import mlds
+    from .utils.runtime import log
+    with open(args.infile, newline="") as f:
+        import csv as _csv
+        rows = [r for r in _csv.reader(f) if r]
+    feat_names = [h.strip().strip('"') for h in rows[0][1:]]
+    mat = _np.array([[float(v or 0) for v in r[1:]] for r in rows[1:]])
+    linkages = mlds.find_feature_linkages(
+        mat, feat_names, num_linked=args.numlinkedfeatures,
+        min_rows=args.minlinkedrows, min_class=args.featclassvalue)
+    mlds.write_linkages_csv(args.outfile, linkages)
+    log.info("sarscov2ml: %d linkages -> %s", len(linkages),
+             args.outfile)
+    return 0
+
+
+def cmd_alignsbs(args) -> int:
+    """ngskit4b alignsbs equivalent (CAlignsBootstrap)."""
+    from .align import alignsbs
+    from .io.fasta import Genome, read_seqs
+    from .utils.runtime import enable_compile_cache, log
+    enable_compile_cache()
+    qseqs = list(read_seqs(args.queryseqsfile))
+    tseqs = list(read_seqs(args.targseqsfile))
+    qasm = Genome.load(args.queryassembfile)
+    tasm = Genome.load(args.targassembfile)
+    results = alignsbs.bootstrap_align(
+        qseqs, qasm, tseqs, tasm, n_bootstraps=args.numbootstraps,
+        max_subs=args.maxsubs, seed=args.randseed,
+        sense_only=args.senseonly)
+    alignsbs.write_bootstrap_csv(args.qrsltsfile, args.trsltsfile,
+                                 results)
+    log.info("alignsbs: %d iterations -> %s / %s", len(results) - 1,
+             args.qrsltsfile, args.trsltsfile)
+    return 0
+
+
 def cmd_mergeoverlaps(args) -> int:
     """ngskit4b mergeoverlaps equivalent (CMergeReadPairs)."""
     from .assembly.mergepairs import MergeParams, merge_pairs
@@ -1624,6 +1788,105 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-D", "--pairmaxlen", type=int, default=1000)
     _common(p)
     p.set_defaults(fn=cmd_genpba)
+
+    p = sub.add_parser("pangenome",
+                       help="founder-tagged pangenome processing")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 prefix fasta, 1 filter SAM by prefix, "
+                        "2 wiggle all, 3 wiggle unique loci")
+    p.add_argument("-p", "--prefix", default="",
+                   help="founder/descriptor prefix")
+    p.add_argument("-b", "--binsizekbp", type=int, default=10)
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_pangenome)
+
+    p = sub.add_parser("seghaplotypes",
+                       help="pangenome founder segment calling -> BED")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 unique loci bins, 1 all alignments")
+    p.add_argument("-b", "--binsizekbp", type=int, default=10)
+    p.add_argument("-s", "--minbinscore", type=int, default=10)
+    p.add_argument("-M", "--minbinprop", type=float, default=0.3)
+    p.add_argument("-c", "--snpmarkermult", type=int, default=25)
+    p.add_argument("-I", "--snpmarkers", default=None,
+                   help="SNP marker loci CSV (chrom,loci)")
+    p.add_argument("-t", "--trackname", default="seghaps")
+    p.add_argument("-d", "--trackdescr", default="founder segments")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_seghaplotypes)
+
+    p = sub.add_parser("gbsmapsnps",
+                       help="GBS SNP calls -> founder haplotype matrix")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 map SNPs to haplotypes, 1 combine matrices")
+    p.add_argument("-e", "--exprid", type=int, default=1)
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="-m0: GBS SNP CSV; -m1: matrix M1")
+    p.add_argument("-I", "--cnmap", default=None,
+                   help="-m0: chrom name map CSV; -m1: matrix M2")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gbsmapsnps)
+
+    p = sub.add_parser("dgts", help="DGT/QTL allele analysis over PBAs")
+    p.add_argument("-Q", "--qtlsfile", required=True,
+                   help="QTL alleles CSV (chrom,loci,allele)")
+    p.add_argument("-i", "--samplefiles", nargs="+", required=True,
+                   help="sample PBA files (name=path or path)")
+    p.add_argument("-k", "--mincovp", type=float, default=0.8)
+    p.add_argument("-p", "--homozp", type=float, default=0.95)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_dgts)
+
+    p = sub.add_parser("rnaexpr",
+                       help="RNA replicate consistency (Pearson matrix)")
+    p.add_argument("-i", "--cntsfile", dest="infile", required=True,
+                   help="expression counts matrix CSV")
+    p.add_argument("-c", "--samplesfile", default=None,
+                   help="sample -> partner replicate CSV (default: "
+                        "adjacent pairing)")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_rnaexpr)
+
+    p = sub.add_parser("genmlds",
+                       help="transpose feature CSV into ML dataset")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-l", "--labels", default=None,
+                   help="sample,label CSV to join")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_genmlds)
+
+    p = sub.add_parser("sarscov2ml",
+                       help="feature linkage discovery over a matrix")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-l", "--numlinkedfeatures", type=int, default=5)
+    p.add_argument("-r", "--minlinkedrows", type=int, default=50)
+    p.add_argument("-c", "--featclassvalue", type=int, default=3)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_sarscov2ml)
+
+    p = sub.add_parser("alignsbs", help="alignment bootstrapper")
+    p.add_argument("-p", "--queryseqsfile", required=True)
+    p.add_argument("-P", "--queryassembfile", required=True)
+    p.add_argument("-i", "--targseqsfile", required=True)
+    p.add_argument("-I", "--targassembfile", required=True)
+    p.add_argument("-b", "--numbootstraps", type=int, default=100)
+    p.add_argument("-s", "--maxsubs", type=int, default=0,
+                   help="max subs per 100bp of query")
+    p.add_argument("-r", "--randseed", type=int, default=0)
+    p.add_argument("-a", "--senseonly", action="store_true")
+    p.add_argument("-o", "--qrsltsfile", required=True)
+    p.add_argument("-O", "--trsltsfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_alignsbs)
 
     p = sub.add_parser("genbiobed",
                        help="BED -> pre-parsed binary features")

@@ -109,6 +109,10 @@ def gather_score_candidates(gpack: jnp.ndarray,   # [Gw] packed genome
     ids_full = jnp.sort(cand_id, axis=1)
     n_real = jnp.sum(ids_full != INT32_MAX, axis=1, dtype=jnp.int32)
     overflow = n_real > NC
+    if ids_full.shape[1] < NC:   # short reads: fewer candidates than NC
+        ids_full = jnp.pad(ids_full, ((0, 0),
+                                      (0, NC - ids_full.shape[1])),
+                           constant_values=INT32_MAX)
     ids = jax.lax.slice_in_dim(ids_full, 0, NC, axis=1)          # [B, NC]
     dup = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=bool), ids[:, 1:] == ids[:, :-1]], axis=1)

@@ -1,0 +1,230 @@
+"""pangenome, seghaplotypes, gbsmapsnps, dgts, rnaexpr, genmlds,
+sarscov2ml, alignsbs."""
+import numpy as np
+
+from kit4b_tpu import dna
+from kit4b_tpu.cli import main
+from kit4b_tpu.io.fasta import SeqRecord, write_fasta
+
+
+def _sam(path, recs, chroms):
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.4\tSO:unsorted\n")
+        for name, ln in chroms:
+            f.write(f"@SQ\tSN:{name}\tLN:{ln}\n")
+        for i, (chrom, pos, seq) in enumerate(recs):
+            f.write(f"r{i}\t0\t{chrom}\t{pos}\t254\t{len(seq)}M\t*\t0\t0"
+                    f"\t{seq}\t{'I' * len(seq)}\n")
+
+
+def test_pangenome_prefix_and_filter(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(">chr1 desc\nACGT\n>chr2\nGGCC\n")
+    out = tmp_path / "out.fa"
+    assert main(["pangenome", "-m", "0", "-p", "FndrA",
+                 "-i", str(fa), "-o", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == ">FndrA|#chr1 desc"
+    assert lines[2] == ">FndrA|#chr2"
+
+    sam = tmp_path / "a.sam"
+    _sam(sam, [("FndrA|#c1", 10, "ACGT"), ("FndrB|#c1", 20, "ACGT")],
+         [("FndrA|#c1", 100), ("FndrB|#c1", 100)])
+    fsam = tmp_path / "f.sam"
+    assert main(["pangenome", "-m", "1", "-p", "FndrA",
+                 "-i", str(sam), "-o", str(fsam)]) == 0
+    body = [l for l in fsam.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(body) == 1 and body[0].split("\t")[2] == "FndrA|#c1"
+    hdr = [l for l in fsam.read_text().splitlines()
+           if l.startswith("@SQ")]
+    assert len(hdr) == 1 and "SN:FndrA|#c1" in hdr[0]
+
+
+def test_pangenome_wiggle(tmp_path):
+    sam = tmp_path / "a.sam"
+    # 3 alignments in bin 0, 1 in bin 1 (bin = 1kbp), plus a duplicate
+    # locus that unique mode must collapse
+    recs = [("c1", 5, "A" * 50), ("c1", 5, "A" * 50),
+            ("c1", 500, "A" * 50), ("c1", 1500, "A" * 50)]
+    _sam(sam, recs, [("c1", 3000)])
+    wig = tmp_path / "all.wig"
+    assert main(["pangenome", "-m", "2", "-b", "1",
+                 "-i", str(sam), "-o", str(wig)]) == 0
+    vals = [l for l in wig.read_text().splitlines()
+            if not l.startswith(("track", "fixedStep"))]
+    assert vals == ["3", "1"]
+    wigu = tmp_path / "uniq.wig"
+    assert main(["pangenome", "-m", "3", "-b", "1",
+                 "-i", str(sam), "-o", str(wigu)]) == 0
+    vals = [l for l in wigu.read_text().splitlines()
+            if not l.startswith(("track", "fixedStep"))]
+    assert vals == ["2", "1"]
+
+
+def test_seghaplotypes(tmp_path):
+    sam = tmp_path / "pg.sam"
+    chroms = [("FA|#c1", 50000), ("FB|#c1", 50000)]
+    recs = []
+    # founder A dominates bins 0-1 (0..20k), founder B bin 2
+    for i in range(30):
+        recs.append(("FA|#c1", 1 + i * 600, "A" * 60))
+    for i in range(12):
+        recs.append(("FB|#c1", 20001 + i * 700, "A" * 60))
+    # a couple of stray B hits in bin 0 (below min score/prop)
+    recs.append(("FB|#c1", 100, "A" * 60))
+    _sam(sam, recs, chroms)
+    bed = tmp_path / "segs.bed"
+    assert main(["seghaplotypes", "-i", str(sam), "-o", str(bed),
+                 "-b", "10", "-s", "5", "-M", "0.3"]) == 0
+    lines = [l.split("\t") for l in bed.read_text().splitlines()[1:]]
+    by_founder = {}
+    for c, s, e, f, sc, st in lines:
+        by_founder.setdefault(f, []).append((int(s), int(e)))
+    assert by_founder["FA"] == [(0, 20000)]
+    assert by_founder["FB"] == [(20000, 30000)]
+
+
+def test_gbsmapsnps_map_and_combine(tmp_path):
+    gbs_csv = tmp_path / "gbs.csv"
+    gbs_csv.write_text(
+        "SNPID,Chrom,Loci,FounderA,FounderB,P1,P2,P3\n"
+        "s1,c1,100,AA,TT,AA,TT,AT\n"
+        "s2,c1,200,CC,GG,GG,NA,CC\n"
+        "s3,c1,300,AA,AA,AA,AA,AA\n")     # non-discriminating -> dropped
+    out = tmp_path / "m1.csv"
+    assert main(["gbsmapsnps", "-i", str(gbs_csv),
+                 "-o", str(out)]) == 0
+    from kit4b_tpu.kmer.gbs import (CALL_BOTH, CALL_FA, CALL_FB, CALL_NA,
+                                    read_haplotype_matrix)
+    founders, progenies, rows = read_haplotype_matrix(out)
+    assert founders == ("FounderA", "FounderB")
+    assert progenies == ["P1", "P2", "P3"]
+    assert len(rows) == 2
+    assert rows[0][2] == [CALL_FA, CALL_FB, CALL_BOTH]
+    assert rows[1][2] == [CALL_FB, CALL_NA, CALL_FA]
+
+    # combine with a matrix that fills the NA and conflicts on P1/s1
+    m2 = tmp_path / "m2.csv"
+    from kit4b_tpu.kmer.gbs import write_haplotype_matrix
+    write_haplotype_matrix(m2, founders, progenies, [
+        ("c1", 100, [CALL_FB, CALL_FB, CALL_BOTH]),
+        ("c1", 200, [CALL_FB, CALL_FA, CALL_FA])])
+    comb = tmp_path / "comb.csv"
+    assert main(["gbsmapsnps", "-m", "1", "-i", str(out),
+                 "-I", str(m2), "-o", str(comb)]) == 0
+    _, _, crows = read_haplotype_matrix(comb)
+    assert crows[0][2] == [CALL_NA, CALL_FB, CALL_BOTH]  # conflict -> NA
+    assert crows[1][2] == [CALL_FB, CALL_FA, CALL_FA]    # NA filled
+
+
+def test_dgts_qtl(tmp_path):
+    from kit4b_tpu.io.fasta import Genome
+    from kit4b_tpu.kmer.pba import save_pba
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 500).astype(np.uint8)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [SeqRecord("c1", "", codes)])
+    g = Genome.load(fa)
+    # sample 1: dirac A at locus 10; sample 2: dirac C; sample 3: empty
+    for name, slot in (("s1", 3), ("s2", 2)):
+        pba = np.zeros(500, np.uint8)
+        pba[10] = 3 << (2 * slot)
+        save_pba(tmp_path / f"{name}.pba.npz", g, pba)
+    save_pba(tmp_path / "s3.pba.npz", g, np.zeros(500, np.uint8))
+    qtls = tmp_path / "qtls.csv"
+    qtls.write_text('"Chrom","Loci","Allele"\nc1,10,A\n')
+    out = tmp_path / "dgts.csv"
+    assert main(["dgts", "-Q", str(qtls), "-o", str(out),
+                 "-i", f"s1={tmp_path}/s1.pba.npz",
+                 f"s2={tmp_path}/s2.pba.npz",
+                 f"s3={tmp_path}/s3.pba.npz",
+                 "-k", "0.8", "-p", "0.95"]) == 0
+    row = out.read_text().splitlines()[1].split(",")
+    # 3 samples, 2 covered, 1 matching A, coverage 2/3 < 0.8 -> low
+    assert row[3:] == ["3", "2", "1", "1", "0"]
+
+
+def test_rnaexpr_replicates(tmp_path):
+    rng = np.random.default_rng(5)
+    base1 = rng.random(60) * 100
+    base2 = rng.random(60) * 100
+    # samples: a_rep1,a_rep2 correlated; b_rep1,b_rep2 correlated;
+    # but b_rep2 column is actually a copy of a profile (mislabeled)
+    cols = {
+        "a1": base1 + rng.normal(0, 1, 60),
+        "a2": base1 + rng.normal(0, 1, 60),
+        "b1": base2 + rng.normal(0, 1, 60),
+        "b2": base1 + rng.normal(0, 1, 60),   # mislabeled!
+    }
+    csvp = tmp_path / "cnts.csv"
+    with open(csvp, "w") as f:
+        f.write('"Feature","a1","a2","b1","b2"\n')
+        for i in range(60):
+            f.write(f"f{i}," + ",".join(
+                f"{cols[s][i]:.3f}" for s in ("a1", "a2", "b1", "b2"))
+                + "\n")
+    out = tmp_path / "rep.csv"
+    assert main(["rnaexpr", "-i", str(csvp), "-o", str(out)]) == 0
+    rows = {l.split(",")[0].strip('"'): l.split(",")
+            for l in out.read_text().splitlines()[1:]}
+    assert rows["a1"][7] == "0" or rows["a1"][7] == "1"
+    # b1's labeled partner b2 is NOT its best match
+    assert rows["b1"][7] == "0"
+    assert rows["b2"][3].strip('"') in ("a1", "a2")
+
+
+def test_genmlds_and_sarscov2ml(tmp_path):
+    src = tmp_path / "feat.csv"
+    src.write_text('"Feature","s1","s2"\n"f1",1,2\n"f2",3,4\n')
+    lab = tmp_path / "lab.csv"
+    lab.write_text("s1,case\ns2,control\n")
+    out = tmp_path / "ml.csv"
+    assert main(["genmlds", "-i", str(src), "-l", str(lab),
+                 "-o", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == '"Sample","Label","f1","f2"'
+    assert lines[1] == '"s1","case",1,3'
+    assert lines[2] == '"s2","control",2,4'
+
+    # linkage: f0,f1,f2 co-occur >= class 3 in 20 rows; f3 random
+    rng = np.random.default_rng(1)
+    mat = np.zeros((40, 4), int)
+    mat[:20, :3] = 3
+    mat[:, 3] = rng.integers(0, 2, 40)
+    mx = tmp_path / "mx.csv"
+    with open(mx, "w") as f:
+        f.write('"Isolate","f0","f1","f2","f3"\n')
+        for i, row in enumerate(mat):
+            f.write(f"i{i}," + ",".join(map(str, row)) + "\n")
+    lout = tmp_path / "link.csv"
+    assert main(["sarscov2ml", "-i", str(mx), "-o", str(lout),
+                 "-l", "3", "-r", "10", "-c", "3"]) == 0
+    lines = lout.read_text().splitlines()
+    assert len(lines) >= 2
+    n, feats = lines[1].split(",", 1)
+    assert int(n) == 20
+    assert set(feats.strip('"').split(";")) == {"f0", "f1", "f2"}
+
+
+def test_alignsbs(tmp_path):
+    from kit4b_tpu.align.alignsbs import bootstrap_align
+    from kit4b_tpu.io.fasta import Genome
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 20000).astype(np.uint8)
+    fa = tmp_path / "asm.fa"
+    write_fasta(fa, [SeqRecord("c1", "", codes)])
+    asm = Genome.load(fa)
+    # queries sampled from the same assembly -> should mostly hit
+    qseqs = [SeqRecord(f"q{i}", "", codes[i * 500:i * 500 + 80])
+             for i in range(10)]
+    tseqs = [SeqRecord(f"t{i}", "", codes[i * 1000:i * 1000 + 2000])
+             for i in range(8)]
+    res = bootstrap_align(qseqs, asm, tseqs, asm, n_bootstraps=3,
+                          max_subs=0, seed=4, batch_size=64)
+    assert len(res) == 4
+    orig = res[0]
+    assert orig.n_queries == 10 and orig.query_hits >= 8
+    for r in res[1:]:
+        assert r.n_queries == 10 and r.n_targets == 8
+        assert r.query_hits >= 5       # dense target coverage of c1
