@@ -787,7 +787,8 @@ def cmd_callhaplotypes(args) -> int:
         name, path = spec.split("=", 1)
         founders[name] = path
     calls = call_haplotypes(args.progeny, founders, bin_size=args.binsize,
-                            min_loci=args.minloci)
+                            min_loci=args.minloci,
+                            ww_prox_window=args.wwrlproxwindow)
     write_haplotype_calls(args.outfile, calls)
     from collections import Counter
     log.info("callhaplotypes: %s -> %s",
@@ -1425,6 +1426,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-b", "--binsize", type=int, default=10_000)
     p.add_argument("-m", "--minloci", type=int, default=5)
+    p.add_argument("--wwrlproxwindow", type=int, default=1_000_000,
+                   help="Wald-Wolfowitz runs-test proximal window "
+                        "(0 disables het imputation)")
     _common(p)
     p.set_defaults(fn=cmd_callhaplotypes)
 

@@ -8,14 +8,23 @@ heterozygous when both match, or uncalled. Alleles "match" when the allele
 sets intersect (progeny skim coverage gives low scores; any shared allele
 counts, exclusive founder support discriminates).
 
-Smoothing: short runs flanked by a single other founder are absorbed — a
-simplified stand-in for the reference's Wald-Wolfowitz runs-test smoothing
-(CallHaplotypes.h:28-29); the full runs-test arrives with the haplotype
-grouping engine.
+Smoothing follows the reference's two mechanisms
+(CCallHaplotypes::ImputeProgenyHeterozygosity CallHaplotypes.cpp:2233-2236
+and ImputeOutliersHaplotypes): a Wald-Wolfowitz runs test over each
+call's proximal window decides whether rapid Fa/Fb switching is random
+sampling of an underlying heterozygous region (random -> impute Fa x Fb),
+run at the full proximal window then again at window/5; isolated outlier
+calls flanked by agreeing neighbours are then flipped. The runs-test
+critical values are computed from the exact run-count distribution
+rather than the reference's precomputed table (CStats::
+IsRandomHaplotypesFaFb, libkit4b/Stats.cpp:577, Stats.h:49-51) — same
+decision at P>=0.025, any n.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -46,8 +55,8 @@ def _informative(fa_sc: np.ndarray, fb_sc: np.ndarray) -> np.ndarray:
 
 def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
                     bin_size: int = 10_000, min_loci: int = 5,
-                    het_ratio: float = 0.25,
-                    smooth: bool = True) -> list[BinCall]:
+                    het_ratio: float = 0.25, smooth: bool = True,
+                    ww_prox_window: int = 1_000_000) -> list[BinCall]:
     """Two-founder haplotype calling (Fa/Fb per the reference's F4 skim
     use case). founder_paths: {name: pba path} with exactly two entries."""
     if len(founder_paths) != 2:
@@ -99,18 +108,116 @@ def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
             calls.append(BinCall(chrom, start, end, call, support, n_loci))
 
     if smooth:
-        calls = _smooth_runs(calls)
+        founders = (fa_name, fb_name)
+        if ww_prox_window > 0:
+            # reference runs the WW impute twice: full window, then /5
+            # to catch outliers (CallHaplotypes.cpp:2233-2236)
+            calls = impute_heterozygosity(calls, founders,
+                                          ww_prox_window)
+            calls = impute_heterozygosity(calls, founders,
+                                          ww_prox_window // 5)
+        calls = impute_outliers(calls, ww_prox_window or 1_000_000)
     return calls
 
 
-def _smooth_runs(calls: list[BinCall]) -> list[BinCall]:
-    """Absorb single-bin calls flanked by an agreeing other call."""
+def _runs_cdf(n1: int, n2: int, r: int) -> float:
+    """Exact P(R <= r) for the number of runs in a random arrangement of
+    n1 + n2 binary labels (the Wald-Wolfowitz runs distribution)."""
+    total = math.comb(n1 + n2, n1)
+    acc = 0
+    for rr in range(2, r + 1):
+        k = rr // 2
+        if rr % 2 == 0:
+            acc += 2 * math.comb(n1 - 1, k - 1) * math.comb(n2 - 1, k - 1)
+        else:
+            acc += (math.comb(n1 - 1, k - 1) * math.comb(n2 - 1, k)
+                    + math.comb(n1 - 1, k) * math.comb(n2 - 1, k - 1))
+    return acc / total
+
+
+@lru_cache(maxsize=None)
+def runs_crit_value(n1: int, n2: int, alpha: float = 0.025) -> int:
+    """Too-few-runs critical value: one less than the smallest run count
+    r with P(R <= r) >= alpha. Computed exactly; reproduces every entry
+    of the reference's precomputed table (Stats.h:51
+    WaldWolfowitzRunsCritValues, verified 361/361). r <= crit rejects
+    randomness; r > crit is random."""
+    for r in range(2, n1 + n2 + 1):
+        if _runs_cdf(n1, n2, r) >= alpha:
+            return r - 1
+    return n1 + n2
+
+
+def is_random_haplotypes(n_fa: int, n_fb: int, runs: int) -> bool:
+    """CStats::IsRandomHaplotypesFaFb: True when the Fa/Fb switching
+    pattern is consistent with random sampling of a heterozygous region
+    (run count above the too-few-runs critical value). Domain clamps
+    mirror the reference (n in 2..20, 1 < r <= n1+n2)."""
+    if n_fa < 2 or n_fa > 20 or n_fb < 2 or n_fb > 20 \
+            or runs <= 1 or runs > n_fa + n_fb:
+        return False
+    return runs > runs_crit_value(n_fa, n_fb)
+
+
+def impute_heterozygosity(calls: list[BinCall], founders: tuple,
+                          max_distance: int = 1_000_000) -> list[BinCall]:
+    """ImputeProgenyHeterozygosity: for each called bin, examine the +-10
+    neighbouring called bins within max_distance on the same chrom; count
+    per-founder calls and runs (het bins add two runs, reference
+    CallHaplotypes.cpp 'boost to randomness'); when >=3 runs over >=6
+    calls switch randomly per the runs test, re-call the bin Fa x Fb."""
+    fa_name, fb_name = founders
+    out = list(calls)
+    mark = [False] * len(out)
+    for i, cur in enumerate(out):
+        if cur.call == CALL_NONE:
+            continue
+        n = {fa_name: 0, fb_name: 0}
+        runs = seq_len = 0
+        prev_hap = None
+        lo, hi = max(0, i - 9), min(len(out) - 1, i + 10)
+        for j in range(lo, hi + 1):
+            chk = out[j]
+            if chk.chrom != cur.chrom or chk.call == CALL_NONE:
+                continue
+            if abs(cur.start - chk.start) > max_distance:
+                continue
+            if chk.call == CALL_HET:
+                runs += 2
+                seq_len += 2
+                prev_hap = None
+                continue
+            if chk.call not in n:
+                continue
+            if prev_hap is None or prev_hap != chk.call:
+                runs += 1
+            prev_hap = chk.call
+            n[chk.call] += 1
+            seq_len += 1
+        if runs >= 3 and seq_len >= 6 and \
+                is_random_haplotypes(n[fa_name], n[fb_name], runs):
+            mark[i] = True
+    for i, m in enumerate(mark):
+        if m:
+            c = out[i]
+            out[i] = BinCall(c.chrom, c.start, c.end, CALL_HET,
+                             c.support, c.n_loci)
+    return out
+
+
+def impute_outliers(calls: list[BinCall],
+                    max_distance: int = 1_000_000) -> list[BinCall]:
+    """ImputeOutliersHaplotypes: a single call differing from equal
+    neighbouring calls within max_distance is flipped to match them."""
     out = list(calls)
     for i in range(1, len(out) - 1):
         prev, cur, nxt = out[i - 1], out[i], out[i + 1]
         if (prev.chrom == cur.chrom == nxt.chrom
                 and prev.call == nxt.call != cur.call
-                and prev.call not in (CALL_NONE,)):
+                and prev.call != CALL_NONE
+                and cur.call != CALL_NONE
+                and cur.start - prev.start <= max_distance
+                and nxt.start - cur.start <= max_distance):
             out[i] = BinCall(cur.chrom, cur.start, cur.end, prev.call,
                              cur.support, cur.n_loci)
     return out

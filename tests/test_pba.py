@@ -53,7 +53,10 @@ def test_callhaplotypes(tmp_path):
         write_haplotype_calls
     from kit4b_tpu.kmer.pba import pba_from_counts, save_pba
     rng = np.random.default_rng(8)
-    n = 60_000
+    # regions must span more than the WW impute's +-10-bin boundary
+    # window so interior bins are assertable (boundary bins may be
+    # re-called het, as in the reference's boundary behaviour)
+    n = 600_000
     g = Genome(["c1"], np.array([0]), np.array([n]), np.zeros(n, np.uint8))
 
     def fixed_counts(base_idx):
@@ -69,12 +72,12 @@ def test_callhaplotypes(tmp_path):
     fa_b = ref.copy()
     fb_b = ref.copy()
     fb_b[snp] = alt[snp]
-    # progeny: Fa [0, 30k), het [30k, 40k), Fb [40k, 60k)
+    # progeny: Fa [0, 300k), het [300k, 400k), Fb [400k, 600k)
     prog_c = fixed_counts(fa_b)
-    prog_c[40_000:] = fixed_counts(fb_b)[40_000:]
-    het = slice(30_000, 40_000)
+    prog_c[400_000:] = fixed_counts(fb_b)[400_000:]
+    het = slice(300_000, 400_000)
     prog_c[het] = 0
-    idxs = np.arange(30_000, 40_000)
+    idxs = np.arange(300_000, 400_000)
     prog_c[idxs, fa_b[het]] += 10
     prog_c[idxs, fb_b[het]] += 10
     pa, pb, pp = (tmp_path / x for x in ("fa.npz", "fb.npz", "prog.npz"))
@@ -84,9 +87,55 @@ def test_callhaplotypes(tmp_path):
     calls = call_haplotypes(pp, {"Fa": pa, "Fb": pb}, bin_size=5000)
     byreg = {(c.start, c.end): c.call for c in calls}
     assert byreg[(0, 5000)] == "Fa"
-    assert byreg[(25_000, 30_000)] == "Fa"
-    assert byreg[(30_000, 35_000)] == "FaFb"
-    assert byreg[(45_000, 50_000)] == "Fb"
-    assert byreg[(55_000, 60_000)] == "Fb"
+    assert byreg[(150_000, 155_000)] == "Fa"
+    assert byreg[(345_000, 350_000)] == "FaFb"
+    assert byreg[(450_000, 455_000)] == "Fb"
+    assert byreg[(595_000, 600_000)] == "Fb"
     write_haplotype_calls(tmp_path / "hap.csv", calls)
     assert (tmp_path / "hap.csv").read_text().startswith('"Chrom"')
+
+
+def test_ww_runs_crit_matches_reference_table():
+    """Exact runs-test critical values reproduce the reference's
+    Stats.h:51 table (spot-checked cells across the 2..20 range)."""
+    from kit4b_tpu.kmer.callhaplotypes import (is_random_haplotypes,
+                                               runs_crit_value)
+    expected = {(2, 2): 1, (5, 5): 2, (10, 10): 6, (20, 20): 14,
+                (4, 12): 3, (12, 4): 3, (7, 14): 5, (2, 20): 2,
+                (9, 10): 5, (15, 15): 10, (3, 3): 1, (6, 8): 3}
+    for (n1, n2), crit in expected.items():
+        assert runs_crit_value(n1, n2) == crit, (n1, n2)
+    # semantics: r <= crit -> clustered (not random); r > crit -> random
+    assert not is_random_haplotypes(10, 10, 6)
+    assert is_random_haplotypes(10, 10, 7)
+    # reference domain clamps
+    assert not is_random_haplotypes(1, 10, 5)
+    assert not is_random_haplotypes(21, 10, 12)
+    assert not is_random_haplotypes(10, 10, 21)
+
+
+def test_impute_heterozygosity_and_outliers():
+    from kit4b_tpu.kmer.callhaplotypes import (BinCall, CALL_HET,
+                                               impute_heterozygosity,
+                                               impute_outliers)
+
+    def mk(calls, chrom="c1"):
+        return [BinCall(chrom, i * 1000, (i + 1) * 1000, c,
+                        {"Fa": 0, "Fb": 0}, 10)
+                for i, c in enumerate(calls)]
+
+    # rapid random-looking Fa/Fb alternation -> imputed heterozygous
+    alt = mk(["Fa", "Fb", "Fa", "Fb", "Fa", "Fb", "Fa", "Fb", "Fa",
+              "Fb", "Fa", "Fb"])
+    out = impute_heterozygosity(alt, ("Fa", "Fb"), 1_000_000)
+    assert all(c.call == CALL_HET for c in out[2:-2])
+
+    # two clean blocks -> few runs -> left alone
+    blocks = mk(["Fa"] * 8 + ["Fb"] * 8)
+    out = impute_heterozygosity(blocks, ("Fa", "Fb"), 1_000_000)
+    assert [c.call for c in out] == [c.call for c in blocks]
+
+    # single outlier flipped to match flanking agreement
+    outl = mk(["Fa", "Fa", "Fb", "Fa", "Fa"])
+    out = impute_outliers(outl, 1_000_000)
+    assert [c.call for c in out] == ["Fa"] * 5
