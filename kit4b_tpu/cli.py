@@ -1114,6 +1114,45 @@ def cmd_alignsbs(args) -> int:
     return 0
 
 
+def cmd_radseq(args) -> int:
+    """kit4bRADSeq equivalent (CStackSeqs): RAD stacks + variants."""
+    from .assembly.radseq import (radseq_process, write_stacks_fasta,
+                                  write_stacks_vcf)
+    from .io.fasta import read_seqs
+    from .utils.runtime import log
+    p1 = [r for p_ in args.infile for r in read_seqs(p_)]
+    p2 = None
+    if args.pairfile:
+        p2 = [r for p_ in args.pairfile for r in read_seqs(p_)]
+    stacks = radseq_process(
+        p1, p2, min_depth=args.p1stackdepth,
+        max_sub_pct=args.p1stacksubrate, end_float=args.p1stackend,
+        min_overlap=args.p2minovrl)
+    write_stacks_fasta(args.outfile, stacks)
+    if args.vcffile:
+        write_stacks_vcf(args.vcffile, stacks)
+    nv = sum(len(s.variants) for s in stacks)
+    log.info("radseq: %d reads -> %d stacks, %d variants -> %s",
+             len(p1), len(stacks), nv, args.outfile)
+    return 0
+
+
+def cmd_hrdx(args) -> int:
+    """kit4bhrdx equivalent (CHomozyReduce)."""
+    from .assembly.hrdx import reduce_homozygous, write_reduced
+    from .io.fasta import read_seqs
+    from .utils.runtime import enable_compile_cache, log
+    enable_compile_cache()
+    recs = [r for p_ in args.infile for r in read_seqs(p_)]
+    kept, stats = reduce_homozygous(
+        recs, max_homozy_subs=args.maxhomozysubs,
+        min_homozy_len=args.minhomozylen, min_het_len=args.minhetrozylen,
+        min_ctg_len=args.minctglen)
+    write_reduced(args.outfile, kept)
+    log.info("hrdx: %s -> %s", stats, args.outfile)
+    return 0
+
+
 def cmd_mergeoverlaps(args) -> int:
     """ngskit4b mergeoverlaps equivalent (CMergeReadPairs)."""
     from .assembly.mergepairs import MergeParams, merge_pairs
@@ -1891,6 +1930,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", "--trsltsfile", required=True)
     _common(p)
     p.set_defaults(fn=cmd_alignsbs)
+
+    p = sub.add_parser("radseq",
+                       help="RAD-seq stack assembly + in-stack variants")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True,
+                   help="P1 reads fasta/fastq")
+    p.add_argument("-I", "--pair", dest="pairfile", nargs="+",
+                   default=None, help="P2 mate reads")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-O", "--variants", dest="vcffile", default=None,
+                   help="VCF 4.1 in-stack variants output")
+    p.add_argument("-Z", "--p1stackdepth", type=int, default=10)
+    p.add_argument("-s", "--p1stacksubrate", type=float, default=1.0)
+    p.add_argument("-z", "--p1stackend", type=int, default=5)
+    p.add_argument("-y", "--p2minovrl", type=int, default=30)
+    _common(p)
+    p.set_defaults(fn=cmd_radseq)
+
+    p = sub.add_parser("hrdx",
+                       help="homozygotic-region reduction of diploid "
+                            "assemblies")
+    p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-z", "--maxhomozysubs", type=int, default=3)
+    p.add_argument("-Z", "--minhomozylen", type=int, default=75)
+    p.add_argument("-k", "--minhetrozylen", type=int, default=30)
+    p.add_argument("-L", "--minctglen", type=int, default=100)
+    _common(p)
+    p.set_defaults(fn=cmd_hrdx)
 
     p = sub.add_parser("genbiobed",
                        help="BED -> pre-parsed binary features")
