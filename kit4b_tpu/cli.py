@@ -1114,6 +1114,243 @@ def cmd_alignsbs(args) -> int:
     return 0
 
 
+def cmd_bed2csv(args) -> int:
+    from .tools.convert import bed2csv
+    from .utils.runtime import log
+    n = bed2csv(args.infile, args.outfile, el_type=args.eltype,
+                species=args.species)
+    log.info("bed2csv: %d loci -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_csv2bed(args) -> int:
+    from .tools.convert import csv2bed
+    from .utils.runtime import log
+    n = csv2bed(args.infile, args.outfile)
+    log.info("csv2bed: %d features -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_csv2fasta(args) -> int:
+    from .io.fasta import Genome
+    from .tools.convert import csv2fasta
+    from .utils.runtime import log
+    g = Genome.load(args.genome)
+    n = csv2fasta(args.infile, g, args.outfile)
+    log.info("csv2fasta: %d sequences -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_splitmultifasta(args) -> int:
+    from .tools.convert import split_multifasta
+    from .utils.runtime import log
+    n = split_multifasta(args.infile, args.outdir, args.maxper)
+    log.info("splitmultifasta: %d files -> %s", n, args.outdir)
+    return 0
+
+
+def cmd_quickcount(args) -> int:
+    from .io.fasta import read_seqs
+    from .tools.convert import quickcount, write_quickcount_csv
+    from .utils.runtime import log
+    counts = quickcount(read_seqs(args.infile), min_k=args.minnmerlen,
+                        max_k=args.maxnmerlen)
+    write_quickcount_csv(args.outfile, counts)
+    log.info("quickcount: k=%d..%d -> %s", args.minnmerlen,
+             args.maxnmerlen, args.outfile)
+    return 0
+
+
+def cmd_gengenomefromagp(args) -> int:
+    from .io.fasta import read_seqs
+    from .tools.convert import gen_genome_from_agp
+    from .utils.runtime import log
+    contigs = {}
+    for p_ in args.infile:
+        for rec in read_seqs(p_):
+            contigs[rec.name] = rec.codes
+    n = gen_genome_from_agp(args.agpfile, contigs, args.outfile)
+    log.info("gengenomefromagp: %d objects -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_ufilter(args) -> int:
+    """ufilter/filterreads loci filtering."""
+    from .tools.convert import filter_loci, read_loci_csv, write_loci_csv
+    from .utils.runtime import log
+    loci = read_loci_csv(args.infile)
+    kept = filter_loci(
+        loci, strand=args.strand or None,
+        chrom_include=args.include, chrom_exclude=args.exclude,
+        min_len=args.minlength, trunc_len=args.trunclength,
+        ofs=args.offset, delta_len=args.deltalen)
+    write_loci_csv(args.outfile, kept)
+    if args.filtoutfile:
+        keys = {(e["srcid"], e["chrom"]) for e in kept}
+        write_loci_csv(args.filtoutfile,
+                       [e for e in loci
+                        if (e["srcid"], e["chrom"]) not in keys])
+    log.info("ufilter: %d/%d kept -> %s", len(kept), len(loci),
+             args.outfile)
+    return 0
+
+
+def cmd_usimdiffexpr(args) -> int:
+    from .tools.convert import sim_diff_expr, write_sim_counts
+    from .utils.runtime import log
+    cols, de_idx = sim_diff_expr(
+        n_transcripts=args.ntranscripts, n_reps=args.nreplicates,
+        total_counts=args.ncounts * 1_000_000, de_pct=args.trans,
+        vary_counts_pct=args.rcounts, mode=args.mode, seed=args.seed)
+    write_sim_counts(args.outfile, cols,
+                     sep="\t" if args.format == 1 else ",")
+    if args.defile:
+        with open(args.defile, "w") as f:
+            f.write('"Transcript"\n')
+            for i in sorted(de_idx):
+                f.write(f'"T{i + 1}"\n')
+    log.info("usimdiffexpr: %d transcripts x %d cols -> %s",
+             args.ntranscripts, len(cols), args.outfile)
+    return 0
+
+
+def cmd_loci2phylip(args) -> int:
+    from .io.malign import MAlign
+    from .tools.convert import loci_to_phylip, read_loci_csv
+    from .utils.runtime import log
+    ma = MAlign.load(args.malignfile)
+    if args.infile.endswith(".bed"):
+        from .io.bed import BedFile
+        loci = [{"chrom": ft.chrom, "start": ft.start,
+                 "end": ft.end - 1}
+                for ft in BedFile.load(args.infile).features]
+    else:
+        loci = read_loci_csv(args.infile)
+    n = loci_to_phylip(ma, loci, args.outfile)
+    log.info("loci2phylip: %d loci-blocks -> %s", n, args.outfile)
+    return 0
+
+
+def cmd_gennormwiggle(args) -> int:
+    """genNormWiggle: per-million-normalized read-start or coverage
+    wiggle from a BED/CSV loci file."""
+    import numpy as _np
+    from .io.bed import BedFile
+    from .tools.convert import read_loci_csv
+    from .utils.runtime import log
+    if args.infile.endswith(".bed"):
+        loci = [(ft.chrom, ft.start, ft.end)
+                for ft in BedFile.load(args.infile).features]
+    else:
+        loci = [(e["chrom"], e["start"], e["end"] + 1)
+                for e in read_loci_csv(args.infile)]
+    per: dict = {}
+    maxend: dict = {}
+    for chrom, s, e in loci:
+        maxend[chrom] = max(maxend.get(chrom, 0), e)
+    for chrom, n in maxend.items():
+        per[chrom] = _np.zeros(n, _np.float64)
+    for chrom, s, e in loci:
+        if args.mode == 0:
+            per[chrom][s] += 1
+        else:
+            per[chrom][s:e] += 1
+    scale = 1e6 / max(len(loci), 1)
+    with open(args.outfile, "w") as f:
+        f.write('track type=wiggle_0 name="normwiggle"\n')
+        for chrom in sorted(per):
+            cov = per[chrom] * scale
+            nz = _np.nonzero(cov)[0]
+            if not len(nz):
+                continue
+            f.write(f"variableStep chrom={chrom}\n")
+            for p in nz:
+                f.write(f"{p + 1} {cov[p]:.3f}\n")
+    log.info("gennormwiggle: %d loci -> %s", len(loci), args.outfile)
+    return 0
+
+
+def cmd_fasta2struct(args) -> int:
+    """fasta2struct equivalent: per-step conformational profiles."""
+    from .io.fasta import read_seqs
+    from .tools import conformation as cf
+    from .utils.runtime import log
+    params = cf.load_octamer_params(args.paramsfile)
+    if args.prop not in params:
+        raise ValueError(f"property '{args.prop}' not in params file "
+                         f"(have: {', '.join(params)})")
+    n = 0
+    with open(args.outfile, "w") as f:
+        f.write(f'"Seq","Step","{args.prop}"\n')
+        for rec in read_seqs(args.infile):
+            prof = cf.struct_profile(rec.codes, params[args.prop])
+            for i, v in enumerate(prof):
+                if v == v:  # not NaN
+                    f.write(f'"{rec.name}",{i + 4},{v:.4f}\n')
+            n += 1
+    log.info("fasta2struct: %d seqs (%s) -> %s", n, args.prop,
+             args.outfile)
+    return 0
+
+
+def cmd_fasta2dist(args) -> int:
+    """fasta2dist equivalent: conformational distance matrix."""
+    from .io.fasta import read_seqs
+    from .tools import conformation as cf
+    from .utils.runtime import log
+    params = cf.load_octamer_params(args.paramsfile)
+    recs = list(read_seqs(args.infile))
+    props = args.props.split(",") if args.props else None
+    dist = cf.conformational_distances(recs, params, props)
+    cf.write_dist_csv(args.outfile, [r.name for r in recs], dist)
+    log.info("fasta2dist: %d x %d matrix -> %s", len(recs), len(recs),
+             args.outfile)
+    return 0
+
+
+def cmd_prednucleosomes(args) -> int:
+    """prednucleosomes equivalent: dyad calling from MNase reads."""
+    from .io.sam import read_sam
+    from .tools import conformation as cf
+    from .utils.runtime import log
+    chrom_lens: dict = {}
+    alns = []
+    with open(args.infile) as f:
+        for line in f:
+            if line.startswith("@SQ"):
+                d = dict(x.split(":", 1) for x in line.split("\t")[1:]
+                         if ":" in x)
+                chrom_lens[d["SN"]] = int(d["LN"])
+    for rec in read_sam(args.infile):
+        if rec.is_mapped:
+            alns.append((rec.rname, rec.pos - 1, len(rec.seq),
+                         abs(rec.tlen)))
+    scores = cf.dyad_scores(alns, chrom_lens, mode=args.mode)
+    dyads = cf.call_dyads(scores, min_score=args.minscore)
+    fmt = {0: "bedgraph", 1: "bed", 2: "csv"}[args.format]
+    cf.write_dyads(args.outfile, dyads, fmt)
+    log.info("prednucleosomes: %d dyads -> %s", len(dyads), args.outfile)
+    return 0
+
+
+def cmd_simulatemnase(args) -> int:
+    """SimulateMNase equivalent: cut-preference fragment simulation."""
+    from .io.fasta import Genome, SeqRecord, write_fasta
+    from .tools import conformation as cf
+    from .utils.runtime import log
+    g = Genome.load(args.genome)
+    frags = cf.simulate_mnase(g, args.nreads, seed=args.seed)
+    starts = {n: int(s) for n, s in zip(g.names, g.starts)}
+    recs = []
+    for i, (chrom, s, ln) in enumerate(frags):
+        seq = g.seq[starts[chrom] + s:starts[chrom] + s + ln]
+        recs.append(SeqRecord(f"mnase{i}|{chrom}|{s}|{ln}", "", seq))
+    write_fasta(args.outfile, recs)
+    log.info("simulatemnase: %d fragments -> %s", len(recs),
+             args.outfile)
+    return 0
+
+
 def cmd_radseq(args) -> int:
     """kit4bRADSeq equivalent (CStackSeqs): RAD stacks + variants."""
     from .assembly.radseq import (radseq_process, write_stacks_fasta,
@@ -1930,6 +2167,153 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", "--trsltsfile", required=True)
     _common(p)
     p.set_defaults(fn=cmd_alignsbs)
+
+    p = sub.add_parser("bed2csv", help="BED -> element loci CSV")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-t", "--eltype", default="element")
+    p.add_argument("-s", "--species", default="")
+    _common(p)
+    p.set_defaults(fn=cmd_bed2csv)
+
+    p = sub.add_parser("csv2bed", help="element loci CSV -> BED")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_csv2bed)
+
+    p = sub.add_parser("csv2fasta",
+                       help="extract element sequences at loci CSV")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_csv2fasta)
+
+    p = sub.add_parser("splitmultifasta",
+                       help="split multifasta into per-seq files")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("-n", "--maxper", type=int, default=1)
+    _common(p)
+    p.set_defaults(fn=cmd_splitmultifasta)
+
+    p = sub.add_parser("quickcount", help="N-mer distributions")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-l", "--minnmerlen", type=int, default=1)
+    p.add_argument("-L", "--maxnmerlen", type=int, default=5)
+    _common(p)
+    p.set_defaults(fn=cmd_quickcount)
+
+    p = sub.add_parser("gengenomefromagp",
+                       help="assemble chrom fasta from AGP + contigs")
+    p.add_argument("-i", "--in", dest="infile", nargs="+",
+                   required=True, help="contig fasta file(s)")
+    p.add_argument("-I", "--agp", dest="agpfile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gengenomefromagp)
+
+    p = sub.add_parser("ufilter",
+                       help="filter element loci CSV "
+                            "(strand/chrom/len/offset)")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-O", "--filtout", dest="filtoutfile", default=None,
+                   help="write filtered-out loci here")
+    p.add_argument("-s", "--strand", default="",
+                   help="'+' or '-' only")
+    p.add_argument("-Z", "--include", nargs="+", default=None)
+    p.add_argument("-z", "--exclude", nargs="+", default=None)
+    p.add_argument("-l", "--minlength", type=int, default=30)
+    p.add_argument("-T", "--trunclength", type=int, default=0)
+    p.add_argument("-u", "--offset", type=int, default=0)
+    p.add_argument("-U", "--deltalen", type=int, default=0)
+    _common(p)
+    p.set_defaults(fn=cmd_ufilter)
+
+    p = sub.add_parser("usimdiffexpr",
+                       help="simulate DE transcript counts matrix")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-t", "--ntranscripts", type=int, default=1000)
+    p.add_argument("-n", "--ncounts", type=int, default=50,
+                   help="total counts in millions")
+    p.add_argument("-r", "--nreplicates", type=int, default=2)
+    p.add_argument("-e", "--trans", type=int, default=0,
+                   help="%% of transcripts differentially expressed")
+    p.add_argument("-R", "--rcounts", type=int, default=10)
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 uniform, 1 linear random, 2 profiled")
+    p.add_argument("-M", "--format", type=int, default=0,
+                   help="0 CSV, 1 tab-delimited")
+    p.add_argument("-d", "--defile", default=None,
+                   help="write true-DE transcript list here")
+    p.add_argument("--seed", type=int, default=1)
+    _common(p)
+    p.set_defaults(fn=cmd_usimdiffexpr)
+
+    p = sub.add_parser("loci2phylip",
+                       help="multialignment columns at loci -> Phylip")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="loci CSV or BED")
+    p.add_argument("-I", "--malign", dest="malignfile", required=True,
+                   help=".algn.npz from genmafalgn")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_loci2phylip)
+
+    p = sub.add_parser("gennormwiggle",
+                       help="normalized read-start/coverage wiggle")
+    p.add_argument("-i", "--in", dest="infile", required=True,
+                   help="loci CSV or BED")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 read starts, 1 coverage")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_gennormwiggle)
+
+    p = sub.add_parser("fasta2struct",
+                       help="dsDNA conformational profile per step")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-I", "--params", dest="paramsfile", required=True,
+                   help="octamer structural parameters CSV")
+    p.add_argument("-p", "--prop", default="twist",
+                   help="property (twist/roll/energy/minorgroove/...)")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_fasta2struct)
+
+    p = sub.add_parser("fasta2dist",
+                       help="conformational distance matrix")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-I", "--params", dest="paramsfile", required=True)
+    p.add_argument("-p", "--props", default=None,
+                   help="comma-separated properties (default all)")
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_fasta2dist)
+
+    p = sub.add_parser("prednucleosomes",
+                       help="nucleosome dyad prediction from MNase SAM")
+    p.add_argument("-i", "--in", dest="infile", required=True)
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 paired 147+-20, 1 full-length, 2 extended")
+    p.add_argument("-M", "--format", type=int, default=0,
+                   help="0 bedGraph, 1 BED, 2 CSV")
+    p.add_argument("-s", "--minscore", type=float, default=3.0)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_prednucleosomes)
+
+    p = sub.add_parser("simulatemnase",
+                       help="simulate MNase digestion fragments")
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-n", "--nreads", type=int, default=10000)
+    p.add_argument("-r", "--seed", type=int, default=1)
+    p.add_argument("-o", "--out", dest="outfile", required=True)
+    _common(p)
+    p.set_defaults(fn=cmd_simulatemnase)
 
     p = sub.add_parser("radseq",
                        help="RAD-seq stack assembly + in-stack variants")
