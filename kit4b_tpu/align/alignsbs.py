@@ -45,15 +45,23 @@ def sample_fragments(genome: Genome, lengths: np.ndarray,
     lens = np.asarray(genome.lengths, np.int64)
     probs = lens / lens.sum()
     out = []
+    longest = int(np.argmax(lens))
     for ln in lengths:
         ln = int(ln)
         for _ in range(64):
             ci = rng.choice(len(lens), p=probs)
-            if lens[ci] <= ln:
+            if lens[ci] < ln:
                 continue
-            ofs = int(rng.integers(0, lens[ci] - ln))
+            # ofs=0 allowed when the chrom exactly fits the fragment
+            ofs = int(rng.integers(0, lens[ci] - ln + 1))
             out.append((int(starts[ci]) + ofs, ln))
             break
+        else:
+            # keep set sizes fixed: fall back to the longest chrom
+            # (clamped) so every sampled length yields a fragment
+            ln2 = min(ln, int(lens[longest]))
+            ofs = int(rng.integers(0, lens[longest] - ln2 + 1))
+            out.append((int(starts[longest]) + ofs, ln2))
     return out
 
 

@@ -79,6 +79,9 @@ def stack_p1(records: list, *, key_len: int = 24, min_depth: int = 10,
             if len(members) >= min_depth:
                 cmat = mat[ok]
                 ccounts = _column_counts(cmat)
+                # consensus from post-filter member counts so the fasta
+                # and the VCF REF derive from the same pileup
+                cons = ccounts.argmax(axis=1).astype(np.uint8)
                 variants = []
                 depth = len(members)
                 for pos in range(use_len):

@@ -132,7 +132,10 @@ class BamWriter:
         # per record: (ref_id, beg, end, u_start, u_end)
         self._recs: list[tuple] = []
         self._refs = {n: i for i, n in enumerate(chrom_names)}
-        text = "@HD\tVN:1.4\tSO:unsorted\n"
+        # indexed BAMs are written coordinate-sorted (kalign buffers + sorts
+        # before the indexed path); SO must say so for samtools/htsjdk
+        so = "coordinate" if index else "unsorted"
+        text = f"@HD\tVN:1.4\tSO:{so}\n"
         for name, ln in zip(chrom_names, chrom_lengths):
             text += f"@SQ\tSN:{name}\tLN:{int(ln)}\n"
         text += f"@PG\tID:{pg_name}\tPN:{pg_name}\tCL:{pg_cl}\n"

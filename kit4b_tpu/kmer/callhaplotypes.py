@@ -183,9 +183,13 @@ def impute_heterozygosity(calls: list[BinCall], founders: tuple,
             if abs(cur.start - chk.start) > max_distance:
                 continue
             if chk.call == CALL_HET:
+                # reference het branch (CallHaplotypes.cpp:2540-2551): two
+                # sequential haplotypes boost runs AND both founder counts;
+                # PrevHap is left unchanged
                 runs += 2
                 seq_len += 2
-                prev_hap = None
+                n[fa_name] += 1
+                n[fb_name] += 1
                 continue
             if chk.call not in n:
                 continue

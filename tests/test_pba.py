@@ -89,7 +89,10 @@ def test_callhaplotypes(tmp_path):
     assert byreg[(0, 5000)] == "Fa"
     assert byreg[(150_000, 155_000)] == "Fa"
     assert byreg[(345_000, 350_000)] == "FaFb"
-    assert byreg[(450_000, 455_000)] == "Fb"
+    # the reference's het branch counts het bins toward BOTH founders,
+    # so the two-pass WW impute spreads het up to ~2x9 bins past the
+    # true boundary (CallHaplotypes.cpp:2545-2551); assert past that
+    assert byreg[(550_000, 555_000)] == "Fb"
     assert byreg[(595_000, 600_000)] == "Fb"
     write_haplotype_calls(tmp_path / "hap.csv", calls)
     assert (tmp_path / "hap.csv").read_text().startswith('"Chrom"')
