@@ -71,31 +71,36 @@ def main():
 
     # warmup: compile all pass shapes
     t0 = time.time()
-    al.align_batch(reads[:BATCH])
+    al.align_batch_raw(reads[:BATCH])
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
-    # timed: all batches
+    # timed: submit every batch (async dispatch), then collect in order so
+    # host classification of batch k overlaps device compute of batch k+1
+    starts = list(range(0, len(reads) - BATCH + 1, BATCH))
     t0 = time.time()
-    n_done = 0
+    devs = [al._submit(reads[s:s + BATCH]) for s in starts]
+    raws = []
     n_acc = 0
-    results = []
-    for s in range(0, len(reads) - BATCH + 1, BATCH):
-        rs = al.align_batch(reads[s:s + BATCH])
-        n_done += BATCH
-        n_acc += sum(1 for r in rs if r.nar == kalign.NAR_ACCEPTED)
-        results.extend(rs)
+    for s, d in zip(starts, devs):
+        b = reads[s:s + BATCH]
+        raw = al._classify(b, al._collect(d, b))
+        n_acc += int((raw["nar"] == 0).sum())
+        raws.append(raw)
     dt = time.time() - t0
+    n_done = len(starts) * BATCH
     rps = n_done / dt
 
-    # correctness spot check vs ground truth
+    # correctness spot check vs ground truth (outside the timed region)
+    nar = np.concatenate([r["nar"] for r in raws])
+    pos = np.concatenate([r["pos"] for r in raws])
+    strand = np.concatenate([r["strand"] for r in raws])
+    acc = np.nonzero(nar == 0)[0]
+    ci, off = g.locate(pos[acc])
     n_ok = 0
-    for rec, res in zip(recs, results):
-        if res.nar != kalign.NAR_ACCEPTED:
-            continue
-        t = simreads.parse_truth(rec.name)
-        ci, off = g.locate(np.array([res.pos]))
-        if (g.names[int(ci[0])] == t["chrom"] and int(off[0]) == t["start"]
-                and ("-" if res.strand else "+") == t["strand"]):
+    for j, i in enumerate(acc):
+        t = simreads.parse_truth(recs[i].name)
+        if (g.names[int(ci[j])] == t["chrom"] and int(off[j]) == t["start"]
+                and ("-" if strand[i] else "+") == t["strand"]):
             n_ok += 1
     log(f"aligned {n_done} reads in {dt:.2f}s = {rps:.0f} reads/s; "
         f"accepted {n_acc} ({100*n_acc/n_done:.1f}%), "

@@ -31,7 +31,6 @@ from ..index.sfx_index import SfxIndex
 from ..io.fasta import SeqRecord
 from ..io.sam import (FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment, SamWriter,
                       seq_qual_for_strand)
-from ..ops import seed_extend
 
 INT32_MAX = np.iinfo(np.int32).max
 
@@ -142,17 +141,25 @@ class AlignResult:
 
 
 class KAligner:
-    """Batch seed-and-extend aligner over a loaded SfxIndex."""
+    """Batch seed-and-extend aligner over a loaded SfxIndex.
+
+    Device hot path: ops/seed_extend_fast.fast_pass. Reads whose candidate
+    total exceeds the tier capacity are escalated through `escalation`
+    (batch, capacity) tiers — the analog of the reference's MaxIter
+    sensitivity ladder (ngskit4b/KAligner.h:53-56); reads still overflowing
+    the last tier are classified multi, as the reference classifies
+    MaxIter-truncated reads."""
 
     def __init__(self, index: SfxIndex, *,
                  max_subs: int = 5,          # per 100bp (-s, cDfltAllowedSubs)
                  mm_delta: int = 1,          # MinEditDist (-r)
                  max_ml: int = 5,            # cDfltMaxMultiHits
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
-                 cand_per_window: int = 24,  # per-core candidate budget
-                 n_compact: int = 96,        # post-dedup candidate capacity
+                 cand_per_window: int = 24,  # (round-1 path; kept for compat)
+                 n_compact: int = 16,        # tier-1 per-read candidate cap
                  batch_size: int = 4096,
                  sens: str = "default",
+                 escalation: tuple = ((512, 512), (64, 8192)),
                  micro_indel: int = 0,   # microInDel max length (-y), 0=off
                  splice_max: int = 0,    # splice junction max gap (-l), 0=off
                  chimeric_pct: int = 0): # min chimeric len % (-c), 0=off
@@ -165,11 +172,13 @@ class KAligner:
         self.n_compact = n_compact
         self.batch_size = batch_size
         self.sens = sens
+        self.escalation = escalation
         self.micro_indel = micro_indel
         self.splice_max = splice_max
         self.chimeric_pct = chimeric_pct
-        self._dev = index.device_arrays()
         self._schedules: dict[int, tuple[list[PassSpec], int]] = {}
+        self._fast_dev: dict[int, tuple] = {}   # nw2 -> (gview, sa, lut)
+        self._host_packed = None
 
     def schedule_for(self, read_len: int):
         if read_len not in self._schedules:
@@ -178,57 +187,110 @@ class KAligner:
                 len(self.index.genome.seq), self.sens)
         return self._schedules[read_len]
 
-    def align_batch(self, reads: np.ndarray, return_raw: bool = False):
-        """Align a [B, L] uint8 code batch; returns one AlignResult per read
-        (and, with return_raw, the raw per-read stat arrays for PE pairing)."""
+    def _device_for(self, read_len: int):
+        """(gview, sa, lut) device arrays for this read length's word count."""
+        from ..ops import seed_extend_fast
+        nw2 = (read_len + 15) // 16 + 1
+        if nw2 not in self._fast_dev:
+            import jax.numpy as jnp
+            if self._host_packed is None:
+                from ..ops.extend_packed import pack_genome
+                self._host_packed = pack_genome(self.index.genome.seq, 65)
+            gpack, gbad = self._host_packed
+            gview = jnp.asarray(
+                seed_extend_fast.make_gview(gpack, gbad, nw2))
+            sa = jnp.asarray(self.index.sa_clean.astype(np.int32))
+            lut = jnp.asarray(self.index.lut.astype(
+                np.int32 if self.index.lut[-1] < 2**31 else np.int64))
+            self._fast_dev[nw2] = (gview, sa, lut)
+        return self._fast_dev[nw2]
+
+    def _offsets_for(self, read_len: int, max_tot_mm: int) -> tuple:
+        from ..ops import seed_extend_fast
+        # discovery must reach max_tot + delta - 1 so next-best tracking
+        # within MinEditDist is complete (SfxArray.cpp:7869-7878)
+        return seed_extend_fast.fast_offsets(
+            read_len, self.index.lut_k,
+            max_tot_mm + max(self.mm_delta - 1, 0))
+
+    # --- device pass (submit / collect split for pipelining) ---------------
+    def _submit(self, reads: np.ndarray, n_compact: int | None = None):
+        from ..ops import seed_extend_fast
         B, L = reads.shape
-        passes, max_tot_mm = self.schedule_for(L)
-        offsets = union_offsets(passes)
-        gpack_d, gbad_d, sa_d, lut_d = self._dev
+        _, max_tot_mm = self.schedule_for(L)
+        gview, sa, lut = self._device_for(L)
+        return seed_extend_fast.fast_pass(
+            gview, sa, lut, reads, genome_len=len(self.index.genome.seq),
+            offsets=self._offsets_for(L, max_tot_mm),
+            lut_k=self.index.lut_k,
+            n_compact=n_compact or self.n_compact, max_ml=self.max_ml)
 
-        # excess-N screen (KAligner.cpp:9616-9637)
+    def _collect(self, devout, reads: np.ndarray) -> dict:
+        """Fetch tier-1 results; escalate overflowed reads through tiers."""
+        host = {k: np.array(v) for k, v in jax.device_get(devout).items()}
+        trunc = host["overflow"].copy()
+        for bt, nct in self.escalation:
+            idxs = np.nonzero(trunc)[0]
+            if len(idxs) == 0:
+                break
+            for s in range(0, len(idxs), bt):
+                chunk = idxs[s:s + bt]
+                sub = reads[chunk]
+                if len(chunk) < bt:
+                    sub = np.concatenate(
+                        [sub, np.repeat(sub[:1], bt - len(chunk), axis=0)])
+                out2 = {k: np.asarray(v) for k, v in jax.device_get(
+                    self._submit(sub, n_compact=nct)).items()}
+                for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm"):
+                    host[key][chunk] = out2[key][:len(chunk)]
+                trunc[chunk] = out2["overflow"][:len(chunk)]
+        host["overflow"] = trunc   # True only if the FINAL tier overflowed
+        return host
+
+    def align_batch_raw(self, reads: np.ndarray) -> dict:
+        """Vectorized alignment of a [B, L] uint8 code batch.
+
+        Returns numpy arrays: nar [B] uint8 (0=accepted 1=nohit 2=multi
+        3=excess-Ns), pos/strand/mm [B] (valid where accepted), plus the raw
+        low_mm/n_low/nxt_mm/hit_id/hit_mm/overflow stats."""
+        host = self._collect(self._submit(reads), reads)
+        return self._classify(reads, host)
+
+    def _classify(self, reads: np.ndarray, host: dict) -> dict:
+        B, L = reads.shape
+        _, max_tot_mm = self.schedule_for(L)
         max_ns_seq = max(L * self.max_ns // 100, self.max_ns)
-        n_counts = (reads == dna.BASE_N).sum(axis=1)
-        ns_bad = n_counts > max_ns_seq
+        ns_bad = (reads == dna.BASE_N).sum(axis=1) > max_ns_seq
 
-        out = seed_extend.align_pass(
-            gpack_d, gbad_d, sa_d, lut_d, reads,
-            genome_len=len(self.index.genome.seq),
-            offsets=offsets, lut_k=self.index.lut_k,
-            cand_per_window=self.cand, n_compact=self.n_compact,
-            max_ml=self.max_ml,
-            reads_have_ns=bool(n_counts.any()))
-        # one bulk transfer (the axon tunnel charges ~per fetch)
-        host = jax.device_get(out)
         low = host["low_mm"].astype(np.int64)
         n_low = host["n_low"].astype(np.int64)
         nxt = host["nxt_mm"].astype(np.int64)
-        hit_id = host["hit_id"].astype(np.int64)
-        hit_mm = host["hit_mm"].astype(np.int64)
-        overflow = host["overflow"]
+        trunc = host["overflow"]
+        aligned = low <= max_tot_mm
+        unique = (aligned & ~trunc & (n_low == 1)
+                  & ((nxt - low) >= self.mm_delta))
+        nar = np.where(ns_bad, 3,
+                       np.where(unique, 0, np.where(aligned, 2, 1))
+                       ).astype(np.uint8)
+        hid = host["hit_id"][:, 0].astype(np.int64)
+        return {"nar": nar, "pos": hid >> 1, "strand": (hid & 1),
+                "mm": low, "low_mm": low, "n_low": n_low, "nxt_mm": nxt,
+                "hit_id": host["hit_id"].astype(np.int64),
+                "hit_mm": host["hit_mm"].astype(np.int64),
+                "overflow": trunc, "max_tot_mm": max_tot_mm}
 
-        results: list[AlignResult] = []
-        for i in range(B):
-            if ns_bad[i]:
-                results.append(AlignResult(NAR_NS))
-                continue
-            li = int(low[i])
-            if li > max_tot_mm:
-                results.append(AlignResult(NAR_NOHIT))
-                continue
-            unique = (not overflow[i] and int(n_low[i]) == 1 and
-                      (int(nxt[i]) - li) >= self.mm_delta)
-            if unique:
-                hid = int(hit_id[i, 0])
-                results.append(AlignResult(NAR_ACCEPTED, strand=hid & 1,
-                                           pos=hid >> 1, mm=li,
-                                           n_low=1, nxt_mm=int(nxt[i])))
-            else:
-                ml = hit_id[i][hit_mm[i] == li]
-                results.append(AlignResult(NAR_MULTI, mm=li,
-                                           n_low=int(n_low[i]),
-                                           nxt_mm=int(nxt[i]),
-                                           multi_ids=ml))
+    _NAR_NAMES = (NAR_ACCEPTED, NAR_NOHIT, NAR_MULTI, NAR_NS)
+
+    def align_batch(self, reads: np.ndarray, return_raw: bool = False):
+        """Align a [B, L] uint8 code batch; returns one AlignResult per read
+        (and, with return_raw, the raw per-read stat arrays for PE pairing)."""
+        return self._finalize(reads, self._submit(reads), return_raw)
+
+    def _finalize(self, reads, devout, return_raw: bool = False):
+        raw = self._classify(reads, self._collect(devout, reads))
+        results = self._to_results(raw)
+        hit_id, hit_mm = raw["hit_id"], raw["hit_mm"]
+        max_tot_mm = raw["max_tot_mm"]
         if self.micro_indel:
             self._indel_rescue(reads, results, hit_id, hit_mm, max_tot_mm)
         if self.splice_max:
@@ -236,9 +298,33 @@ class KAligner:
         if self.chimeric_pct:
             self._chimeric_rescue(reads, results, hit_id, hit_mm)
         if return_raw:
-            return results, {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
-                             "hit_id": hit_id, "hit_mm": hit_mm,
-                             "overflow": overflow}
+            return results, {"low_mm": raw["low_mm"], "n_low": raw["n_low"],
+                             "nxt_mm": raw["nxt_mm"], "hit_id": hit_id,
+                             "hit_mm": hit_mm, "overflow": raw["overflow"]}
+        return results
+
+    def _to_results(self, raw: dict) -> list:
+        nar = raw["nar"]
+        pos = raw["pos"]
+        strand = raw["strand"]
+        low = raw["low_mm"]
+        n_low = raw["n_low"]
+        nxt = raw["nxt_mm"]
+        at_low = raw["hit_mm"] == low[:, None]
+        results: list[AlignResult] = []
+        for i in range(len(nar)):
+            c = nar[i]
+            if c == 0:
+                results.append(AlignResult(
+                    NAR_ACCEPTED, strand=int(strand[i]), pos=int(pos[i]),
+                    mm=int(low[i]), n_low=1, nxt_mm=int(nxt[i])))
+            elif c == 2:
+                results.append(AlignResult(
+                    NAR_MULTI, mm=int(low[i]), n_low=int(n_low[i]),
+                    nxt_mm=int(nxt[i]),
+                    multi_ids=raw["hit_id"][i][at_low[i]]))
+            else:
+                results.append(AlignResult(self._NAR_NAMES[c]))
         return results
 
     def _chimeric_rescue(self, reads, results, hit_id, hit_mm):
@@ -369,9 +455,27 @@ class KAligner:
                 if bl:
                     yield bl
 
+        from collections import deque
+
+        def drain(item):
+            recs, arr, dev = item
+            for rec, res in zip(recs, self._finalize(arr, dev)[:len(recs)]):
+                yield rec, res
+
+        def pipeline(source):
+            # keep 2 device batches in flight: submit k+1 before
+            # finalizing k so the chip computes while the host classifies
+            pending: deque = deque()
+            for bl in source:
+                arr = self._pad_batch(bl)
+                pending.append((bl, arr, self._submit(arr)))
+                if len(pending) >= 2:
+                    yield from drain(pending.popleft())
+            while pending:
+                yield from drain(pending.popleft())
+
         if not prefetch:
-            for bl in batches():
-                yield from self._flush(bl)
+            yield from pipeline(batches())
             return
 
         import queue
@@ -391,16 +495,20 @@ class KAligner:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            bl = q.get()
-            if bl is SENTINEL:
-                break
-            yield from self._flush(bl)
+
+        def qsource():
+            while True:
+                bl = q.get()
+                if bl is SENTINEL:
+                    return
+                yield bl
+
+        yield from pipeline(qsource())
         t.join()
         if err:
             raise err[0]
 
-    def _flush(self, recs: list[SeqRecord]):
+    def _pad_batch(self, recs: list[SeqRecord]) -> np.ndarray:
         arr = np.stack([r.codes for r in recs])
         n = len(recs)
         if n < self.batch_size:
@@ -408,8 +516,7 @@ class KAligner:
             # same compiled executable (static shapes; XLA compiles once)
             pad = np.repeat(arr[:1], self.batch_size - n, axis=0)
             arr = np.concatenate([arr, pad])
-        for rec, res in zip(recs, self.align_batch(arr)[:n]):
-            yield rec, res
+        return arr
 
 
 def filter_alignments(aligned, genome, *, chrom_include=None,

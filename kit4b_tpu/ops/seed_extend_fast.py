@@ -1,0 +1,263 @@
+"""Fast batched seed-and-extend pass — the round-2 kalign device hot path.
+
+Replaces ops/seed_extend.align_pass with a design tuned to measured XLA/TPU
+costs (tools/profile_align.py, profile_gather.py):
+
+  cost driver (round 1)                  this module
+  -------------------------------------  -----------------------------------
+  elementwise genome gathers (~10ns/el)  ROW gathers of the genome context
+                                         (one index fetches 2*(nw+1) words)
+  per-read candidate SORT ([B,720])      cumsum bucket->slot compaction
+                                         (searchsorted-by-compare, no sort)
+  16-phase read packing + phase masks    phase-0 read packing; GENOME words
+                                         funnel-shifted to read phase
+  sort-based locus dedup                 first-exact-window canonicalisation
+                                         (a locus is emitted only by its
+                                         first mismatch-free seed window)
+  fixed per-bucket candidate cap C=24    ALL bucket entries up to a per-read
+    (silent truncation)                  capacity NC; truncation sets an
+                                         overflow flag -> host escalates the
+                                         read to a bigger-NC tier (the
+                                         reference's sensitivity/MaxIter
+                                         ladder, ngskit4b/KAligner.h:53-56)
+
+Discovery guarantee: W = max_mm + 1 DISJOINT lut_k-mer windows per strand.
+Pigeonhole: any alignment with <= max_mm mismatches has at least one
+mismatch-free window, whose k-mer key indexes the LUT bucket containing the
+locus (the clean-suffix SA holds every N-free genome k-mer). This mirrors the
+reference's progressive core passes (libkit4b/SfxArray.cpp:7866-7893) with a
+single fixed-shape evaluation.
+
+First-exact-window dedup: a candidate found via window w counts iff w is the
+read's FIRST mismatch-free window at that locus (computable from the
+extension's XOR bits alone). Exactly-once emission holds per shard AND
+globally across key-range index shards, because each shard emits only the
+candidates whose canonical window key it owns — the cross-shard merge is a
+plain concatenation (SURVEY.md §2.5 P3).
+
+Reference parity anchors: CSfxArray::LocateCoreMultiples inner loop
+(libkit4b/SfxArray.cpp:5806), CKAligner::AlignRead (ngskit4b/KAligner.cpp:9583).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.int32(np.iinfo(np.int32).max)
+MISM_BITS = np.uint32(0x55555555)
+
+
+def fast_offsets(read_len: int, lut_k: int, max_mm: int) -> tuple:
+    """Evenly spread disjoint seed-window offsets.
+
+    W = min(max_mm + 1, L // k) windows guarantee discovery of all loci with
+    <= W - 1 mismatches; spreading them across the read (stride >= k) keeps
+    the pigeonhole property while covering 3' error-dense tails."""
+    L, k = read_len, lut_k
+    W = min(max_mm + 1, L // k)
+    if W <= 0:
+        return ()
+    if W == 1:
+        return (0,)
+    stride = (L - k) // (W - 1)
+    return tuple(i * stride for i in range(W))
+
+
+def make_gview(gpack: np.ndarray, gbad: np.ndarray, nw2: int) -> np.ndarray:
+    """[Gv, 2*nw2] uint32 row-gather view: row i = gpack[i:i+nw2] ++
+    gbad[i:i+nw2]. One row fetch supplies the full extension context for a
+    candidate whose read-start word is i."""
+    p = np.lib.stride_tricks.sliding_window_view(gpack, nw2)
+    b = np.lib.stride_tricks.sliding_window_view(gbad, nw2)
+    return np.concatenate([p, b], axis=1).astype(np.uint32)
+
+
+def pack_reads0(seqs: jnp.ndarray, nw: int):
+    """[B, S, L] uint8 codes -> phase-0 packed (rpack, rbad) [B, S, nw]."""
+    B, S, L = seqs.shape
+    ext = jnp.zeros((B, S, 16 * nw), dtype=jnp.uint8).at[:, :, :L].set(seqs)
+    r = ext.reshape(B, S, nw, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
+    rpack = jnp.sum((r & 3).astype(jnp.uint32) << shifts, axis=-1,
+                    dtype=jnp.uint32)
+    rbad = jnp.sum((r >= 4).astype(jnp.uint32) << shifts, axis=-1,
+                   dtype=jnp.uint32)
+    return rpack, rbad
+
+
+def _tail_mask(read_len: int, nw: int) -> np.ndarray:
+    """uint32 [nw]: flag bit 2m of word j set iff base 16j + m < read_len."""
+    out = np.zeros(nw, dtype=np.uint32)
+    for j in range(nw):
+        for m in range(16):
+            if 16 * j + m < read_len:
+                out[j] |= np.uint32(1) << np.uint32(2 * m)
+    return out
+
+
+def _window_masks(offsets: tuple, lut_k: int, nw: int) -> np.ndarray:
+    """uint32 [W, nw]: flag bits covering read bases [off, off+k)."""
+    out = np.zeros((len(offsets), nw), dtype=np.uint32)
+    for w, off in enumerate(offsets):
+        for i in range(off, off + lut_k):
+            out[w, i // 16] |= np.uint32(1) << np.uint32(2 * (i % 16))
+    return out
+
+
+def revcomp_device(reads: jnp.ndarray) -> jnp.ndarray:
+    comp = jnp.where(reads < 4, 3 - reads, reads)
+    return comp[..., ::-1]
+
+
+def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
+                    sa: jnp.ndarray,      # [M] int32 clean-suffix positions
+                    lut: jnp.ndarray,     # [lut_len] bucket starts
+                    key_lo: jnp.ndarray,  # scalar: first key of shard
+                    reads: jnp.ndarray,   # [B, L] uint8 codes
+                    *,
+                    genome_len: int,
+                    offsets: tuple,
+                    lut_k: int,
+                    n_compact: int):
+    """Seed + compact + extend + canonicalise. Returns (ids, mm, overflow):
+    ids/mm [B, NC] int32 (INT32_MAX invalid), each surviving entry a
+    deduplicated locus; overflow [B] bool -> escalate the read."""
+    B, L = reads.shape
+    G = genome_len
+    M = sa.shape[0]
+    NC = n_compact
+    W = len(offsets)
+    D = 2 * W
+    k = lut_k
+    nw = (L + 15) // 16
+    nw2 = nw + 1
+    n_keys = lut.shape[0] - 1
+    Gv = gview.shape[0]
+
+    seqs = jnp.stack([reads, revcomp_device(reads)], axis=1)  # [B, 2, L]
+
+    # --- seed lookup: bucket (lo, cnt) per (strand, window) ----------------
+    offs = (jnp.asarray(offsets, jnp.int32)[:, None]
+            + jnp.arange(k, dtype=jnp.int32)[None, :])          # [W, k]
+    bases = seqs[:, :, offs]                                     # [B,2,W,k]
+    pow4 = (jnp.uint32(1) << (2 * jnp.arange(k - 1, -1, -1,
+                                             dtype=jnp.uint32))).astype(
+                                                 jnp.int32)
+    keys = jnp.sum(jnp.where(bases < 4, bases, 0).astype(jnp.int32)
+                   * pow4, axis=-1, dtype=jnp.int32)             # [B,2,W]
+    key_ok = jnp.all(bases < 4, axis=-1)
+    local = keys - key_lo.astype(jnp.int32)
+    in_shard = (local >= 0) & (local < n_keys)
+    local = jnp.clip(local, 0, n_keys - 1)
+    lo = lut[local].astype(jnp.int32)
+    cnt = (lut[local + 1].astype(jnp.int32) - lo)
+    cnt = jnp.where(key_ok & in_shard, cnt, 0)
+    lo_d = lo.reshape(B, D)
+    cnt_d = cnt.reshape(B, D)          # flat bucket order d = strand*W + w
+
+    # --- slot -> (bucket, rank) compaction (no sort) -----------------------
+    cum = jnp.cumsum(cnt_d, axis=1)                              # [B, D]
+    total = cum[:, -1]
+    overflow = total > NC
+    j = jnp.arange(NC, dtype=jnp.int32)                          # [B, NC]
+    b = jnp.sum((cum[:, None, :] <= j[None, :, None]).astype(jnp.int32),
+                axis=2)
+    b = jnp.clip(b, 0, D - 1)
+    cum0 = jnp.pad(cum, ((0, 0), (1, 0)))
+    prev = jnp.take_along_axis(cum0, b, axis=1)
+    rank = j[None, :] - prev
+    sa_idx = jnp.take_along_axis(lo_d, b, axis=1) + rank
+    slot_ok = j[None, :] < jnp.minimum(total, NC)[:, None]
+
+    w_d = b % W
+    strand = b // W
+    off_b = jnp.asarray(offsets, dtype=jnp.int32)[w_d]           # [B, NC]
+    sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
+    pos = sa_pos - off_b
+    valid = slot_ok & (pos >= 0) & (pos + L <= G)
+
+    # --- extension: one context-row gather per candidate -------------------
+    rpack, rbad = pack_reads0(seqs, nw)                          # [B,2,nw]
+    w0 = jnp.clip(jnp.where(valid, pos, 0) >> 4, 0, Gv - 1)
+    rows = gview[w0]                                             # [B,NC,2nw2]
+    gw = rows[..., :nw2]
+    gb = rows[..., nw2:]
+    sh = (2 * (jnp.where(valid, pos, 0) & 15)).astype(jnp.uint32)[..., None]
+    hi_sh = jnp.uint32(32) - sh
+
+    def shift_align(words):
+        lo_w = words[..., :nw] >> sh
+        hi_w = jnp.where(sh == 0, jnp.uint32(0), words[..., 1:] << hi_sh)
+        return lo_w | hi_w
+
+    ga = shift_align(gw)
+    gba = shift_align(gb)
+    st = strand[..., None]
+    rp = jnp.where(st == 0, rpack[:, None, 0, :], rpack[:, None, 1, :])
+    rb = jnp.where(st == 0, rbad[:, None, 0, :], rbad[:, None, 1, :])
+
+    x = ga ^ rp
+    mism = (x | (x >> 1)) & MISM_BITS
+    badb = (gba | rb) & MISM_BITS
+    tmask = jnp.asarray(_tail_mask(L, nw))
+    bits = (mism | badb) & tmask                                 # [B,NC,nw]
+    mm = jnp.sum(jax.lax.population_count(bits), axis=-1,
+                 dtype=jnp.int32)
+
+    # --- first-exact-window canonicalisation -------------------------------
+    wmask = jnp.asarray(_window_masks(offsets, k, nw))           # [W, nw]
+    notexact = jnp.any((bits[:, :, None, :] & wmask[None, None]) != 0,
+                       axis=-1)                                  # [B,NC,W]
+    exact = ~notexact
+    fw = jnp.argmax(exact, axis=-1).astype(jnp.int32)            # first True
+    canonical = valid & jnp.any(exact, axis=-1) & (fw == w_d)
+
+    ids = jnp.where(canonical, pos * 2 + strand, INT32_MAX)
+    mm = jnp.where(canonical, mm, INT32_MAX)
+    return ids, mm, overflow
+
+
+def finalize_fast(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
+    """Masked best/next-best stats + top-max_ml hits ordered by (mm, id).
+
+    ids/mm [B, N] int32 with INT32_MAX invalid; entries are already
+    deduplicated (exactly-once per locus), so no sort-dedup is needed —
+    ordering uses one small int64 key sort."""
+    B, N = ids.shape
+    ok = ids != INT32_MAX
+    low = jnp.min(mm, axis=1)
+    n_low = jnp.sum((mm == low[:, None]) & ok, axis=1, dtype=jnp.int32)
+    nxt = jnp.min(jnp.where(mm > low[:, None], mm, INT32_MAX), axis=1)
+
+    mm_s, id_s = jax.lax.sort((mm, ids), dimension=1, num_keys=2)
+    hit_mm = mm_s[:, :max_ml]
+    hit_id = jnp.where(hit_mm == INT32_MAX, INT32_MAX, id_s[:, :max_ml])
+    if max_ml > N:
+        pad = ((0, 0), (0, max_ml - N))
+        hit_mm = jnp.pad(hit_mm, pad, constant_values=int(INT32_MAX))
+        hit_id = jnp.pad(hit_id, pad, constant_values=int(INT32_MAX))
+    return {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
+            "hit_id": hit_id, "hit_mm": hit_mm}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
+                              "n_compact", "max_ml"))
+def fast_pass(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
+              reads: jnp.ndarray, *, genome_len: int, offsets: tuple,
+              lut_k: int, n_compact: int, max_ml: int):
+    """Single-device fast pass over a read batch, both strands.
+
+    Same output contract as ops/seed_extend.align_pass: dict with
+    low_mm/n_low/nxt_mm [B], hit_id/hit_mm [B, max_ml], overflow [B].
+    overflow=True means the read's candidate total exceeded n_compact and its
+    stats are incomplete — the caller escalates it to a bigger tier."""
+    ids, mm, overflow = fast_candidates(
+        gview, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
+        offsets=offsets, lut_k=lut_k, n_compact=n_compact)
+    out = finalize_fast(ids, mm, max_ml=max_ml)
+    out["overflow"] = overflow
+    return out
