@@ -37,7 +37,7 @@ BASELINE_CPU_READS_PER_SEC = 10_600 * 32
 GENOME_LEN = 4_600_000
 N_READS = 100_000
 READ_LEN = 100
-BATCH = 8192
+BATCH = 32768
 
 
 def main():
@@ -83,7 +83,7 @@ def main():
     n_acc = 0
     for s, d in zip(starts, devs):
         b = reads[s:s + BATCH]
-        raw = al._classify(b, al._collect(d, b))
+        raw = al._collect_compact(d, b)
         n_acc += int((raw["nar"] == 0).sum())
         raws.append(raw)
     dt = time.time() - t0

@@ -138,6 +138,8 @@ class AlignResult:
     nxt_mm: int = INT32_MAX
     multi_ids: np.ndarray | None = None  # pos*2+strand of multiloci hits
     cigar: str | None = None             # non-None for microInDel rescues
+    trim_left: int = 0                   # AutoTrimFlanks 5' soft clip
+    trim_right: int = 0                  # AutoTrimFlanks 3' soft clip
 
 
 class KAligner:
@@ -156,8 +158,8 @@ class KAligner:
                  max_ml: int = 5,            # cDfltMaxMultiHits
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
                  cand_per_window: int = 24,  # (round-1 path; kept for compat)
-                 n_compact: int = 16,        # tier-1 per-read candidate cap
-                 batch_size: int = 4096,
+                 n_compact: int = 24,        # tier-1 per-read candidate cap
+                 batch_size: int = 16384,
                  sens: str = "default",
                  escalation: tuple = ((512, 512), (64, 8192)),
                  micro_indel: int = 0,   # microInDel max length (-y), 0=off
@@ -213,17 +215,83 @@ class KAligner:
             read_len, self.index.lut_k,
             max_tot_mm + max(self.mm_delta - 1, 0))
 
+    def _use_compact(self) -> bool:
+        """Compact device classification unless hit lists are needed
+        host-side (rescue passes use the multiloci candidates)."""
+        return not (self.micro_indel or self.splice_max or self.chimeric_pct)
+
     # --- device pass (submit / collect split for pipelining) ---------------
-    def _submit(self, reads: np.ndarray, n_compact: int | None = None):
+    def _submit(self, reads: np.ndarray, n_compact: int | None = None,
+                compact: bool | None = None):
         from ..ops import seed_extend_fast
         B, L = reads.shape
         _, max_tot_mm = self.schedule_for(L)
         gview, sa, lut = self._device_for(L)
+        kw = dict(genome_len=len(self.index.genome.seq),
+                  offsets=self._offsets_for(L, max_tot_mm),
+                  lut_k=self.index.lut_k,
+                  n_compact=n_compact or self.n_compact)
+        if compact is None:
+            compact = self._use_compact()
+        if compact:
+            # one [B, 2] int32 result -> ~8 bytes/read over the tunnel
+            return seed_extend_fast.fast_pass_compact(
+                gview, sa, lut, reads, max_tot_mm=max_tot_mm,
+                mm_delta=self.mm_delta, **kw)
         return seed_extend_fast.fast_pass(
-            gview, sa, lut, reads, genome_len=len(self.index.genome.seq),
-            offsets=self._offsets_for(L, max_tot_mm),
-            lut_k=self.index.lut_k,
-            n_compact=n_compact or self.n_compact, max_ml=self.max_ml)
+            gview, sa, lut, reads, max_ml=self.max_ml, **kw)
+
+    def _code_from_full(self, host: dict, max_tot_mm: int) -> np.ndarray:
+        """Classify full-stats rows into compact codes (escalation merge)."""
+        low = host["low_mm"].astype(np.int64)
+        aligned = low <= max_tot_mm
+        unique = (aligned & ~host["overflow"] & (host["n_low"] == 1)
+                  & ((host["nxt_mm"].astype(np.int64) - low)
+                     >= self.mm_delta))
+        best = host["hit_id"][:, 0].astype(np.int64)
+        return np.where(host["overflow"], -3,
+                        np.where(unique, best,
+                                 np.where(aligned, -2, -1))).astype(np.int64)
+
+    def _collect_compact(self, devout, reads: np.ndarray) -> dict:
+        """Fetch [B,2] compact results; escalate overflow codes via the
+        full-stats tiers; return the classification dict."""
+        host = np.array(jax.device_get(devout))
+        code = host[:, 0].astype(np.int64)
+        low = host[:, 1].astype(np.int64)
+        n_low = host[:, 2].astype(np.int64)
+        for bt, nct in self.escalation:
+            idxs = np.nonzero(code == -3)[0]
+            if len(idxs) == 0:
+                break
+            for s in range(0, len(idxs), bt):
+                chunk = idxs[s:s + bt]
+                sub = reads[chunk]
+                if len(chunk) < bt:
+                    sub = np.concatenate(
+                        [sub, np.repeat(sub[:1], bt - len(chunk), axis=0)])
+                out2 = {k: np.array(v) for k, v in jax.device_get(
+                    self._submit(sub, n_compact=nct, compact=False)).items()}
+                _, max_tot_mm = self.schedule_for(reads.shape[1])
+                code[chunk] = self._code_from_full(
+                    {k: v[:len(chunk)] for k, v in out2.items()}, max_tot_mm)
+                low[chunk] = out2["low_mm"][:len(chunk)]
+                n_low[chunk] = out2["n_low"][:len(chunk)]
+        B, L = reads.shape
+        _, max_tot_mm = self.schedule_for(L)
+        max_ns_seq = max(L * self.max_ns // 100, self.max_ns)
+        ns_bad = (reads == dna.BASE_N).sum(axis=1) > max_ns_seq
+        # final-tier overflow (-3) is classified multi, as the reference
+        # classifies MaxIter-truncated reads
+        nar = np.where(ns_bad, 3,
+                       np.where(code >= 0, 0,
+                                np.where(code == -1, 1, 2))).astype(np.uint8)
+        pos = np.where(code >= 0, code >> 1, -1)
+        strand = np.where(code >= 0, code & 1, 0)
+        return {"nar": nar, "pos": pos, "strand": strand, "mm": low,
+                "low_mm": low, "n_low": n_low, "nxt_mm": None,
+                "hit_id": None, "hit_mm": None,
+                "overflow": code == -3, "max_tot_mm": max_tot_mm}
 
     def _collect(self, devout, reads: np.ndarray) -> dict:
         """Fetch tier-1 results; escalate overflowed reads through tiers."""
@@ -240,7 +308,8 @@ class KAligner:
                     sub = np.concatenate(
                         [sub, np.repeat(sub[:1], bt - len(chunk), axis=0)])
                 out2 = {k: np.asarray(v) for k, v in jax.device_get(
-                    self._submit(sub, n_compact=nct)).items()}
+                    self._submit(sub, n_compact=nct,
+                                 compact=False)).items()}
                 for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm"):
                     host[key][chunk] = out2[key][:len(chunk)]
                 trunc[chunk] = out2["overflow"][:len(chunk)]
@@ -252,7 +321,9 @@ class KAligner:
 
         Returns numpy arrays: nar [B] uint8 (0=accepted 1=nohit 2=multi
         3=excess-Ns), pos/strand/mm [B] (valid where accepted), plus the raw
-        low_mm/n_low/nxt_mm/hit_id/hit_mm/overflow stats."""
+        stats (full-stats keys are None on the compact path)."""
+        if self._use_compact():
+            return self._collect_compact(self._submit(reads), reads)
         host = self._collect(self._submit(reads), reads)
         return self._classify(reads, host)
 
@@ -284,10 +355,15 @@ class KAligner:
     def align_batch(self, reads: np.ndarray, return_raw: bool = False):
         """Align a [B, L] uint8 code batch; returns one AlignResult per read
         (and, with return_raw, the raw per-read stat arrays for PE pairing)."""
-        return self._finalize(reads, self._submit(reads), return_raw)
+        compact = None if not return_raw else False
+        return self._finalize(reads, self._submit(reads, compact=compact),
+                              return_raw)
 
     def _finalize(self, reads, devout, return_raw: bool = False):
-        raw = self._classify(reads, self._collect(devout, reads))
+        if not isinstance(devout, dict):   # compact [B, 2] result
+            raw = self._collect_compact(devout, reads)
+        else:
+            raw = self._classify(reads, self._collect(devout, reads))
         results = self._to_results(raw)
         hit_id, hit_mm = raw["hit_id"], raw["hit_mm"]
         max_tot_mm = raw["max_tot_mm"]
@@ -310,19 +386,23 @@ class KAligner:
         low = raw["low_mm"]
         n_low = raw["n_low"]
         nxt = raw["nxt_mm"]
-        at_low = raw["hit_mm"] == low[:, None]
+        has_hits = raw["hit_id"] is not None
+        at_low = (raw["hit_mm"] == low[:, None]) if has_hits else None
         results: list[AlignResult] = []
         for i in range(len(nar)):
             c = nar[i]
             if c == 0:
                 results.append(AlignResult(
                     NAR_ACCEPTED, strand=int(strand[i]), pos=int(pos[i]),
-                    mm=int(low[i]), n_low=1, nxt_mm=int(nxt[i])))
+                    mm=int(low[i]), n_low=1,
+                    nxt_mm=int(nxt[i]) if nxt is not None else INT32_MAX))
             elif c == 2:
                 results.append(AlignResult(
-                    NAR_MULTI, mm=int(low[i]), n_low=int(n_low[i]),
-                    nxt_mm=int(nxt[i]),
-                    multi_ids=raw["hit_id"][i][at_low[i]]))
+                    NAR_MULTI, mm=int(low[i]),
+                    n_low=int(n_low[i]) if n_low is not None else 0,
+                    nxt_mm=int(nxt[i]) if nxt is not None else INT32_MAX,
+                    multi_ids=(raw["hit_id"][i][at_low[i]]
+                               if has_hits else None)))
             else:
                 results.append(AlignResult(self._NAR_NAMES[c]))
         return results

@@ -245,6 +245,40 @@ def finalize_fast(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
 
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
+                              "n_compact", "max_tot_mm", "mm_delta"))
+def fast_pass_compact(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
+                      reads: jnp.ndarray, *, genome_len: int, offsets: tuple,
+                      lut_k: int, n_compact: int, max_tot_mm: int,
+                      mm_delta: int):
+    """fast_pass with ON-DEVICE classification and a compact return.
+
+    The axon-tunnel device->host fetch runs at ~22 MB/s, so returning the
+    full stats dict costs far more than the alignment compute. This variant
+    classifies each read on device and returns ONE [B, 3] int32 array:
+      col 0: pos*2+strand of the unique accepted hit, or -1 nohit,
+             -2 multialigned, -3 capacity overflow (caller escalates)
+      col 1: lowest mismatch count (INT32_MAX when no hit)
+      col 2: number of distinct loci at the lowest mismatch count
+    Callers needing hit lists (PE pairing, rescue passes) use fast_pass."""
+    ids, mm, overflow = fast_candidates(
+        gview, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
+        offsets=offsets, lut_k=lut_k, n_compact=n_compact)
+    ok = ids != INT32_MAX
+    low = jnp.min(mm, axis=1)
+    n_low = jnp.sum((mm == low[:, None]) & ok, axis=1, dtype=jnp.int32)
+    nxt = jnp.min(jnp.where(mm > low[:, None], mm, INT32_MAX), axis=1)
+    best_id = jnp.min(jnp.where(mm == low[:, None], ids, INT32_MAX), axis=1)
+    aligned = low <= max_tot_mm
+    unique = (aligned & ~overflow & (n_low == 1)
+              & ((nxt - low) >= mm_delta))
+    code = jnp.where(overflow, -3,
+                     jnp.where(unique, best_id,
+                               jnp.where(aligned, -2, -1)))
+    return jnp.stack([code, low, n_low], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
                               "n_compact", "max_ml"))
 def fast_pass(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
               reads: jnp.ndarray, *, genome_len: int, offsets: tuple,

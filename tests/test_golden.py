@@ -1,0 +1,179 @@
+"""Golden-equivalence tests: run the reference ngskit4b binary and assert
+output agreement with kit4b_tpu on tiny workloads (VERDICT round-1 item 3).
+
+Marked `golden`; skipped when .refbin/ngskit4b is absent. Build it with
+tools/build_reference.sh. Run with:  pytest -m golden
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REFBIN = os.path.join(REPO, ".refbin", "ngskit4b")
+
+pytestmark = [
+    pytest.mark.golden,
+    pytest.mark.skipif(not os.path.exists(REFBIN),
+                       reason="reference binary not built "
+                              "(tools/build_reference.sh)"),
+]
+
+
+def ref(args, cwd):
+    r = subprocess.run([REFBIN] + args, cwd=cwd, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, f"ngskit4b {args[0]} failed:\n{r.stderr[-2000:]}"
+    return r
+
+
+def ours(args, cwd):
+    r = subprocess.run([sys.executable, "-m", "kit4b_tpu"] + args, cwd=cwd,
+                       capture_output=True, text=True, timeout=600,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": REPO})
+    assert r.returncode == 0, f"kit4b_tpu {args[0]} failed:\n{r.stderr[-2000:]}"
+    return r
+
+
+def write_genome(path, n=200_000, seed=42, nchroms=1):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for c in range(nchroms):
+            f.write(f">chr{c+1}\n")
+            s = "".join("ACGT"[b] for b in rng.integers(0, 4, n))
+            for i in range(0, n, 70):
+                f.write(s[i:i + 70] + "\n")
+
+
+def sam_accepted(path):
+    """qname -> (rname, pos, strand) for mapped primary records."""
+    out = {}
+    for line in open(path):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        flag = int(f[1])
+        if flag & 0x4 or flag & 0x100:
+            continue
+        out[f[0]] = (f[2], int(f[3]), "-" if flag & 0x10 else "+")
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_workdir(tmp_path_factory):
+    """Genome + reference index + reference simreads, shared per module."""
+    d = tmp_path_factory.mktemp("golden")
+    fa = d / "genome.fa"
+    write_genome(fa)
+    ref(["index", "-i", str(fa), "-o", str(d / "genome.sfx"),
+         "-r", "golden", "-T2"], cwd=d)
+    ref(["simreads", "-n", "5000", "-l", "100", "-z", "0.05", "-g", "3", "-M1",
+         "-i", str(fa), "-o", str(d / "reads.fa"), "-T2"], cwd=d)
+    ours(["index", "-i", str(fa), "-o", str(d / "genome.kix")], cwd=d)
+    return d
+
+
+def test_golden_kalign_se_agreement(ref_workdir):
+    """Reference-simulated reads aligned by both; accepted sets and loci
+    must agree (round-1's one-off 50K/50K check, now a regression gate)."""
+    d = ref_workdir
+    ref(["kalign", "-i", str(d / "reads.fa"), "-I", str(d / "genome.sfx"),
+         "-o", str(d / "ref.sam"), "-M1", "-T2"], cwd=d)
+    ours(["kalign", "-i", str(d / "reads.fa"), "-I", str(d / "genome.kix"),
+          "-o", str(d / "our.sam"), "-M", "1"], cwd=d)
+    a = sam_accepted(d / "ref.sam")
+    b = sam_accepted(d / "our.sam")
+    only_ref = {k: v for k, v in a.items() if k not in b}
+    only_our = {k: v for k, v in b.items() if k not in a}
+    both = set(a) & set(b)
+    disagree = {k: (a[k], b[k]) for k in both if a[k] != b[k]}
+    assert not disagree, f"{len(disagree)} loci disagree: " \
+        f"{list(disagree.items())[:5]}"
+    # acceptance-set agreement: identical accept decisions
+    assert not only_ref and not only_our, \
+        f"ref-only={len(only_ref)} our-only={len(only_our)} " \
+        f"{list(only_ref.items())[:3]} {list(only_our.items())[:3]}"
+
+
+def test_golden_hammings_bit_identical(tmp_path):
+    """Exhaustive K=25 Watson-strand Hammings, reference CSV vs ours."""
+    d = tmp_path
+    fa = d / "g.fa"
+    write_genome(fa, n=50_000, seed=7)
+    # reference hammings mode 1 consumes a bioseq assembly file
+    ref(["genbioseq", "-i", str(fa), "-o", str(d / "g.seq"), "-t", "g"],
+        cwd=d)
+    ref(["hammings", "-m1", "-K25", "-S1", "-i", str(d / "g.seq"),
+         "-o", str(d / "ref.csv"), "-T2"], cwd=d)
+    ours(["hammings", "-K", "25", "-y", "-i", str(fa),
+          "-o", str(d / "our.csv")], cwd=d)
+
+    def load(p):
+        vals = {}
+        for line in open(p):
+            parts = line.replace('"', "").split(",")
+            if len(parts) >= 3 and parts[1].strip().isdigit():
+                vals[int(parts[1])] = int(parts[2])
+        return vals
+
+    a, b = load(d / "ref.csv"), load(d / "our.csv")
+    common = set(a) & set(b)
+    assert len(common) >= min(len(a), len(b)) * 0.999
+    bad = [k for k in common if a[k] != b[k]]
+    assert not bad, f"{len(bad)} positions differ, first: " \
+        f"{[(k, a[k], b[k]) for k in sorted(bad)[:5]]}"
+
+
+def test_golden_filter_assemb_contig(tmp_path):
+    """Config #5-lite: PE readset through reference filter+assemb vs ours;
+    both must reassemble the source sequence (coverage-equivalence — exact
+    contig-set equality is not expected: merge order is thread-dependent in
+    the reference)."""
+    d = tmp_path
+    rng = np.random.default_rng(11)
+    n = 30_000
+    seq = rng.integers(0, 4, n)
+    fa = d / "src.fa"
+    with open(fa, "w") as f:
+        f.write(">src\n")
+        s = "".join("ACGT"[b] for b in seq)
+        for i in range(0, n, 70):
+            f.write(s[i:i + 70] + "\n")
+    ref(["simreads", "-n", "3000", "-l", "100", "-p", "-j", "200", "-J",
+         "400", "-i", str(fa), "-o", str(d / "r1.fa"),
+         "-O", str(d / "r2.fa"), "-T2"], cwd=d)
+    ref(["filter", "-m1", "-i", str(d / "r1.fa"), "-I", str(d / "r2.fa"),
+         "-o", str(d / "reffilt.pk"), "-T2"], cwd=d)
+    ref(["assemb", "-i", str(d / "reffilt.pk"),
+         "-o", str(d / "refasm"), "-T2"], cwd=d)
+    ours(["filter", "-i", str(d / "r1.fa"), "-u", str(d / "r2.fa"),
+          "-o", str(d / "ourfilt.fa")], cwd=d)
+    ours(["assemb", "-i", str(d / "ourfilt.fa"),
+          "-o", str(d / "ourasm.fa")], cwd=d)
+
+    def longest_contig(pattern):
+        import glob
+        best = ""
+        for p in glob.glob(pattern):
+            cur = []
+            for line in open(p):
+                if line.startswith(">"):
+                    if cur:
+                        best = max(best, "".join(cur), key=len)
+                    cur = []
+                else:
+                    cur.append(line.strip())
+            if cur:
+                best = max(best, "".join(cur), key=len)
+        return best
+
+    ref_best = longest_contig(str(d / "refasm") + "*")
+    our_best = longest_contig(str(d / "ourasm.fa"))
+    # ours must reassemble at least as much of the source as the reference
+    assert len(our_best) >= min(len(ref_best), int(n * 0.9)), \
+        (len(our_best), len(ref_best))
