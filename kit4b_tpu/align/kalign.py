@@ -140,6 +140,7 @@ class AlignResult:
     cigar: str | None = None             # non-None for microInDel rescues
     trim_left: int = 0                   # AutoTrimFlanks 5' soft clip
     trim_right: int = 0                  # AutoTrimFlanks 3' soft clip
+    secondary: bool = False              # SAM 0x100 (mlmode 5 report-all)
 
 
 class KAligner:
@@ -215,10 +216,13 @@ class KAligner:
             read_len, self.index.lut_k,
             max_tot_mm + max(self.mm_delta - 1, 0))
 
+    _force_full = False   # set True when callers need multiloci hit lists
+
     def _use_compact(self) -> bool:
         """Compact device classification unless hit lists are needed
-        host-side (rescue passes use the multiloci candidates)."""
-        return not (self.micro_indel or self.splice_max or self.chimeric_pct)
+        host-side (rescue passes / mlmode use the multiloci candidates)."""
+        return not (self.micro_indel or self.splice_max
+                    or self.chimeric_pct or self._force_full)
 
     # --- device pass (submit / collect split for pipelining) ---------------
     def _submit(self, reads: np.ndarray, n_compact: int | None = None,
@@ -688,7 +692,9 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
     CSV (-O equivalent).
     """
     g = index.genome
-    stats = {NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0}
+    from collections import defaultdict
+    stats = defaultdict(int)
+    stats.update({NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0})
     snp_pos: list[int] = []
     snp_reads: list[np.ndarray] = []
 
@@ -741,21 +747,34 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                 seq, qual = seq_qual_for_strand(rec.codes, rec.qual, rev)
                 cigar = res.cigar or f"{len(rec.codes)}M"
                 nm = res.mm
+                matched = len(rec.codes)
                 if res.cigar:
-                    # NM counts indel bases (SAM spec)
                     import re as _re
+                    # NM counts indel bases (SAM spec); 'N' skips do not
                     nm += sum(int(x) for x in
                               _re.findall(r"(\d+)[ID]", res.cigar))
-                    # 'N' skips do not count toward NM
+                    matched = sum(int(x) for x in
+                                  _re.findall(r"(\d+)M", res.cigar))
+                # reference MAPQ scheme (KAligner.cpp:6146-6233): 254 base,
+                # -20 splice, -10 microInDel, scaled by matched fraction
+                mapq = 254
+                if res.cigar:
+                    if "N" in res.cigar:
+                        mapq -= 20
+                    elif "I" in res.cigar or "D" in res.cigar:
+                        mapq -= 10
+                mapq = min(254, max(1, mapq * matched // len(rec.codes)))
+                flag = FLAG_REVERSE if rev else 0
+                if res.secondary:
+                    flag |= 0x100
                 w.write(SamAlignment(
-                    qname=rec.name, flag=FLAG_REVERSE if rev else 0,
+                    qname=rec.name, flag=flag,
                     rname=g.names[ci], pos=off + 1,
-                    mapq=244 if res.cigar else 254,  # MAPQ-10 for InDel hits
-                    cigar=cigar, seq=seq, qual=qual,
+                    mapq=mapq, cigar=cigar, seq=seq, qual=qual,
                     tags=(f"NM:i:{nm}",)))
                 sub_hist[min(res.mm, 63)] += 1
-                if res.cigar is not None:
-                    continue  # indel reads do not feed the subs-only pileup
+                if res.cigar is not None or res.secondary:
+                    continue  # indel/secondary reads do not feed the pileup
                 if snp_caller is not None:
                     oriented = (dna.revcomp(rec.codes) if rev
                                 else rec.codes)

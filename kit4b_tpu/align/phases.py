@@ -190,6 +190,49 @@ def identify_constraint_violations(aligned: list, constraints: dict) -> int:
     return n
 
 
+def assign_multi_random(aligned: list, seed: int = 1) -> int:
+    """eMLrand: assign each multialigned read to one of its loci at random
+    (deterministic seeded RNG, like the reference's srand-driven pick)."""
+    rng = np.random.default_rng(seed)
+    n = 0
+    for rec, res in aligned:
+        if res.nar != NAR_MULTI or res.multi_ids is None \
+                or len(res.multi_ids) == 0:
+            continue
+        ids = [int(h) for h in res.multi_ids
+               if int(h) != np.iinfo(np.int32).max]
+        if not ids:
+            continue
+        hid = ids[int(rng.integers(0, len(ids)))]
+        res.nar = NAR_ACCEPTED
+        res.pos = hid >> 1
+        res.strand = hid & 1
+        res.n_low = 1
+        n += 1
+    return n
+
+
+def expand_multi_all(aligned: list) -> list:
+    """eMLall: expand each multialigned read into one record per locus; the
+    first is primary, the rest carry SAM flag 0x100 (reference -r5 report
+    all match loci up to the -R limit)."""
+    out = []
+    for rec, res in aligned:
+        if res.nar != NAR_MULTI or res.multi_ids is None:
+            out.append((rec, res))
+            continue
+        ids = [int(h) for h in res.multi_ids
+               if int(h) != np.iinfo(np.int32).max]
+        if not ids:
+            out.append((rec, res))
+            continue
+        for j, hid in enumerate(ids):
+            out.append((rec, AlignResult(
+                NAR_ACCEPTED, strand=hid & 1, pos=hid >> 1, mm=res.mm,
+                n_low=len(ids), secondary=j > 0)))
+    return out
+
+
 def assign_multi_matches(aligned: list, mode: str = "uniq") -> int:
     """Assign multialigned reads to a single locus by clustering with
     unique-read stacks (reference AssignMultiMatches, eMLuniq/eMLcluster).

@@ -37,6 +37,15 @@ def cmd_index(args) -> int:
     t = PhaseTimer()
     with t.phase("load genome"):
         g = Genome.load(*args.infile)
+    if getattr(args, "mode", 0) == 1:   # bisulfite index (kit4bax -m1)
+        from .align.bisulfite import BsIndex
+        with t.phase("build bisulfite index"):
+            bidx = BsIndex.build(g)
+        with t.phase("write index"):
+            bidx.save(args.outfile)
+        log.info("index: bisulfite, %d seqs, %d bp, lut_k=%d -> %s",
+                 g.nchroms(), g.total_len, bidx.lut_k, args.outfile)
+        return 0
     with t.phase("build suffix index"):
         idx = SfxIndex.build(g)
     with t.phase("write index"):
@@ -72,6 +81,64 @@ def cmd_simreads(args) -> int:
     return 0
 
 
+def _kalign_bisulfite(args) -> int:
+    """kalign --bisulfite SE flow (reference -b, KAlignerCL.cpp:220)."""
+    import numpy as np
+
+    from .align.bisulfite import BsAligner, BsIndex
+    from .io.fasta import read_seqs
+    from .io.sam import FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment, \
+        SamWriter, seq_qual_for_strand
+    from .utils.runtime import log
+    idx = BsIndex.load(args.sfxfile)
+    al = BsAligner(idx, max_subs=args.substitutions,
+                   mm_delta=args.editdelta, max_ns=args.maxns,
+                   batch_size=args.batchsize)
+    g = idx.genome
+    recs = []
+    for path in args.infile:
+        recs.extend(read_seqs(path))
+    n_acc = 0
+    with SamWriter(args.outfile, g.names, g.lengths,
+                   pg_cl=" ".join(sys.argv)) as w:
+        by_len: dict = {}
+        for r in recs:
+            by_len.setdefault(len(r.codes), []).append(r)
+        for L, group in by_len.items():
+            B = al.batch_size
+            for s in range(0, len(group), B):
+                chunk = group[s:s + B]
+                arr = np.stack([r.codes for r in chunk])
+                if len(chunk) < B:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[:1], B - len(chunk), axis=0)])
+                raw = al.align_batch_raw(arr)
+                for i, rec in enumerate(chunk):
+                    if raw["nar"][i] == 0:
+                        n_acc += 1
+                        rev = int(raw["strand"][i]) == 1
+                        ci, off = g.locate(
+                            np.array([int(raw["pos"][i])]))
+                        seq, qual = seq_qual_for_strand(
+                            rec.codes, rec.qual, rev)
+                        w.write(SamAlignment(
+                            qname=rec.name,
+                            flag=FLAG_REVERSE if rev else 0,
+                            rname=g.names[int(ci[0])],
+                            pos=int(off[0]) + 1, mapq=254,
+                            cigar=f"{len(rec.codes)}M", seq=seq, qual=qual,
+                            tags=(f"NM:i:{int(raw['mm'][i])}",
+                                  "XB:A:B")))
+                    elif args.format == 1:
+                        seq, qual = seq_qual_for_strand(
+                            rec.codes, rec.qual, False)
+                        w.write(SamAlignment(
+                            qname=rec.name, flag=FLAG_UNMAPPED, rname="*",
+                            pos=0, mapq=0, cigar="*", seq=seq, qual=qual))
+    log.info("kalign bisulfite: %d/%d accepted", n_acc, len(recs))
+    return 0
+
+
 def cmd_kalign(args) -> int:
     """ngskit4b kalign equivalent (KAlignerCL.cpp / KAligner.cpp)."""
     from .align import kalign, snp
@@ -81,15 +148,23 @@ def cmd_kalign(args) -> int:
     from .utils.runtime import PhaseTimer, enable_compile_cache, log
     enable_compile_cache()
     t = PhaseTimer()
+    if getattr(args, "bisulfite", False):
+        return _kalign_bisulfite(args)
     with t.phase("load index"):
         idx = SfxIndex.load(args.sfxfile)
     sens = {0: "default", 1: "more", 2: "ultra", 3: "less"}[args.mode]
-    al = kalign.KAligner(idx, max_subs=args.substitutions,
+    # PCR 5' primer correction initially aligns with extra allowed subs
+    # (KAlignerCL.cpp:268), corrected back to -s afterwards
+    al = kalign.KAligner(idx,
+                         max_subs=(args.substitutions
+                                   + getattr(args, "pcrprimersubs", 0)),
                          mm_delta=args.editdelta, max_ml=args.maxmulti,
                          max_ns=args.maxns, batch_size=args.batchsize,
                          sens=sens, micro_indel=args.microindellen,
                          splice_max=args.splicemax,
                          chimeric_pct=args.chimeric)
+    if getattr(args, "mlmode", 0) in (2, 3, 4, 5):
+        al._force_full = True   # multiloci assignment needs the hit lists
     caller = None
     if args.snpfile or args.wigfile or args.pbafile:
         caller = snp.SnpCaller(idx.genome, snp.SnpOptions(
@@ -114,6 +189,36 @@ def cmd_kalign(args) -> int:
         log.info("kalign PE: %s", stats)
     else:
         aligned = al.align_records(stream(args.infile))
+        need_phases = (getattr(args, "minflankexacts", 0)
+                       or getattr(args, "pcrprimersubs", 0)
+                       or getattr(args, "lociconstraints", None)
+                       or getattr(args, "mlmode", 0))
+        if need_phases:
+            from .align import phases
+            aligned = list(aligned)
+            # reference phase order (KAligner.cpp Align :617-:656)
+            if args.mlmode in (3, 4):
+                n = phases.assign_multi_matches(aligned)
+                log.info("kalign mlmode%d: assigned %d multiloci reads",
+                         args.mlmode, n)
+            elif args.mlmode == 2:
+                n = phases.assign_multi_random(aligned)
+                log.info("kalign mlmode2: randomly assigned %d", n)
+            elif args.mlmode == 5:
+                aligned = phases.expand_multi_all(aligned)
+            if args.lociconstraints:
+                cons = phases.load_loci_constraints(args.lociconstraints,
+                                                    idx.genome)
+                n = phases.identify_constraint_violations(aligned, cons)
+                log.info("kalign: %d loci constraint violations", n)
+            if args.pcrprimersubs:
+                st = phases.pcr5_primer_correct(
+                    aligned, idx.genome.seq, args.substitutions, 12)
+                log.info("kalign pcr5: %s", st)
+            if args.minflankexacts:
+                st = phases.auto_trim_flanks(aligned, idx.genome.seq,
+                                             args.minflankexacts)
+                log.info("kalign autotrim: %s", st)
         if args.include or args.exclude or args.priobed or args.pcrdups:
             pbed = None
             if args.priobed:
@@ -1511,6 +1616,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("index", help="generate suffix index over genome")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 standard, 1 bisulfite (two collapsed indexes)")
     p.add_argument("-r", "--ref", dest="refname", default="ref")
     p.add_argument("-T", "--threads", type=int, default=0)
     _common(p)
@@ -1575,7 +1682,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DiSNP/TriSNP output prefix (requires -S)")
     p.add_argument("-p", "--minsnpreads", type=int, default=5)
     p.add_argument("-P", "--qvalue", type=float, default=0.05)
-    p.add_argument("-b", "--batchsize", type=int, default=8192)
+    p.add_argument("-x", "--minflankexacts", type=int, default=0,
+                   help="autotrim flanks until this many exact flank bases "
+                        "(0 disables; reference -x)")
+    p.add_argument("-6", "--pcrprimersubs", dest="pcrprimersubs", type=int,
+                   default=0,
+                   help="align with subs+this allowance, then correct 5' "
+                        "PCR primer artefacts over first 12bp until within "
+                        "subs (reference -6)")
+    p.add_argument("--lociconstraints", default=None,
+                   help="loci base constraints CSV (reference -5)")
+    p.add_argument("--mlmode", type=int, default=0,
+                   help="multiloci reads: 0 slough, 2 rand, 3 cluster with "
+                        "uniques, 4 cluster, 5 report all (reference -r)")
+    p.add_argument("--bisulfite", action="store_true",
+                   help="bisulfite alignment (index built with -m1; "
+                        "reference -b)")
+    p.add_argument("-b", "--batchsize", type=int, default=16384)
     p.add_argument("-T", "--threads", type=int, default=0)
     p.add_argument("-u", "--pair", dest="pairfile", nargs="+", default=None,
                    help="PE mate-2 input files")

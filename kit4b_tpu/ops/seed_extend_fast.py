@@ -121,33 +121,47 @@ def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
                     genome_len: int,
                     offsets: tuple,
                     lut_k: int,
-                    n_compact: int):
+                    n_compact: int,
+                    single_strand: int | None = None,
+                    lut_base: int = 4,
+                    digit_map: tuple | None = None):
     """Seed + compact + extend + canonicalise. Returns (ids, mm, overflow):
     ids/mm [B, NC] int32 (INT32_MAX invalid), each surviving entry a
-    deduplicated locus; overflow [B] bool -> escalate the read."""
+    deduplicated locus; overflow [B] bool -> escalate the read.
+
+    single_strand: None evaluates both strands (reads + their revcomp);
+    0/1 evaluates `reads` as given, labelling hits with that strand bit
+    (the bisulfite path pre-collapses/pre-revcomps its read tensors)."""
     B, L = reads.shape
     G = genome_len
     M = sa.shape[0]
     NC = n_compact
     W = len(offsets)
-    D = 2 * W
     k = lut_k
     nw = (L + 15) // 16
     nw2 = nw + 1
     n_keys = lut.shape[0] - 1
     Gv = gview.shape[0]
 
-    seqs = jnp.stack([reads, revcomp_device(reads)], axis=1)  # [B, 2, L]
+    if single_strand is None:
+        seqs = jnp.stack([reads, revcomp_device(reads)], axis=1)  # [B,2,L]
+    else:
+        seqs = reads[:, None, :]                                  # [B,1,L]
+    S = seqs.shape[1]
+    D = S * W
 
     # --- seed lookup: bucket (lo, cnt) per (strand, window) ----------------
     offs = (jnp.asarray(offsets, jnp.int32)[:, None]
             + jnp.arange(k, dtype=jnp.int32)[None, :])          # [W, k]
-    bases = seqs[:, :, offs]                                     # [B,2,W,k]
-    pow4 = (jnp.uint32(1) << (2 * jnp.arange(k - 1, -1, -1,
-                                             dtype=jnp.uint32))).astype(
-                                                 jnp.int32)
-    keys = jnp.sum(jnp.where(bases < 4, bases, 0).astype(jnp.int32)
-                   * pow4, axis=-1, dtype=jnp.int32)             # [B,2,W]
+    bases = seqs[:, :, offs]                                     # [B,S,W,k]
+    powb = jnp.asarray([lut_base ** e for e in range(k - 1, -1, -1)],
+                       dtype=jnp.int32)
+    if digit_map is None:
+        digits = jnp.where(bases < 4, bases, 0).astype(jnp.int32)
+    else:
+        dm = jnp.asarray(digit_map, dtype=jnp.int32)
+        digits = dm[jnp.where(bases < 4, bases, 0).astype(jnp.int32)]
+    keys = jnp.sum(digits * powb, axis=-1, dtype=jnp.int32)      # [B,S,W]
     key_ok = jnp.all(bases < 4, axis=-1)
     local = keys - key_lo.astype(jnp.int32)
     in_shard = (local >= 0) & (local < n_keys)
@@ -173,7 +187,10 @@ def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
     slot_ok = j[None, :] < jnp.minimum(total, NC)[:, None]
 
     w_d = b % W
-    strand = b // W
+    if single_strand is None:
+        strand = b // W
+    else:
+        strand = jnp.full_like(b, single_strand)
     off_b = jnp.asarray(offsets, dtype=jnp.int32)[w_d]           # [B, NC]
     sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
     pos = sa_pos - off_b
@@ -195,9 +212,13 @@ def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
 
     ga = shift_align(gw)
     gba = shift_align(gb)
-    st = strand[..., None]
-    rp = jnp.where(st == 0, rpack[:, None, 0, :], rpack[:, None, 1, :])
-    rb = jnp.where(st == 0, rbad[:, None, 0, :], rbad[:, None, 1, :])
+    if S == 1:
+        rp = rpack[:, None, 0, :]
+        rb = rbad[:, None, 0, :]
+    else:
+        st = strand[..., None]
+        rp = jnp.where(st == 0, rpack[:, None, 0, :], rpack[:, None, 1, :])
+        rb = jnp.where(st == 0, rbad[:, None, 0, :], rbad[:, None, 1, :])
 
     x = ga ^ rp
     mism = (x | (x >> 1)) & MISM_BITS

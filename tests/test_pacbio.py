@@ -6,7 +6,10 @@ import pytest
 from kit4b_tpu.io.fasta import SeqRecord
 from kit4b_tpu.pacbio.sswd import SWScores, banded_sw_batch, sw_oracle
 
+# helper RNG for _mutate; per-test rngs are local so test selection
+# and ordering cannot shift each other's streams
 rng = np.random.default_rng(11)
+
 
 
 def _mutate(s, sub=0.05, ind=0.06):
@@ -25,6 +28,7 @@ def _mutate(s, sub=0.05, ind=0.06):
 
 
 def test_banded_sw_matches_oracle():
+    rng = np.random.default_rng(3039)
     B, Lp, Lt, W = 4, 100, 140, 128
     probes = np.full((B, Lp), 0x0F, np.uint8)
     targets = np.full((B, Lt), 0x0F, np.uint8)
@@ -64,6 +68,7 @@ def test_banded_sw_matches_oracle():
 
 
 def test_ecreads_reduces_errors():
+    rng = np.random.default_rng(2876)
     from kit4b_tpu.pacbio.ecreads import ECParams, correct_reads
     ref = rng.integers(0, 4, 3000).astype(np.uint8)
     recs = []
@@ -94,6 +99,7 @@ def test_ecreads_reduces_errors():
 
 
 def test_pbfilter_splits_hairpin():
+    rng = np.random.default_rng(3007)
     from kit4b_tpu.pacbio.pbfilter import FilterParams, filter_reads
     arm = rng.integers(0, 4, 700).astype(np.uint8)
     rc = np.where(arm[::-1] < 4, 3 - arm[::-1], arm[::-1]).astype(np.uint8)
@@ -109,6 +115,7 @@ def test_pbfilter_splits_hairpin():
 
 
 def test_pbassemb_and_polish():
+    rng = np.random.default_rng(2540)
     from kit4b_tpu.pacbio.ecreads import ECParams
     from kit4b_tpu.pacbio.pbassemb import (AssembParams, assemble,
                                            polish_contigs)
@@ -135,6 +142,7 @@ def test_pbassemb_and_polish():
 
 
 def test_kmerdist(tmp_path):
+    rng = np.random.default_rng(1410)
     from kit4b_tpu.pacbio.kmerdist import kmer_dist, write_kmer_dist
     maf = tmp_path / "t.maf"
     maf.write_text(
@@ -157,6 +165,7 @@ def test_kmerdist(tmp_path):
 
 
 def test_swservice_scores_match():
+    rng = np.random.default_rng(2900)
     from kit4b_tpu.parallel.swservice import SWJob, SWService
     svc = SWService(band=128)
     jobs = []
