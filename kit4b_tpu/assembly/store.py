@@ -135,11 +135,18 @@ class SeqStore:
 
     # --- checkpoint (SavePackedSeqsToFile/LoadPackedSeqsFromFile parity) ---
     def save(self, path) -> None:
-        np.savez_compressed(path, version=np.int64(STORE_VERSION),
+        # atomic: write to a temp path then rename, so a crash mid-write
+        # can never leave a truncated checkpoint that a resume would load
+        # (found by tests/test_multiproc.py::test_filter_kill_resume)
+        path = str(path)
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + ".tmp.npz"
+        np.savez_compressed(tmp, version=np.int64(STORE_VERSION),
                             seq=self.seq, starts=self.starts,
                             lengths=self.lengths, flags=self.flags,
                             mate=(self.mate if self.mate is not None
                                   else np.zeros(0, np.int64)))
+        os.replace(tmp, final)
 
     @classmethod
     def load(cls, path) -> "SeqStore":

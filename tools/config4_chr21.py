@@ -1,0 +1,197 @@
+"""Config #4 (BASELINE.md): human-chr21-scale kalign PE 2x150 + SNP->VCF.
+
+Synthesizes a chr21-like 40 Mbp genome (no egress in this environment, so
+the repeat/N structure is simulated: an Alu-like 300 bp family at ~20%
+genome share with 10% divergence, tandem repeats, telomere/centromere N
+runs), plants SNPs, simulates PE 2x150 reads from the SNP'd genome, and
+runs index -> kalign PE -> SNP call -> VCF, reporting reads/s/chip, pair
+accuracy vs truth, SNP sensitivity/precision, and escalation statistics
+(the repeat stress the round-1 silent-truncation bug hid).
+
+Usage: python tools/config4_chr21.py [--mbp 40] [--pairs 200000] [--ref]
+  --ref also runs .refbin/ngskit4b on a 20K-pair subsample for wall-clock
+  + agreement.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_chr21_like(mbp: float, seed: int = 21):
+    """Repeat-dense synthetic chromosome (chr21 proxy)."""
+    from kit4b_tpu import dna
+    n = int(mbp * 1e6)
+    rng = np.random.default_rng(seed)
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    # Alu-like family: 300bp consensus, ~20% of the genome, 10% divergence
+    alu = rng.integers(0, 4, 300).astype(np.uint8)
+    n_copies = int(n * 0.20 / 300)
+    pos = rng.integers(0, n - 400, n_copies)
+    for p in pos:
+        copy = alu.copy()
+        nmut = rng.binomial(300, 0.10)
+        at = rng.integers(0, 300, nmut)
+        copy[at] = (copy[at] + rng.integers(1, 4, nmut)) % 4
+        seq[p:p + 300] = copy
+    # tandem satellite near the "centromere"
+    unit = rng.integers(0, 4, 171).astype(np.uint8)  # alpha-satellite-like
+    c0 = n // 2
+    for i in range(2000):
+        p = c0 + i * 171
+        if p + 171 > n:
+            break
+        seq[p:p + 171] = unit
+    # N runs: telomeres + centromere gap
+    seq[: n // 200] = dna.BASE_N
+    seq[-n // 200:] = dna.BASE_N
+    seq[c0 - 50_000: c0 - 20_000] = dna.BASE_N
+    return np.concatenate([seq, [dna.BASE_EOG]]).astype(np.uint8), n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=40.0)
+    ap.add_argument("--pairs", type=int, default=200_000)
+    ap.add_argument("--ref", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/config4")
+    args = ap.parse_args()
+
+    from kit4b_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+    import jax
+
+    from kit4b_tpu.align import kalign, pe, snp
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome
+    from kit4b_tpu.sim import simreads
+
+    os.makedirs(args.workdir, exist_ok=True)
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.time()
+    seq, n = make_chr21_like(args.mbp)
+    g = Genome(["chr21s"], np.array([0]), np.array([n]), seq)
+    log(f"genome: {n/1e6:.0f} Mbp incl. repeats/Ns ({time.time()-t0:.0f}s)")
+
+    t0 = time.time()
+    idx = SfxIndex.build(g)
+    log(f"index: lut_k={idx.lut_k}, clean={len(idx.sa_clean)} "
+        f"({time.time()-t0:.0f}s)")
+
+    # SNP-planted genome is what reads are simulated FROM (the reference's
+    # simreads -N snprate flow); alignment targets the unmutated index
+    mut, snp_truth = simreads.simulate_snps(g, rate=0.001, seed=5)
+    log(f"planted SNPs: {len(snp_truth)}")
+
+    t0 = time.time()
+    r1, r2 = simreads.sim_reads(mut, simreads.SimParams(
+        n_reads=args.pairs, read_len=150, pe=True, pe_insert_min=250,
+        pe_insert_max=600, error_mode="illumina", subs_rate=0.01, seed=9))
+    log(f"simreads: {len(r1)} pairs 2x150 ({time.time()-t0:.0f}s)")
+
+    al = kalign.KAligner(idx, batch_size=16384)
+    pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=700, pe_mode=1)
+    caller = snp.SnpCaller(g, snp.SnpOptions(min_snp_reads=5, qvalue=0.05))
+
+    # warmup compile on one batch
+    t0 = time.time()
+    al.align_batch_raw(np.stack([r.codes for r in r1[:16384]]))
+    log(f"warmup/compile: {time.time()-t0:.0f}s")
+
+    t0 = time.time()
+    sam_path = os.path.join(args.workdir, "out.sam")
+    stats = pal.write_sam(sam_path, pal.align_pairs(r1, r2),
+                          snp_caller=caller)
+    dt = time.time() - t0
+    n_reads = 2 * len(r1)
+    log(f"PE align+SAM: {dt:.1f}s = {n_reads/dt:.0f} reads/s "
+        f"({stats})")
+
+    t0 = time.time()
+    calls = caller.call()
+    snp.write_snps_vcf(os.path.join(args.workdir, "out.vcf"), calls)
+    log(f"SNP call: {len(calls)} calls ({time.time()-t0:.0f}s)")
+
+    # --- truth scoring -----------------------------------------------------
+    t0 = time.time()
+    n_acc = n_true = 0
+    import re
+    for line in open(sam_path):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        flag = int(f[1])
+        if flag & 0x4:
+            continue
+        tr = simreads.parse_truth(f[0])
+        if tr is None:
+            continue
+        n_acc += 1
+        if int(f[3]) - 1 == tr["start"]:
+            n_true += 1
+    log(f"accepted reads: {n_acc}/{n_reads} ({100*n_acc/n_reads:.1f}%), "
+        f"at true locus {100*n_true/max(n_acc,1):.2f}%")
+
+    truth_set = {(c, p) for c, p, _, _ in snp_truth}
+    called = {(c.chrom, c.loci) for c in calls}
+    tp = len(called & truth_set)
+    log(f"SNPs: called {len(called)}, truth {len(truth_set)}, "
+        f"TP {tp}, sensitivity {100*tp/max(len(truth_set),1):.1f}%, "
+        f"precision {100*tp/max(len(called),1):.1f}%")
+
+    print(f"RESULT reads_per_sec={n_reads/dt:.0f} acc={n_acc/n_reads:.4f} "
+          f"true={n_true/max(n_acc,1):.4f} "
+          f"snp_sens={tp/max(len(truth_set),1):.4f} "
+          f"snp_prec={tp/max(len(called),1):.4f}")
+
+    if args.ref:
+        run_reference(args, g, r1, r2)
+
+
+def run_reference(args, g, r1, r2):
+    """Reference wall-clock on a 20K-pair subsample (2-core host)."""
+    import subprocess
+    refbin = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".refbin", "ngskit4b")
+    if not os.path.exists(refbin):
+        log("no .refbin/ngskit4b; skipping reference run")
+        return
+    from kit4b_tpu.sim.simreads import write_reads
+    d = args.workdir
+    fa = os.path.join(d, "genome.fa")
+    with open(fa, "w") as f:
+        f.write(">chr21s\n")
+        s = "".join("ACGTN"[min(b, 4)] for b in g.seq[:-1])
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    sub = 20_000
+    write_reads(os.path.join(d, "ref_r1.fa"), r1[:sub], "fasta")
+    write_reads(os.path.join(d, "ref_r2.fa"), r2[:sub], "fasta")
+    t0 = time.time()
+    subprocess.run([refbin, "index", "-i", fa,
+                    "-o", os.path.join(d, "g.sfx"), "-r", "c4", "-T2"],
+                   check=True, capture_output=True)
+    t_index = time.time() - t0
+    t0 = time.time()
+    subprocess.run([refbin, "kalign", "-i", os.path.join(d, "ref_r1.fa"),
+                    "-u", os.path.join(d, "ref_r2.fa"), "-U1",
+                    "-d200", "-D700",
+                    "-I", os.path.join(d, "g.sfx"),
+                    "-o", os.path.join(d, "ref.sam"), "-M1", "-T2"],
+                   check=True, capture_output=True)
+    t_align = time.time() - t0
+    log(f"reference: index {t_index:.0f}s, kalign {sub*2} reads "
+        f"{t_align:.1f}s = {sub*2/t_align:.0f} reads/s (2-core)")
+
+
+if __name__ == "__main__":
+    main()
