@@ -22,6 +22,7 @@ back to SE acceptance.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -30,6 +31,114 @@ from .. import dna
 from . import kalign as _k
 
 INT32_MAX = np.iinfo(np.int32).max
+
+PAIR_NONE = 0       # no valid combination
+PAIR_ACCEPT = 1
+PAIR_MULTI = 2      # distinct-loci tie at the best combined score
+PAIR_OVERFLOW = 3   # a side overflowed its candidate tier -> host escalates
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("genome_len", "offsets", "lut_k", "n_compact",
+                     "max_ml", "max_tot1", "max_tot2", "mm_delta",
+                     "min_ins", "max_ins"))
+def pe_pass(gview, sa, lut, starts, reads1, reads2, *, genome_len: int,
+            offsets: tuple, lut_k: int, n_compact: int, max_ml: int,
+            max_tot1: int, max_tot2: int, mm_delta: int,
+            min_ins: int, max_ins: int):
+    """Device-side PE pairing: align both mates and evaluate the reference's
+    AcceptProvPE cross-product (KAligner.cpp:10173-10238) over their
+    multiloci hits entirely on device; one compact [B, 8] int32 result:
+
+      0: best id1 (pos*2+strand)   4: tlen (outer insert)
+      1: best id2                  5: pair code (PAIR_*)
+      2: mm1                       6: mate1 side code (compact semantics)
+      3: mm2                       7: mate2 side code
+      8: mate1 low_mm              9: mate2 low_mm
+
+    Both mates share one read length here (same-L batches); mixed-length
+    pairs take the host path."""
+    import jax.numpy as jnp
+
+    from ..ops import seed_extend_fast as F
+    L1 = reads1.shape[1]
+    L2 = reads2.shape[1]
+    kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+              n_compact=n_compact)
+    ids1, mm1, ovf1 = F.fast_candidates(gview, sa, lut, jnp.int32(0),
+                                        reads1, **kw)
+    ids2, mm2, ovf2 = F.fast_candidates(gview, sa, lut, jnp.int32(0),
+                                        reads2, **kw)
+    f1 = F.finalize_fast(ids1, mm1, max_ml=max_ml)
+    f2 = F.finalize_fast(ids2, mm2, max_ml=max_ml)
+
+    def side_code(f, ovf, max_tot):
+        aligned = f["low_mm"] <= max_tot
+        unique = (aligned & ~ovf & (f["n_low"] == 1)
+                  & ((f["nxt_mm"] - f["low_mm"]) >= mm_delta))
+        best = jnp.min(jnp.where(
+            (f["hit_mm"] == f["low_mm"][:, None]), f["hit_id"],
+            F.INT32_MAX), axis=1)
+        return jnp.where(unique, best, jnp.where(aligned, -2, -1))
+
+    code1 = side_code(f1, ovf1, max_tot1)
+    code2 = side_code(f2, ovf2, max_tot2)
+
+    h1, m1 = f1["hit_id"], f1["hit_mm"]          # [B, ML]
+    h2, m2 = f2["hit_id"], f2["hit_mm"]
+    p1 = h1 >> 1
+    s1 = h1 & 1
+    p2 = h2 >> 1
+    s2 = h2 & 1
+    ok1 = (h1 != F.INT32_MAX) & (m1 <= max_tot1)
+    ok2 = (h2 != F.INT32_MAX) & (m2 <= max_tot2)
+    c1 = jnp.searchsorted(starts, p1, side="right")
+    c2 = jnp.searchsorted(starts, p2, side="right")
+
+    # cross product [B, ML, ML]
+    p1e, s1e, c1e = p1[:, :, None], s1[:, :, None], c1[:, :, None]
+    p2e, s2e, c2e = p2[:, None, :], s2[:, None, :], c2[:, None, :]
+    fwd1 = s1e == 0
+    order_ok = jnp.where(fwd1, p2e >= p1e, p1e >= p2e)
+    left = jnp.where(fwd1, p1e, p2e)
+    right_end = jnp.where(fwd1, p2e + L2, p1e + L1)
+    insert = right_end - left
+    ok = (ok1[:, :, None] & ok2[:, None, :] & (s1e != s2e)
+          & (c1e == c2e) & order_ok
+          & (insert >= min_ins) & (insert <= max_ins))
+    score = jnp.where(ok, m1[:, :, None] + m2[:, None, :], F.INT32_MAX)
+    B, ML = p1.shape
+    flat = score.reshape(B, ML * ML)
+    best = jnp.min(flat, axis=1)
+    besti = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    bi, bj = besti // ML, besti % ML
+    take = lambda a, idx: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    bid1 = take(h1, bi)
+    bid2 = take(h2, bj)
+    bmm1 = take(m1, bi)
+    bmm2 = take(m2, bj)
+    btlen = jnp.take_along_axis(insert.reshape(B, ML * ML),
+                                besti[:, None], axis=1)[:, 0]
+    # distinct-loci ties at the best score reject the pair (reference
+    # unique-PE requirement)
+    pflat = jnp.broadcast_to(p1e, (B, ML, ML)).reshape(B, ML * ML)
+    qflat = jnp.broadcast_to(p2e, (B, ML, ML)).reshape(B, ML * ML)
+    okf = ok.reshape(B, ML * ML)
+    tie = jnp.any(okf & (flat == best[:, None])
+                  & ((pflat != take(pflat, besti)[:, None])
+                     | (qflat != take(qflat, besti)[:, None])), axis=1)
+    have = best != F.INT32_MAX
+    overflow = ovf1 | ovf2
+    pcode = jnp.where(overflow, PAIR_OVERFLOW,
+                      jnp.where(~have, PAIR_NONE,
+                                jnp.where(tie, PAIR_MULTI, PAIR_ACCEPT)))
+    return jnp.stack([jnp.where(have, bid1, -1),
+                      jnp.where(have, bid2, -1),
+                      bmm1, bmm2,
+                      jnp.where(have, btlen, 0),
+                      pcode, code1, code2,
+                      f1["low_mm"], f2["low_mm"]], axis=1)
 
 NAR_PE_ACCEPTED = _k.NAR_ACCEPTED
 NAR_PE_NOPAIR = "nopair"
@@ -100,13 +209,123 @@ class PeAligner:
         return insert
 
     def align_pairs(self, recs1, recs2):
-        """Align paired record lists; yields (rec1, rec2, PePair)."""
+        """Align paired record lists; yields (rec1, rec2, PePair).
+
+        Uniform-length pairs run the device pairing pass (pe_pass); mixed
+        lengths fall back to the host cross-product."""
         recs1, recs2 = list(recs1), list(recs2)
         assert len(recs1) == len(recs2), "PE file length mismatch"
+        lens = {(len(a.codes), len(b.codes))
+                for a, b in zip(recs1, recs2)}
+        if len(lens) == 1 and len(recs1[0].codes) == len(recs2[0].codes):
+            yield from self._align_pairs_device(recs1, recs2)
+            return
         res1 = {id(r): v for r, v in zip(recs1, self._align_all(recs1))}
         res2 = {id(r): v for r, v in zip(recs2, self._align_all(recs2))}
         for r1, r2 in zip(recs1, recs2):
             yield r1, r2, self._pair(r1, r2, res1[id(r1)], res2[id(r2)])
+
+    def _align_pairs_device(self, recs1, recs2):
+        import jax
+        import jax.numpy as jnp
+        al = self.al
+        g = al.index.genome
+        L = len(recs1[0].codes)
+        _, max_tot = al.schedule_for(L)
+        gview, sa, lut = al._device_for(L)
+        starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
+        B = al.batch_size
+        kw = dict(genome_len=len(g.seq),
+                  offsets=al._offsets_for(L, max_tot),
+                  lut_k=al.index.lut_k, n_compact=al.n_compact,
+                  max_ml=al.max_ml, max_tot1=max_tot, max_tot2=max_tot,
+                  mm_delta=al.mm_delta, min_ins=self.min_len,
+                  max_ins=self.max_len)
+
+        def submit(i0):
+            c1 = recs1[i0:i0 + B]
+            c2 = recs2[i0:i0 + B]
+            a1 = np.stack([r.codes for r in c1])
+            a2 = np.stack([r.codes for r in c2])
+            if len(c1) < B:
+                a1 = np.concatenate(
+                    [a1, np.repeat(a1[:1], B - len(c1), axis=0)])
+                a2 = np.concatenate(
+                    [a2, np.repeat(a2[:1], B - len(c2), axis=0)])
+            return pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)
+
+        pending = []
+        starts_idx = list(range(0, len(recs1), B))
+        for i0 in starts_idx:
+            pending.append((i0, submit(i0)))
+            if len(pending) >= 2:
+                yield from self._drain_device(*pending.pop(0), recs1, recs2,
+                                              max_tot)
+        for item in pending:
+            yield from self._drain_device(*item, recs1, recs2, max_tot)
+
+    def _drain_device(self, i0, dev, recs1, recs2, max_tot):
+        import jax
+        out = np.array(jax.device_get(dev))
+        B = self.al.batch_size
+        n = min(B, len(recs1) - i0)
+        # escalate overflowed pairs through the host full-stats path
+        ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
+        esc = {}
+        if len(ovf):
+            sub1 = [recs1[i0 + int(i)] for i in ovf]
+            sub2 = [recs2[i0 + int(i)] for i in ovf]
+            a1 = self._align_all(sub1)
+            a2 = self._align_all(sub2)
+            for j, i in enumerate(ovf):
+                esc[int(i)] = self._pair(sub1[j], sub2[j], a1[j], a2[j])
+        for i in range(n):
+            r1, r2 = recs1[i0 + i], recs2[i0 + i]
+            if int(out[i, 5]) == PAIR_OVERFLOW:
+                yield r1, r2, esc[i]
+                continue
+            yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot)
+
+    def _pair_from_row(self, rec1, rec2, row, max_tot) -> PePair:
+        (bid1, bid2, mm1, mm2, tlen, pcode, code1, code2,
+         low1, low2) = (int(x) for x in row)
+        if pcode == PAIR_ACCEPT:
+            return PePair(
+                NAR_PE_ACCEPTED,
+                _k.AlignResult(_k.NAR_ACCEPTED, strand=bid1 & 1,
+                               pos=bid1 >> 1, mm=mm1, n_low=1),
+                _k.AlignResult(_k.NAR_ACCEPTED, strand=bid2 & 1,
+                               pos=bid2 >> 1, mm=mm2, n_low=1),
+                tlen=tlen)
+        if pcode == PAIR_NONE and self.pe_mode in (1, 3):
+            # orphan rescue: one side unique, the other found nothing
+            pair = None
+            if code1 >= 0 and code2 == -1:
+                anchor = _k.AlignResult(_k.NAR_ACCEPTED, strand=code1 & 1,
+                                        pos=code1 >> 1, mm=low1, n_low=1)
+                pair = self._rescue(rec1, rec2, anchor,
+                                    _k.AlignResult(_k.NAR_NOHIT),
+                                    [(0, 0, 0)], [], len(rec1.codes),
+                                    len(rec2.codes), max_tot, max_tot)
+            elif code2 >= 0 and code1 == -1:
+                anchor = _k.AlignResult(_k.NAR_ACCEPTED, strand=code2 & 1,
+                                        pos=code2 >> 1, mm=low2, n_low=1)
+                pair = self._rescue(rec1, rec2,
+                                    _k.AlignResult(_k.NAR_NOHIT), anchor,
+                                    [], [(0, 0, 0)], len(rec1.codes),
+                                    len(rec2.codes), max_tot, max_tot)
+            if pair is not None:
+                return pair
+        if self.pe_mode in (3, 4):
+            r1 = (_k.AlignResult(_k.NAR_ACCEPTED, strand=code1 & 1,
+                                 pos=code1 >> 1, mm=low1, n_low=1)
+                  if code1 >= 0 else None)
+            r2 = (_k.AlignResult(_k.NAR_ACCEPTED, strand=code2 & 1,
+                                 pos=code2 >> 1, mm=low2, n_low=1)
+                  if code2 >= 0 else None)
+            if r1 or r2:
+                return PePair(NAR_PE_NOPAIR, r1, r2)
+        return PePair(NAR_PE_NOPAIR)
 
     def _align_all(self, recs):
         """Align records preserving order; returns list of
