@@ -1592,9 +1592,59 @@ def cmd_fasta2nxx(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    """ngskit4b benchmark equivalent (ground-truth scoring mode)."""
-    from .align.benchmark import score_sam
+    """ngskit4b benchmark equivalent. Modes (Benchmarker.h:21-26):
+    0 limit raw reads, 1 generate observed CIGARs from alignments,
+    2 simulate reads replaying observed CIGARs, 3 score alignments
+    against ground truth; mode 4 is the simreads-truth scorer kept from
+    round 1 (descriptor-based whole-read scoring)."""
+    from .align import magicbench as mb
     from .utils.runtime import log
+    if args.mode == 0:
+        n = mb.limit_reads(args.infile, args.outfile, args.maxreads)
+        log.info("benchmark limitreads: %d reads -> %s", n, args.outfile)
+        return 0
+    if args.mode == 1:
+        from .io.fasta import Genome
+        g = Genome.load(args.refgenome)
+        profiles = mb.gen_obs_cigars(args.infile, g,
+                                     max_reads=args.maxreads, pe=args.pe)
+        mb.write_obs_cigars(args.cigarsfile, profiles, pe=args.pe)
+        log.info("benchmark gencigars: %d observed profiles -> %s",
+                 len(profiles), args.cigarsfile)
+        return 0
+    if args.mode == 2:
+        from .io.fasta import Genome, write_fasta
+        g = Genome.load(args.refgenome)
+        profiles, pe = mb.read_obs_cigars(args.cigarsfile)
+        pe = pe or args.pe
+        se, pe2 = mb.sim_reads_from_profiles(g, profiles, args.maxreads,
+                                             pe=pe, seed=args.seed)
+        write_fasta(args.outfile, se)
+        if pe and args.outpe2:
+            write_fasta(args.outpe2, pe2)
+        log.info("benchmark simreads: %d reads (%d profiles) -> %s",
+                 len(se), len(profiles), args.outfile)
+        return 0
+    if args.mode == 3:
+        truth_files = [args.groundtruth] + \
+            ([args.outpe2] if args.outpe2 else [])
+        gt = mb.load_ground_truth(*truth_files)
+        sc = mb.score_alignments(args.infile, gt, pe=args.pe)
+        res = sc.measures(args.fbetabases, args.fbetareads)
+        res.update(ground_truth=sc.n_ground_truth, scored=sc.n_scored,
+                   bases_correct=sc.bases_correct,
+                   bases_incorrect=sc.bases_incorrect,
+                   bases_unclaimed=sc.bases_unclaimed)
+        out = json.dumps(res, indent=2)
+        if args.outfile:
+            with open(args.outfile, "w") as f:
+                f.write(out + "\n")
+        else:
+            print(out)
+        log.info("benchmark score: Fb(bases)=%.3f Fb(reads)=%.3f",
+                 res["fbeta_bases"], res["fbeta_reads"])
+        return 0
+    from .align.benchmark import score_sam
     r = score_sam(args.infile, tolerance=args.tolerance)
     out = json.dumps(r.summary(), indent=2)
     if args.outfile:
@@ -1932,12 +1982,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_fasta2nxx)
 
     p = sub.add_parser("benchmark",
-                       help="score a SAM against simreads ground truth")
-    p.add_argument("-i", "--in", dest="infile", required=True,
-                   help="SAM to score")
+                       help="MAGIC benchmark: limit/gencigars/simreads/"
+                            "score (Benchmarker.h modes)")
+    p.add_argument("-m", "--mode", type=int, default=4,
+                   help="0 limitreads, 1 gencigars, 2 simreads, 3 score "
+                        "vs MAGIC ground truth, 4 simreads-descriptor "
+                        "scorer")
+    p.add_argument("-i", "--in", dest="infile", default=None,
+                   help="input SAM (modes 1/3/4) or raw reads (mode 0)")
     p.add_argument("-o", "--out", dest="outfile", default=None,
-                   help="JSON summary output (default: stdout)")
+                   help="output reads (modes 0/2) or JSON (modes 3/4)")
     p.add_argument("-t", "--tolerance", type=int, default=0)
+    p.add_argument("--refgenome", default=None,
+                   help="target genome fasta (modes 1/2)")
+    p.add_argument("--cigarsfile", default=None,
+                   help="observed CIGARs CSV (written mode 1, read mode 2)")
+    p.add_argument("--groundtruth", default=None,
+                   help="simulated reads fasta with ground truth (mode 3)")
+    p.add_argument("--outpe2", default=None,
+                   help="PE2 output reads (mode 2) / PE2 truth (mode 3)")
+    p.add_argument("--pe", action="store_true")
+    p.add_argument("--maxreads", type=int, default=2_000_000)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("-j", "--fbetabases", type=float, default=0.1)
+    p.add_argument("-J", "--fbetareads", type=float, default=0.1)
     _common(p)
     p.set_defaults(fn=cmd_benchmark)
 
@@ -2472,6 +2540,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     _common(p)
     p.set_defaults(fn=cmd_genbiobed)
+
+    from .cli_tools import register as _register_tools
+    _register_tools(sub, _common)
 
     return ap
 
