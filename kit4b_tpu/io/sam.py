@@ -8,7 +8,7 @@ strand hits.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -83,6 +83,12 @@ class SamRecord:
     tlen: int
     seq: str
     qual: str
+    opt: dict = field(default_factory=dict)   # optional TAG:TYPE:VALUE fields
+
+    def tag(self, name: str, default=None):
+        """Typed optional-field value (NM, AS, ... — SAMfile.cpp opt
+        field parsing); int/float types are converted."""
+        return self.opt.get(name, default)
 
     @property
     def is_mapped(self) -> bool:
@@ -103,10 +109,22 @@ def read_sam(path):
             fields = line.rstrip("\n").split("\t")
             if len(fields) < 11:
                 continue
+            opt = {}
+            for tok in fields[11:]:
+                parts = tok.split(":", 2)
+                if len(parts) != 3:
+                    continue
+                tagname, typ, val = parts
+                if typ == "i":
+                    opt[tagname] = int(val)
+                elif typ == "f":
+                    opt[tagname] = float(val)
+                else:
+                    opt[tagname] = val
             yield SamRecord(fields[0], int(fields[1]), fields[2],
                             int(fields[3]), int(fields[4]), fields[5],
                             fields[6], int(fields[7]), int(fields[8]),
-                            fields[9], fields[10])
+                            fields[9], fields[10], opt)
 
 
 def seq_qual_for_strand(codes: np.ndarray, qual: np.ndarray | None,

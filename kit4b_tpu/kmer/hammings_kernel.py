@@ -133,7 +133,7 @@ def _run_sweep(partner: np.ndarray, own: np.ndarray, K: int, G_valid: int,
         kern,
         grid=(num_tiles, num_spans),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),         # partner in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # partner in HBM
             pl.BlockSpec((W,), lambda t, s: (t,),
                          memory_space=pltpu.VMEM),
         ],
