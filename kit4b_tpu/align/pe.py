@@ -169,11 +169,15 @@ class PeAligner:
 
     def __init__(self, aligner: _k.KAligner, *,
                  pair_min_len: int = 100, pair_max_len: int = 1000,
-                 pe_mode: int = 2):
+                 pe_mode: int = 2,
+                 escalation: tuple = ((2048, 256), (256, 2048))):
         self.al = aligner
         self.min_len = pair_min_len
         self.max_len = pair_max_len
         self.pe_mode = pe_mode
+        # (batch, candidate-capacity) device escalation tiers for pairs
+        # whose tier-1 candidate compaction overflowed
+        self.escalation = escalation
         g = aligner.index.genome
         self._chrom_of = g  # for same-chrom checks via locate
 
@@ -269,8 +273,23 @@ class PeAligner:
         out = np.array(jax.device_get(dev))
         B = self.al.batch_size
         n = min(B, len(recs1) - i0)
-        # escalate overflowed pairs through the host full-stats path
+        # escalate overflowed pairs through DEVICE pe_pass tiers with
+        # larger candidate capacities (the PE analog of the SE
+        # escalation ladder / reference MaxIter sensitivity tiers,
+        # KAligner.h:53-56); repeat-dense genomes overflow tier 1 for a
+        # large read fraction, so this must stay off the host
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
+        for bt, nct in self.escalation:
+            if len(ovf) == 0:
+                break
+            for s in range(0, len(ovf), bt):
+                chunk = ovf[s:s + bt]
+                sub = self._pe_pass_subset(
+                    [recs1[i0 + int(i)] for i in chunk],
+                    [recs2[i0 + int(i)] for i in chunk], bt, nct)
+                out[chunk] = sub[:len(chunk)]
+            ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+        # anything past the final tier takes the host full-stats path
         esc = {}
         if len(ovf):
             sub1 = [recs1[i0 + int(i)] for i in ovf]
@@ -285,6 +304,33 @@ class PeAligner:
                 yield r1, r2, esc[i]
                 continue
             yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot)
+
+    def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int) -> np.ndarray:
+        """One escalation-tier pe_pass over a pair subset (batch bt,
+        candidate capacity nct)."""
+        import jax
+        import jax.numpy as jnp
+        al = self.al
+        g = al.index.genome
+        L = len(sub1[0].codes)
+        _, max_tot = al.schedule_for(L)
+        gview, sa, lut = al._device_for(L)
+        starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
+        a1 = np.stack([r.codes for r in sub1])
+        a2 = np.stack([r.codes for r in sub2])
+        if len(sub1) < bt:
+            a1 = np.concatenate(
+                [a1, np.repeat(a1[:1], bt - len(sub1), axis=0)])
+            a2 = np.concatenate(
+                [a2, np.repeat(a2[:1], bt - len(sub2), axis=0)])
+        kw = dict(genome_len=len(g.seq),
+                  offsets=al._offsets_for(L, max_tot),
+                  lut_k=al.index.lut_k, n_compact=nct,
+                  max_ml=al.max_ml, max_tot1=max_tot, max_tot2=max_tot,
+                  mm_delta=al.mm_delta, min_ins=self.min_len,
+                  max_ins=self.max_len)
+        return np.array(jax.device_get(
+            pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)))
 
     def _pair_from_row(self, rec1, rec2, row, max_tot) -> PePair:
         (bid1, bid2, mm1, mm2, tlen, pcode, code1, code2,

@@ -884,9 +884,71 @@ def cmd_fasta2pe(args) -> int:
 
 
 def cmd_callhaplotypes(args) -> int:
-    """ngskit4b callhaplotypes equivalent (two-founder skim calling)."""
-    from .kmer.callhaplotypes import call_haplotypes, write_haplotype_calls
+    """ngskit4b callhaplotypes equivalent. Modes (CallHaplotypes.cpp -m):
+    0-2 two-founder progeny calling; 3 allelic haplotype grouping,
+    4 coverage grouping, 5 group DGTs, 6 groupings to WIG, 10 group
+    segregating K-mers."""
     from .utils.runtime import log
+    if args.mode in (3, 4, 5, 6, 10):
+        import numpy as np
+        from .kmer import haplogroups as hgm
+        from .kmer.pba import load_pba
+        names, mats = [], []
+        chrom = None
+        for spec in args.founder:
+            name, path = spec.split("=", 1)
+            names.append(name)
+            _, chroms = load_pba(path)
+            if chrom is None:
+                chrom = sorted(chroms)[0] if args.chrom is None \
+                    else args.chrom
+            mats.append(chroms[chrom])
+        pbas = np.stack(mats)
+        bins = []
+        bs = args.grphapbinsize or pbas.shape[1]
+        for start in range(0, pbas.shape[1], bs):
+            seg = pbas[:, start:start + bs]
+            bins.append(hgm.gen_haplotype_groups(
+                seg, chrom, start,
+                coverage_mode=args.mode == 4,
+                affine_gap_len=args.affinegaplen,
+                min_dist=args.mincentclustdist,
+                max_dist=args.maxcentclustdist,
+                max_groups=args.maxclustgrps, phases=args.gpphases))
+        if args.mode in (3, 4):
+            hgm.report_groups_csv(args.outfile, bins, names)
+        elif args.mode == 5:
+            dgts = []
+            for hg_bin in bins:
+                seg = pbas[:, hg_bin.start:hg_bin.start + hg_bin.num_loci]
+                dgts.extend(hgm.bin_dgts(
+                    hg_bin, seg, min_members=args.grpdgtmbrs,
+                    min_prop=args.grpdgtsamples,
+                    min_fmeasure=args.grpdgtfmeasure,
+                    max_report=args.maxreportgrpdgts))
+            hgm.write_dgts_csv(args.outfile, dgts)
+            log.info("callhaplotypes mode 5: %d DGT loci", len(dgts))
+        elif args.mode == 6:
+            hgm.groupings_to_wig(args.outfile, bins)
+        else:
+            rows = []
+            for hg_bin in bins:
+                seg = pbas[:, hg_bin.start:hg_bin.start + hg_bin.num_loci]
+                rows.extend(hgm.group_kmers(
+                    hg_bin, seg, kmer_size=args.kmersize,
+                    min_hamming=args.minkmerhamming,
+                    max_nocov=args.kmernonecoverage,
+                    min_members=args.grpdgtmbrs))
+            with open(args.outfile, "w") as f:
+                f.write('"Chrom","Loci","MinHamming","MaxHamming"\n')
+                for r in rows:
+                    f.write(f'"{chrom}",{r["loci"]},{r["min_hamming"]},'
+                            f'{r["max_hamming"]}\n')
+            log.info("callhaplotypes mode 10: %d group KMers", len(rows))
+        log.info("callhaplotypes mode %d: %d bins, %d samples -> %s",
+                 args.mode, len(bins), len(names), args.outfile)
+        return 0
+    from .kmer.callhaplotypes import call_haplotypes, write_haplotype_calls
     founders = {}
     for spec in args.founder:
         name, path = spec.split("=", 1)
@@ -1003,25 +1065,30 @@ def cmd_gendeseq(args) -> int:
 
 
 def cmd_rnade(args) -> int:
-    """ngskit4b rnade equivalent (CRNAde): control vs experiment DE with
-    fold bins and binned-profile Pearson congruence (rnade.cpp)."""
-    from .align.regions import de_counts
-    from .align.rnade import (binned_profiles, differential_expression,
-                              write_bin_counts_csv, write_de_csv)
-    from .io.bed import BedFile
+    """ngskit4b rnade equivalent (CRNA_DE): per-feature binned coverage,
+    Poisson-bootstrapped Pearson/fold/PValue confidence distributions,
+    and the reference DE classification (rnade.cpp)."""
+    from .align.rnade import (load_read_loci, rnade_process,
+                              write_bin_counts_csv, write_rnade_csv)
+    from .io.biobed import load_gene_bed
+    from .tools.convert import read_loci_csv
     from .utils.runtime import log
-    bed = BedFile.load(args.bedfile)
-    samples, counts = de_counts(
-        {"control": args.control, "experiment": args.experiment}, bed)
-    profiles = binned_profiles(args.control, args.experiment, bed,
-                               numbins=args.numbins)
-    results = differential_expression(
-        samples, counts, "control", "experiment",
-        min_counts=args.minfeatcnts, profiles=profiles)
-    write_de_csv(args.outfile, results)
+    zones = read_loci_csv(args.excludezones) if args.excludezones else None
+    ctrl = load_read_loci(args.control, strand=args.alignstrand,
+                          limit=args.limitaligned, exclude_zones=zones)
+    expr = load_read_loci(args.experiment, strand=args.alignstrand,
+                          limit=args.limitaligned, exclude_zones=zones)
+    genes = load_gene_bed(args.bedfile)
+    feats = rnade_process(
+        ctrl, expr, genes, num_bins=args.numbins, region=args.region,
+        min_feat_cnts=args.minfeatcnts, min_start_loci=args.minstartloci,
+        coalesce_win=args.cowinlen, artifact_thres=args.artifactthres,
+        norm_scale=args.normcnts, feat_strand=args.featstrand,
+        filt_nonaligned=args.nonalign)
+    write_rnade_csv(args.outfile, feats)
     if args.bincounts:
-        write_bin_counts_csv(args.bincounts, profiles, args.numbins)
-    log.info("rnade: %d features -> %s", len(results), args.outfile)
+        write_bin_counts_csv(args.bincounts, feats)
+    log.info("rnade: %d features -> %s", len(feats), args.outfile)
     return 0
 
 
@@ -1868,16 +1935,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_fasta2pe)
 
     p = sub.add_parser("callhaplotypes",
-                       help="founder/progeny haplotype calls from PBAs")
-    p.add_argument("-i", "--progeny", required=True, help="progeny PBA")
-    p.add_argument("-c", "--founder", nargs=2, required=True,
-                   metavar="NAME=pba", help="exactly two founder PBAs")
+                       help="founder/progeny haplotype calls + grouping")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 progeny calling, 3 allelic grouping, "
+                        "4 coverage grouping, 5 group DGTs, 6 WIG, "
+                        "10 group KMers")
+    p.add_argument("-i", "--progeny", default=None, help="progeny PBA")
+    p.add_argument("-c", "--founder", nargs="+", required=True,
+                   metavar="NAME=pba",
+                   help="founder/sample PBAs (two for mode 0)")
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-b", "--binsize", type=int, default=10_000)
-    p.add_argument("-m", "--minloci", type=int, default=5)
+    p.add_argument("--minloci", type=int, default=5)
     p.add_argument("--wwrlproxwindow", type=int, default=1_000_000,
                    help="Wald-Wolfowitz runs-test proximal window "
                         "(0 disables het imputation)")
+    p.add_argument("-C", "--chrom", default=None,
+                   help="grouping modes: process this chromosome")
+    p.add_argument("-a", "--affinegaplen", type=int, default=3)
+    p.add_argument("-g", "--grphapbinsize", type=int, default=0,
+                   help="grouping bin size (0 = one bin per chrom)")
+    p.add_argument("-G", "--maxclustgrps", type=int, default=5)
+    p.add_argument("-p", "--gpphases", type=int, default=10)
+    p.add_argument("-d", "--mincentclustdist", type=int, default=5)
+    p.add_argument("-D", "--maxcentclustdist", type=int, default=10_000)
+    p.add_argument("-n", "--grpdgtmbrs", type=int, default=10)
+    p.add_argument("--grpdgtsamples", type=float, default=0.10)
+    p.add_argument("-Q", "--grpdgtfmeasure", type=float, default=0.90)
+    p.add_argument("-N", "--maxreportgrpdgts", type=int,
+                   default=10_000_000)
+    p.add_argument("-k", "--kmersize", type=int, default=25)
+    p.add_argument("-K", "--minkmerhamming", type=int, default=2)
+    p.add_argument("-U", "--kmernonecoverage", type=int, default=0)
     _common(p)
     p.set_defaults(fn=cmd_callhaplotypes)
 
@@ -2211,11 +2300,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_genbioseq)
 
     p = sub.add_parser("rnade",
-                       help="RNA-seq differential expression + Pearson")
-    p.add_argument("-i", "--control", required=True,
-                   help="control sample SAM")
-    p.add_argument("-I", "--experiment", required=True,
-                   help="experiment sample SAM")
+                       help="RNA-seq differential expression (CRNA_DE)")
+    p.add_argument("-i", "--control", nargs="+", required=True,
+                   help="control read alignment files (SAM/BED/CSV)")
+    p.add_argument("-I", "--experiment", nargs="+", required=True,
+                   help="experiment read alignment files")
     p.add_argument("-g", "--ingene", dest="bedfile", required=True,
                    help="gene/feature BED")
     p.add_argument("-o", "--out", dest="outfile", required=True)
@@ -2223,6 +2312,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-feature bin counts CSV")
     p.add_argument("-b", "--numbins", type=int, default=10)
     p.add_argument("-C", "--minfeatcnts", type=int, default=10)
+    p.add_argument("-r", "--region", type=int, default=1,
+                   help="0 transcript, 1 exons, 2 introns, 3 CDS, "
+                        "4 UTRs, 5 5'UTR, 6 3'UTR")
+    p.add_argument("-s", "--alignstrand", type=int, default=0)
+    p.add_argument("-S", "--featstrand", type=int, default=0)
+    p.add_argument("-c", "--cowinlen", type=int, default=1)
+    p.add_argument("-a", "--artifactthres", type=int, default=20)
+    p.add_argument("-n", "--normcnts", type=float, default=0.0)
+    p.add_argument("--minstartloci", type=int, default=5)
+    p.add_argument("-A", "--nonalign", action="store_true")
+    p.add_argument("-x", "--excludezones", default=None)
+    p.add_argument("-L", "--limitaligned", type=int, default=0)
     _common(p)
     p.set_defaults(fn=cmd_rnade)
 
