@@ -226,15 +226,21 @@ class KAligner:
 
     # --- device pass (submit / collect split for pipelining) ---------------
     def _submit(self, reads: np.ndarray, n_compact: int | None = None,
-                compact: bool | None = None):
+                compact: bool | None = None, capped: bool = False):
         from ..ops import seed_extend_fast
         B, L = reads.shape
         _, max_tot_mm = self.schedule_for(L)
         gview, sa, lut = self._device_for(L)
+        offsets = self._offsets_for(L, max_tot_mm)
+        nc = n_compact or self.n_compact
+        # capped tiers clamp per-bucket SA exploration (reference MaxIter
+        # analog, KAligner.h:53-56) so the pass is total: with
+        # cap = nc // (2*W) the clamped candidate total never overflows
+        cap = max(1, nc // (2 * len(offsets))) if capped else None
         kw = dict(genome_len=len(self.index.genome.seq),
-                  offsets=self._offsets_for(L, max_tot_mm),
+                  offsets=offsets,
                   lut_k=self.index.lut_k,
-                  n_compact=n_compact or self.n_compact)
+                  n_compact=nc, max_per_bucket=cap)
         if compact is None:
             compact = self._use_compact()
         if compact:
@@ -264,10 +270,11 @@ class KAligner:
         code = host[:, 0].astype(np.int64)
         low = host[:, 1].astype(np.int64)
         n_low = host[:, 2].astype(np.int64)
-        for bt, nct in self.escalation:
+        for ti, (bt, nct) in enumerate(self.escalation):
             idxs = np.nonzero(code == -3)[0]
             if len(idxs) == 0:
                 break
+            final = ti == len(self.escalation) - 1
             for s in range(0, len(idxs), bt):
                 chunk = idxs[s:s + bt]
                 sub = reads[chunk]
@@ -275,7 +282,8 @@ class KAligner:
                     sub = np.concatenate(
                         [sub, np.repeat(sub[:1], bt - len(chunk), axis=0)])
                 out2 = {k: np.array(v) for k, v in jax.device_get(
-                    self._submit(sub, n_compact=nct, compact=False)).items()}
+                    self._submit(sub, n_compact=nct, compact=False,
+                                 capped=final)).items()}
                 _, max_tot_mm = self.schedule_for(reads.shape[1])
                 code[chunk] = self._code_from_full(
                     {k: v[:len(chunk)] for k, v in out2.items()}, max_tot_mm)
@@ -301,10 +309,11 @@ class KAligner:
         """Fetch tier-1 results; escalate overflowed reads through tiers."""
         host = {k: np.array(v) for k, v in jax.device_get(devout).items()}
         trunc = host["overflow"].copy()
-        for bt, nct in self.escalation:
+        for ti, (bt, nct) in enumerate(self.escalation):
             idxs = np.nonzero(trunc)[0]
             if len(idxs) == 0:
                 break
+            final = ti == len(self.escalation) - 1
             for s in range(0, len(idxs), bt):
                 chunk = idxs[s:s + bt]
                 sub = reads[chunk]
@@ -312,8 +321,8 @@ class KAligner:
                     sub = np.concatenate(
                         [sub, np.repeat(sub[:1], bt - len(chunk), axis=0)])
                 out2 = {k: np.asarray(v) for k, v in jax.device_get(
-                    self._submit(sub, n_compact=nct,
-                                 compact=False)).items()}
+                    self._submit(sub, n_compact=nct, compact=False,
+                                 capped=final)).items()}
                 for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm"):
                     host[key][chunk] = out2[key][:len(chunk)]
                 trunc[chunk] = out2["overflow"][:len(chunk)]

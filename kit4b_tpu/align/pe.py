@@ -42,11 +42,12 @@ PAIR_OVERFLOW = 3   # a side overflowed its candidate tier -> host escalates
     __import__("jax").jit,
     static_argnames=("genome_len", "offsets", "lut_k", "n_compact",
                      "max_ml", "max_tot1", "max_tot2", "mm_delta",
-                     "min_ins", "max_ins"))
+                     "min_ins", "max_ins", "max_per_bucket"))
 def pe_pass(gview, sa, lut, starts, reads1, reads2, *, genome_len: int,
             offsets: tuple, lut_k: int, n_compact: int, max_ml: int,
             max_tot1: int, max_tot2: int, mm_delta: int,
-            min_ins: int, max_ins: int):
+            min_ins: int, max_ins: int,
+            max_per_bucket: int | None = None):
     """Device-side PE pairing: align both mates and evaluate the reference's
     AcceptProvPE cross-product (KAligner.cpp:10173-10238) over their
     multiloci hits entirely on device; one compact [B, 8] int32 result:
@@ -65,7 +66,7 @@ def pe_pass(gview, sa, lut, starts, reads1, reads2, *, genome_len: int,
     L1 = reads1.shape[1]
     L2 = reads2.shape[1]
     kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
-              n_compact=n_compact)
+              n_compact=n_compact, max_per_bucket=max_per_bucket)
     ids1, mm1, ovf1 = F.fast_candidates(gview, sa, lut, jnp.int32(0),
                                         reads1, **kw)
     ids2, mm2, ovf2 = F.fast_candidates(gview, sa, lut, jnp.int32(0),
@@ -279,14 +280,16 @@ class PeAligner:
         # KAligner.h:53-56); repeat-dense genomes overflow tier 1 for a
         # large read fraction, so this must stay off the host
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
-        for bt, nct in self.escalation:
+        for ti, (bt, nct) in enumerate(self.escalation):
             if len(ovf) == 0:
                 break
+            final = ti == len(self.escalation) - 1
             for s in range(0, len(ovf), bt):
                 chunk = ovf[s:s + bt]
                 sub = self._pe_pass_subset(
                     [recs1[i0 + int(i)] for i in chunk],
-                    [recs2[i0 + int(i)] for i in chunk], bt, nct)
+                    [recs2[i0 + int(i)] for i in chunk], bt, nct,
+                    capped=final)
                 out[chunk] = sub[:len(chunk)]
             ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         # anything past the final tier takes the host full-stats path
@@ -298,16 +301,104 @@ class PeAligner:
             a2 = self._align_all(sub2)
             for j, i in enumerate(ovf):
                 esc[int(i)] = self._pair(sub1[j], sub2[j], a1[j], a2[j])
+        rescues = self._batch_rescue(out, n, i0, recs1, recs2, max_tot) \
+            if self.pe_mode in (1, 3) else {}
         for i in range(n):
             r1, r2 = recs1[i0 + i], recs2[i0 + i]
             if int(out[i, 5]) == PAIR_OVERFLOW:
                 yield r1, r2, esc[i]
                 continue
-            yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot)
+            yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot,
+                                              rescue=rescues.get(i))
 
-    def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int) -> np.ndarray:
+    def _batch_rescue(self, out, n, i0, recs1, recs2, max_tot) -> dict:
+        """Device orphan rescue: one window_scan batch over every
+        PAIR_NONE row with exactly one uniquely-aligned mate
+        (AlignPartnerRead, KAligner.cpp:3333 — here a dense on-device
+        mismatch scan of the insert window)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import seed_extend_fast as F
+        rows = []
+        for i in range(n):
+            if int(out[i, 5]) != PAIR_NONE:
+                continue
+            code1, code2 = int(out[i, 6]), int(out[i, 7])
+            if code1 >= 0 and code2 == -1:
+                rows.append((i, 1, code1))   # rescue mate 2 from anchor 1
+            elif code2 >= 0 and code1 == -1:
+                rows.append((i, 2, code2))
+        if not rows:
+            return {}
+        g = self.al.index.genome
+        L1 = len(recs1[i0].codes)
+        L2 = len(recs2[i0].codes)
+        gview, _, _ = self.al._device_for(max(L1, L2))
+        scan_len = self.max_len - self.min_len + 1
+        out_map: dict[int, PePair | None] = {}
+        RB = 4096
+        for s in range(0, len(rows), RB):
+            chunk = rows[s:s + RB]
+            probes = np.zeros((RB, L2 if chunk[0][1] == 1 else L1),
+                              np.uint8)
+            starts = np.zeros(RB, np.int32)
+            metas = []
+            for j, (i, anchor_who, code) in enumerate(chunk):
+                apos, astrand = code >> 1, code & 1
+                orphan = recs2[i0 + i] if anchor_who == 1 \
+                    else recs1[i0 + i]
+                Lo = len(orphan.codes)
+                La = L1 if anchor_who == 1 else L2
+                if astrand == 0:
+                    lo = apos + self.min_len - Lo
+                    want_strand = 1
+                else:
+                    lo = apos + La - self.max_len
+                    want_strand = 0
+                probe = orphan.codes if want_strand == 0 \
+                    else dna.revcomp(orphan.codes)
+                probes[j, :Lo] = probe
+                starts[j] = lo
+                metas.append((i, anchor_who, apos, astrand, Lo,
+                              want_strand))
+            best, bpos, n_best = (np.array(x) for x in jax.device_get(
+                F.window_scan(gview, jnp.asarray(probes),
+                              jnp.asarray(starts),
+                              genome_len=len(g.seq), scan_len=scan_len)))
+            for j, (i, anchor_who, apos, astrand, Lo, want_strand) \
+                    in enumerate(metas):
+                mtm = max_tot
+                if best[j] > mtm or n_best[j] != 1:
+                    out_map[i] = None
+                    continue
+                o_res = _k.AlignResult(_k.NAR_ACCEPTED,
+                                       strand=want_strand,
+                                       pos=int(bpos[j]), mm=int(best[j]),
+                                       n_low=1)
+                a_res = _k.AlignResult(_k.NAR_ACCEPTED, strand=astrand,
+                                       pos=apos,
+                                       mm=int(out[i, 8 if anchor_who == 1
+                                               else 9]), n_low=1)
+                if anchor_who == 1:
+                    r1, r2 = a_res, o_res
+                    who = 2
+                else:
+                    r1, r2 = o_res, a_res
+                    who = 1
+                ins = self._valid_pair((r1.pos, r1.strand, r1.mm),
+                                       (r2.pos, r2.strand, r2.mm),
+                                       L1, L2)
+                out_map[i] = None if ins is None else PePair(
+                    NAR_PE_ACCEPTED, r1, r2, tlen=ins, rescued=who)
+        return out_map
+
+    def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int,
+                        capped: bool = False) -> np.ndarray:
         """One escalation-tier pe_pass over a pair subset (batch bt,
-        candidate capacity nct)."""
+        candidate capacity nct). The final tier runs capped: per-bucket
+        SA exploration is clamped (reference MaxIter analog) so the
+        pass is total -- nothing escalates to the host."""
         import jax
         import jax.numpy as jnp
         al = self.al
@@ -323,16 +414,21 @@ class PeAligner:
                 [a1, np.repeat(a1[:1], bt - len(sub1), axis=0)])
             a2 = np.concatenate(
                 [a2, np.repeat(a2[:1], bt - len(sub2), axis=0)])
+        cap = None
+        if capped:
+            n_buckets = 2 * len(al._offsets_for(L, max_tot))
+            cap = max(1, nct // n_buckets)
         kw = dict(genome_len=len(g.seq),
                   offsets=al._offsets_for(L, max_tot),
                   lut_k=al.index.lut_k, n_compact=nct,
                   max_ml=al.max_ml, max_tot1=max_tot, max_tot2=max_tot,
                   mm_delta=al.mm_delta, min_ins=self.min_len,
-                  max_ins=self.max_len)
+                  max_ins=self.max_len, max_per_bucket=cap)
         return np.array(jax.device_get(
             pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)))
 
-    def _pair_from_row(self, rec1, rec2, row, max_tot) -> PePair:
+    def _pair_from_row(self, rec1, rec2, row, max_tot,
+                       rescue: "PePair | None" = None) -> PePair:
         (bid1, bid2, mm1, mm2, tlen, pcode, code1, code2,
          low1, low2) = (int(x) for x in row)
         if pcode == PAIR_ACCEPT:
@@ -344,24 +440,10 @@ class PeAligner:
                                pos=bid2 >> 1, mm=mm2, n_low=1),
                 tlen=tlen)
         if pcode == PAIR_NONE and self.pe_mode in (1, 3):
-            # orphan rescue: one side unique, the other found nothing
-            pair = None
-            if code1 >= 0 and code2 == -1:
-                anchor = _k.AlignResult(_k.NAR_ACCEPTED, strand=code1 & 1,
-                                        pos=code1 >> 1, mm=low1, n_low=1)
-                pair = self._rescue(rec1, rec2, anchor,
-                                    _k.AlignResult(_k.NAR_NOHIT),
-                                    [(0, 0, 0)], [], len(rec1.codes),
-                                    len(rec2.codes), max_tot, max_tot)
-            elif code2 >= 0 and code1 == -1:
-                anchor = _k.AlignResult(_k.NAR_ACCEPTED, strand=code2 & 1,
-                                        pos=code2 >> 1, mm=low2, n_low=1)
-                pair = self._rescue(rec1, rec2,
-                                    _k.AlignResult(_k.NAR_NOHIT), anchor,
-                                    [], [(0, 0, 0)], len(rec1.codes),
-                                    len(rec2.codes), max_tot, max_tot)
-            if pair is not None:
-                return pair
+            # orphan rescue outcome precomputed by the batched device
+            # window scan (_batch_rescue)
+            if rescue is not None:
+                return rescue
         if self.pe_mode in (3, 4):
             r1 = (_k.AlignResult(_k.NAR_ACCEPTED, strand=code1 & 1,
                                  pos=code1 >> 1, mm=low1, n_low=1)

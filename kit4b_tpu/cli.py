@@ -980,13 +980,68 @@ def cmd_snpmarkers(args) -> int:
 
 
 def cmd_pbautils(args) -> int:
-    """ngskit4b pbautils equivalent (concat / coverage WIG)."""
-    from .kmer.pba import concat_pba, pba_coverage_wig
+    """ngskit4b pbautils equivalent (pbautils.cpp modes): 0 PBA->fasta,
+    1 fasta->PBA, 2 PBA concordance, 3 WIG concordance, 4 allelic
+    variant VCF, 5 genotype VCF, 6 diplotype-only VCF, 7 deletion VCF,
+    8 transcribed-segment BED; plus concat/coverage extensions."""
+    from .kmer import pbautils2 as pu
+    from .kmer.pba import concat_pba, load_pba, pba_coverage_wig
     from .utils.runtime import log
-    if args.mode == "concat":
+    mode = args.mode
+    if mode == "concat":
         concat_pba(args.infile, args.outfile)
-    elif args.mode == "coverage":
+    elif mode == "coverage":
         pba_coverage_wig(args.infile[0], args.outfile)
+    elif mode == "0":
+        _, chroms = load_pba(args.infile[0])
+        n = pu.pba_to_fasta(chroms, args.outfile)
+        log.info("pbautils fasta: %d chroms", n)
+    elif mode == "1":
+        from .io.fasta import Genome
+        from .kmer.pba import save_pba
+        import numpy as np
+        g = Genome.load(*args.infile)
+        chroms = pu.fasta_to_pba(g)
+        save_pba(args.outfile, g,
+                 np.concatenate([chroms[n] for n in g.names]),
+                 readset="assembly")
+    elif mode in ("2", "3"):
+        samples = {}
+        for p_ in args.infile:
+            rs, chroms = load_pba(p_)
+            samples[rs] = chroms
+        rows = pu.pba_concordance(samples) if mode == "2" else \
+            pu.wig_concordance(samples)
+        pu.write_concordance_csv(args.outfile, rows)
+    elif mode == "4":
+        if not args.refpba:
+            raise ValueError("mode 4 requires --refpba")
+        _, ref = load_pba(args.refpba)
+        _, smp = load_pba(args.infile[0])
+        n = pu.allelic_vcf(ref, smp, args.outfile)
+        log.info("pbautils allelic VCF: %d variant loci", n)
+    elif mode in ("5", "6", "7"):
+        if not args.refpba:
+            raise ValueError(f"mode {mode} requires --refpba")
+        _, ref = load_pba(args.refpba)
+        samples = {}
+        for p_ in args.infile:
+            rs, chroms = load_pba(p_)
+            samples[rs] = chroms
+        n = pu.genotype_vcf(ref, samples, args.outfile,
+                            diplotype_only=mode == "6",
+                            deletions=mode == "7",
+                            max_na_prop=args.gtpropna,
+                            min_het_prop=args.gtprophet
+                            if mode == "6" else 0.0)
+        log.info("pbautils genotype VCF mode %s: %d loci", mode, n)
+    elif mode == "8":
+        samples = {}
+        for p_ in args.infile:
+            rs, chroms = load_pba(p_)
+            samples[rs] = chroms
+        n = pu.transcribed_bed(samples, args.outfile)
+        log.info("pbautils BED: %d segments", n)
     else:
         raise ValueError(f"unknown pbautils mode {args.mode}")
     log.info("pbautils %s -> %s", args.mode, args.outfile)
@@ -1981,11 +2036,18 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.set_defaults(fn=cmd_snpmarkers)
 
-    p = sub.add_parser("pbautils", help="PBA utilities (concat, coverage)")
-    p.add_argument("-m", "--mode", choices=["concat", "coverage"],
-                   required=True)
+    p = sub.add_parser("pbautils", help="PBA utilities (pbautils.cpp)")
+    p.add_argument("-m", "--mode", required=True,
+                   choices=["0", "1", "2", "3", "4", "5", "6", "7", "8",
+                            "concat", "coverage"],
+                   help="0 PBA->fasta, 1 fasta->PBA, 2/3 concordance, "
+                        "4 allelic VCF, 5/6/7 genotype VCFs, 8 BED")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-r", "--refpba", default=None,
+                   help="reference assembly PBA (modes 4-7)")
+    p.add_argument("--gtpropna", type=float, default=0.5)
+    p.add_argument("--gtprophet", type=float, default=0.0)
     _common(p)
     p.set_defaults(fn=cmd_pbautils)
 

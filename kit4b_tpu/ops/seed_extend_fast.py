@@ -124,7 +124,8 @@ def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
                     n_compact: int,
                     single_strand: int | None = None,
                     lut_base: int = 4,
-                    digit_map: tuple | None = None):
+                    digit_map: tuple | None = None,
+                    max_per_bucket: int | None = None):
     """Seed + compact + extend + canonicalise. Returns (ids, mm, overflow):
     ids/mm [B, NC] int32 (INT32_MAX invalid), each surviving entry a
     deduplicated locus; overflow [B] bool -> escalate the read.
@@ -169,6 +170,11 @@ def fast_candidates(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
     lo = lut[local].astype(jnp.int32)
     cnt = (lut[local + 1].astype(jnp.int32) - lo)
     cnt = jnp.where(key_ok & in_shard, cnt, 0)
+    if max_per_bucket is not None:
+        # reference MaxIter analog (KAligner.h:53-56): bound per-core SA
+        # exploration so deep-repeat buckets stay within capacity;
+        # truncated buckets explore their first max_per_bucket entries
+        cnt = jnp.minimum(cnt, max_per_bucket)
     lo_d = lo.reshape(B, D)
     cnt_d = cnt.reshape(B, D)          # flat bucket order d = strand*W + w
 
@@ -266,11 +272,12 @@ def finalize_fast(ids: jnp.ndarray, mm: jnp.ndarray, *, max_ml: int):
 
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
-                              "n_compact", "max_tot_mm", "mm_delta"))
+                              "n_compact", "max_tot_mm", "mm_delta",
+                              "max_per_bucket"))
 def fast_pass_compact(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
                       reads: jnp.ndarray, *, genome_len: int, offsets: tuple,
                       lut_k: int, n_compact: int, max_tot_mm: int,
-                      mm_delta: int):
+                      mm_delta: int, max_per_bucket: int | None = None):
     """fast_pass with ON-DEVICE classification and a compact return.
 
     The axon-tunnel device->host fetch runs at ~22 MB/s, so returning the
@@ -283,7 +290,8 @@ def fast_pass_compact(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
     Callers needing hit lists (PE pairing, rescue passes) use fast_pass."""
     ids, mm, overflow = fast_candidates(
         gview, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
-        offsets=offsets, lut_k=lut_k, n_compact=n_compact)
+        offsets=offsets, lut_k=lut_k, n_compact=n_compact,
+        max_per_bucket=max_per_bucket)
     ok = ids != INT32_MAX
     low = jnp.min(mm, axis=1)
     n_low = jnp.sum((mm == low[:, None]) & ok, axis=1, dtype=jnp.int32)
@@ -300,10 +308,11 @@ def fast_pass_compact(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
 
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
-                              "n_compact", "max_ml"))
+                              "n_compact", "max_ml", "max_per_bucket"))
 def fast_pass(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
               reads: jnp.ndarray, *, genome_len: int, offsets: tuple,
-              lut_k: int, n_compact: int, max_ml: int):
+              lut_k: int, n_compact: int, max_ml: int,
+              max_per_bucket: int | None = None):
     """Single-device fast pass over a read batch, both strands.
 
     Same output contract as ops/seed_extend.align_pass: dict with
@@ -312,7 +321,58 @@ def fast_pass(gview: jnp.ndarray, sa: jnp.ndarray, lut: jnp.ndarray,
     stats are incomplete — the caller escalates it to a bigger tier."""
     ids, mm, overflow = fast_candidates(
         gview, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
-        offsets=offsets, lut_k=lut_k, n_compact=n_compact)
+        offsets=offsets, lut_k=lut_k, n_compact=n_compact,
+        max_per_bucket=max_per_bucket)
     out = finalize_fast(ids, mm, max_ml=max_ml)
     out["overflow"] = overflow
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "scan_len"))
+def window_scan(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
+                probes: jnp.ndarray,  # [R, L] uint8 strand-ready codes
+                starts: jnp.ndarray,  # [R] int32 window start positions
+                *, genome_len: int, scan_len: int):
+    """Dense mismatch scan: for each probe, mm at every genome position
+    in [start, start+scan_len) — the device analog of the PE orphan
+    rescue's sliding window (KAligner.cpp:3333 AlignPartnerRead).
+    Returns (best_mm, best_pos, n_best) each [R] int32."""
+    R, L = probes.shape
+    nw = (L + 15) // 16
+    nw2 = nw + 1
+    Gv = gview.shape[0]
+    nw2g = gview.shape[1] // 2        # gview rows: [pack(nw2g), bad(nw2g)]
+    rpack, rbad = pack_reads0(probes[:, None, :], nw)   # [R,1,nw]
+    rpack = rpack[:, 0, :][:, None, :]
+    rbad = rbad[:, 0, :][:, None, :]
+    pos = starts[:, None] + jnp.arange(scan_len, dtype=jnp.int32)[None, :]
+    valid = (pos >= 0) & (pos + L <= genome_len)
+    safe = jnp.clip(pos, 0, genome_len - L)
+    w0 = jnp.clip(safe >> 4, 0, Gv - 1)
+    rows = gview[w0]                                     # [R,P,2*nw2g]
+    gw = rows[..., :nw2]
+    gb = rows[..., nw2g:nw2g + nw2]
+    sh = (2 * (safe & 15)).astype(jnp.uint32)[..., None]
+    hi_sh = jnp.uint32(32) - sh
+
+    def shift_align(words):
+        lo_w = words[..., :nw] >> sh
+        hi_w = jnp.where(sh == 0, jnp.uint32(0), words[..., 1:] << hi_sh)
+        return lo_w | hi_w
+
+    ga = shift_align(gw)
+    gba = shift_align(gb)
+    x = ga ^ rpack
+    mism = (x | (x >> 1)) & MISM_BITS
+    badb = (gba | rbad) & MISM_BITS
+    tmask = jnp.asarray(_tail_mask(L, nw))
+    bits = (mism | badb) & tmask
+    mm = jnp.sum(jax.lax.population_count(bits), axis=-1,
+                 dtype=jnp.int32)
+    mm = jnp.where(valid, mm, INT32_MAX)
+    best = jnp.min(mm, axis=1)
+    n_best = jnp.sum(mm == best[:, None], axis=1, dtype=jnp.int32)
+    bi = jnp.argmin(mm, axis=1).astype(jnp.int32)
+    best_pos = jnp.take_along_axis(safe, bi[:, None], axis=1)[:, 0]
+    return best, best_pos, n_best

@@ -1,0 +1,158 @@
+"""Config #5 (BASELINE.md): bacterial PE filter -> assemb -> pescaffold.
+
+Synthesizes a bacterial-scale genome, simulates PE 2x150 reads at the
+requested coverage (with duplicates + errors so `filter` has work to
+do), runs the repo pipeline end-to-end measuring wall-clock per phase,
+scores contigs against the source genome (coverage, largest-contig
+identity), and optionally runs the reference binary's
+filter -> assemb on the same reads for wall-clock comparison.
+
+Usage: python tools/config5_bacterial.py [--kbp 2000] [--cov 30] [--ref]
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kbp", type=float, default=2000.0)
+    ap.add_argument("--cov", type=float, default=30.0)
+    ap.add_argument("--ref", action="store_true")
+    ap.add_argument("--workdir", default="/tmp/config5")
+    args = ap.parse_args()
+
+    from kit4b_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+    from kit4b_tpu.assembly import assemble as asm
+    from kit4b_tpu.assembly import filter as filt
+    from kit4b_tpu.assembly.store import SeqStore
+    from kit4b_tpu.io.fasta import Genome, SeqRecord, write_fasta
+    from kit4b_tpu.sim import simreads
+
+    os.makedirs(args.workdir, exist_ok=True)
+    n = int(args.kbp * 1000)
+    rng = np.random.default_rng(55)
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    g = Genome.from_records([SeqRecord("bact1", "", seq)])
+    log(f"genome: {n/1e6:.2f} Mbp")
+
+    pairs = int(n * args.cov / 300)
+    t0 = time.time()
+    r1, r2 = simreads.sim_reads(g, simreads.SimParams(
+        n_reads=pairs, read_len=150, pe=True, pe_insert_min=250,
+        pe_insert_max=500, error_mode="illumina", subs_rate=0.005,
+        seed=5))
+    # duplicate 10% of pairs so dedup has work
+    dup = rng.choice(pairs, pairs // 10)
+    r1 = r1 + [r1[i] for i in dup]
+    r2 = r2 + [r2[i] for i in dup]
+    simreads.write_reads(os.path.join(args.workdir, "r1.fa"), r1, "fasta")
+    simreads.write_reads(os.path.join(args.workdir, "r2.fa"), r2, "fasta")
+    log(f"simreads: {len(r1)} pairs incl. dups ({time.time()-t0:.0f}s)")
+
+    # ---- filter ------------------------------------------------------
+    t0 = time.time()
+    st = SeqStore.from_records(r1, r2)
+    before = st.n_live()
+    st2 = filt.artefact_reduce(st, filt.FilterParams())
+    t_filter = time.time() - t0
+    log(f"filter: {before} -> {st2.n_live()} reads ({t_filter:.1f}s)")
+
+    # ---- assemb ------------------------------------------------------
+    t0 = time.time()
+    contigs = asm.assemble(st2, asm.AssembleParams(
+        min_overlap=60, min_overlap_final=40, max_passes=16))
+    t_assemb = time.time() - t0
+    lens = sorted((int(contigs.lengths[i]) for i in range(len(contigs))),
+                  reverse=True)
+    total = sum(lens)
+    half = total / 2
+    acc = 0
+    n50 = 0
+    for ln in lens:
+        acc += ln
+        if acc >= half:
+            n50 = ln
+            break
+    log(f"assemb: {len(lens)} contigs, longest {lens[0]}, N50 {n50}, "
+        f"total {total} ({t_assemb:.1f}s)")
+
+    # contig accuracy: exact containment of the largest contigs
+    gseq = "".join("ACGT"[b] for b in seq)
+    grc = "".join("TGCA"["ACGT".index(c)] for c in reversed(gseq))
+    n_exact = 0
+    checked = 0
+    order = np.argsort([-int(contigs.lengths[i])
+                        for i in range(len(contigs))])
+    for i in order[:20]:
+        arr = contigs.get(int(i))
+        s = "".join("ACGT"[b] if b < 4 else "N" for b in np.asarray(arr))
+        checked += 1
+        if s in gseq or s in grc:
+            n_exact += 1
+    log(f"contig exactness: {n_exact}/{checked} top contigs are exact "
+        f"substrings")
+
+    reads_total = 2 * len(r1)
+    print(f"RESULT filter_s={t_filter:.1f} assemb_s={t_assemb:.1f} "
+          f"n_contigs={len(lens)} longest={lens[0]} n50={n50} "
+          f"exact_top={n_exact}/{checked} "
+          f"reads={reads_total}")
+
+    if args.ref:
+        refbin = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".refbin", "ngskit4b")
+        if not os.path.exists(refbin):
+            log("no .refbin/ngskit4b; skipping reference run")
+            return
+        d = args.workdir
+        t0 = time.time()
+        r1p = subprocess.run(
+            [refbin, "filter", "-m", "1",
+             "-i", os.path.join(d, "r1.fa"),
+             "-I", os.path.join(d, "r2.fa"),
+             "-o", os.path.join(d, "ref_filt.rds"), "-T2"],
+            check=False, capture_output=True)
+        t_rf = time.time() - t0
+        t0 = time.time()
+        r2p = subprocess.run(
+            [refbin, "assemb", "-i", os.path.join(d, "ref_filt.rds"),
+             "-o", os.path.join(d, "ref_asm"), "-T2"],
+            check=False, capture_output=True)
+        t_ra = time.time() - t0
+        n_ref_contigs = 0
+        longest_ref = 0
+        for suffix in (".SE.fasta", ".fasta", ".contigs.fasta"):
+            p = os.path.join(d, "ref_asm" + suffix)
+            if os.path.exists(p):
+                cur = 0
+                for ln in open(p):
+                    if ln.startswith(">"):
+                        n_ref_contigs += 1
+                        longest_ref = max(longest_ref, cur)
+                        cur = 0
+                    else:
+                        cur += len(ln.strip())
+                longest_ref = max(longest_ref, cur)
+        log(f"reference: filter {t_rf:.1f}s rc={r1p.returncode}, "
+            f"assemb {t_ra:.1f}s rc={r2p.returncode}, "
+            f"{n_ref_contigs} contigs longest {longest_ref} (2-core)")
+        if r1p.returncode or r2p.returncode:
+            log("ref stderr:", (r1p.stderr or r2p.stderr)[-300:])
+        print(f"REFRESULT filter_s={t_rf:.1f} assemb_s={t_ra:.1f} "
+              f"n_contigs={n_ref_contigs} longest={longest_ref}")
+
+
+if __name__ == "__main__":
+    main()
