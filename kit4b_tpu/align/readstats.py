@@ -145,3 +145,79 @@ def write_readstats_csv(prefix, st: ReadStats, kmer_len: int = 5) -> None:
     with open(f"{prefix}.summary.json", "w") as f:
         json.dump(st.summary(), f, indent=2)
         f.write("\n")
+
+
+def render_readstats_plots(prefix, st: ReadStats) -> list:
+    """Render the reference's ngsqc plot set (ReadStats.cpp renders via
+    libBKPLPlot; here matplotlib PNGs): per-cycle base composition,
+    per-cycle Phred box profile, read-length distribution, GC%
+    histogram. Returns the written paths."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    paths = []
+    ncyc = int(np.nonzero(st.cycle_base.sum(axis=1))[0].max()) + 1 \
+        if st.cycle_base.sum() else 0
+
+    if ncyc:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        tot = st.cycle_base[:ncyc].sum(axis=1, keepdims=True)
+        frac = st.cycle_base[:ncyc] / np.maximum(tot, 1)
+        for bi, name in enumerate("ACGTN"):
+            ax.plot(np.arange(1, ncyc + 1), 100 * frac[:, bi],
+                    label=name, linewidth=1)
+        ax.set_xlabel("cycle")
+        ax.set_ylabel("% of bases")
+        ax.set_title("Per-cycle base composition")
+        ax.legend(ncol=5, fontsize=8)
+        p = f"{prefix}.cyclebases.png"
+        fig.savefig(p, dpi=90)
+        plt.close(fig)
+        paths.append(p)
+
+    if st.cycle_qual.sum():
+        fig, ax = plt.subplots(figsize=(8, 4))
+        cq = st.cycle_qual[:ncyc]
+        phreds = np.arange(cq.shape[1])
+        totq = cq.sum(axis=1)
+        mean = (cq * phreds).sum(axis=1) / np.maximum(totq, 1)
+        # quartiles from the cumulative distribution per cycle
+        cum = cq.cumsum(axis=1)
+        q25 = (cum >= (totq * 0.25)[:, None]).argmax(axis=1)
+        q75 = (cum >= (totq * 0.75)[:, None]).argmax(axis=1)
+        x = np.arange(1, ncyc + 1)
+        ax.fill_between(x, q25, q75, alpha=0.3, label="IQR")
+        ax.plot(x, mean, linewidth=1, label="mean")
+        ax.set_xlabel("cycle")
+        ax.set_ylabel("Phred")
+        ax.set_title("Per-cycle quality")
+        ax.legend(fontsize=8)
+        p = f"{prefix}.cyclequal.png"
+        fig.savefig(p, dpi=90)
+        plt.close(fig)
+        paths.append(p)
+
+    if st.len_dist:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        lens = sorted(st.len_dist)
+        ax.bar(lens, [st.len_dist[x] for x in lens],
+               width=max(1, (max(lens) - min(lens)) // 100))
+        ax.set_xlabel("read length")
+        ax.set_ylabel("reads")
+        ax.set_title("Read length distribution")
+        p = f"{prefix}.lengths.png"
+        fig.savefig(p, dpi=90)
+        plt.close(fig)
+        paths.append(p)
+
+    if st.gc_hist.sum():
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.bar(np.arange(101), st.gc_hist, width=1)
+        ax.set_xlabel("GC %")
+        ax.set_ylabel("reads")
+        ax.set_title("GC content distribution")
+        p = f"{prefix}.gc.png"
+        fig.savefig(p, dpi=90)
+        plt.close(fig)
+        paths.append(p)
+    return paths

@@ -87,8 +87,13 @@ class SnpCaller:
         loci = pos[:, None].astype(np.int64) + np.arange(L, dtype=np.int64)
         base = np.minimum(oriented_reads, dna.BASE_N).astype(np.int64)
         keys = (loci * BASE_COLS + base).ravel()
-        self._counts += np.bincount(
-            keys, minlength=len(self._counts)).astype(np.uint32)
+        # accumulate over the covered key span only, and add in place
+        # without materialising a genome-sized int64 copy
+        kmin = int(keys.min())
+        kmax = int(keys.max())
+        bc = np.bincount(keys - kmin, minlength=kmax - kmin + 1)
+        np.add(self._counts[kmin:kmax + 1], bc,
+               out=self._counts[kmin:kmax + 1], casting="unsafe")
 
     # --- calling ------------------------------------------------------------
     def call(self) -> list[SnpCall]:

@@ -1684,6 +1684,10 @@ def cmd_ngsqc(args) -> int:
             yield from read_seqs(p_)
     st = compute_readstats(stream(), kmer_len=args.kmerlen)
     write_readstats_csv(args.outprefix, st, kmer_len=args.kmerlen)
+    if getattr(args, "plots", False):
+        from .align.readstats import render_readstats_plots
+        paths = render_readstats_plots(args.outprefix, st)
+        log.info("ngsqc: rendered %d plots", len(paths))
     print(json.dumps(st.summary(), indent=2))
     log.info("ngsqc: %d reads -> %s.*", st.n_reads, args.outprefix)
     return 0
@@ -2123,6 +2127,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outprefix", required=True,
                    help="output file prefix")
     p.add_argument("-K", "--kmerlen", type=int, default=5)
+    p.add_argument("--plots", action="store_true",
+                   help="render QC plot PNGs (libBKPLPlot parity)")
     _common(p)
     p.set_defaults(fn=cmd_ngsqc)
 

@@ -131,22 +131,30 @@ def hammings_exhaustive(genome_seq: np.ndarray, K: int,
 
 
 def hammings_restricted(index, K: int, *, max_hamming: int = 3,
-                        batch: int = 4096, antisense: bool = True,
-                        cand_per_window: int = 24) -> np.ndarray:
+                        batch: int = 16384, antisense: bool = True,
+                        n_compact: int = 64) -> np.ndarray:
     """Restricted-mode hammings (ngskit4b hammings ePMrestrict;
-    CSfxArray::LocateSfxHammings SfxArray.cpp:4107): per K-mer position, the
-    minimum Hamming distance up to `max_hamming` (values above report
-    max_hamming + 1), found by pigeonhole suffix-array probes instead of the
-    exhaustive sweep — every genome K-mer becomes a query batch through the
-    same batched seed-and-extend pass kalign uses (cores of length
-    K // (max_hamming + 1) guarantee discovery of any hit within the
-    constraint).
+    CSfxArray::LocateSfxHammings SfxArray.cpp:4107): per K-mer position,
+    the minimum Hamming distance up to `max_hamming` (values above
+    report max_hamming + 1), found by pigeonhole suffix-array probes.
+
+    Core scheduling follows the reference\'s core-length-by-SA-search
+    compromise (hammings.cpp:399): W = min(max_hamming+1, K//lut_k)
+    disjoint seed windows guarantee discovery of every hit with
+    mm <= W-1; when K is too short for max_hamming+1 full-width cores,
+    hits in (W-1, max_hamming] are found best-effort exactly as the
+    reference\'s shortened cores are.
+
+    K-mers containing 1..4 indeterminate bases enumerate all canonical
+    substitutions and take the minimum over variants; >4 Ns score 0
+    (SfxArray.cpp:4152-4177).
 
     `index`: SfxIndex over the genome. Returns uint16 [G]."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops import seed_extend
+    from ..ops import seed_extend_fast as F
+    from .kmarkers import _fast_device_arrays
 
     g = index.genome
     G = len(g.seq)
@@ -154,52 +162,106 @@ def hammings_restricted(index, K: int, *, max_hamming: int = 3,
     out = np.full(G, BIG, np.uint16)
     if nk <= 0:
         return out
-    gpack_d, gbad_d, sa_d, lut_d = index.device_arrays(
-        max_read_len=max(K, 64))
-    ncores = max_hamming + 1
-    if K // ncores < index.lut_k:
-        raise ValueError(
-            f"restricted mode needs K//(max_hamming+1) >= lut_k "
-            f"({K}//{ncores} < {index.lut_k}): the pigeonhole cores would "
-            f"be shorter than the seed width and miss hits")
-    cl = K // ncores
-    offsets = tuple(min(j * cl, K - index.lut_k) for j in range(ncores))
+    gview_d, sa_d, lut_d = _fast_device_arrays(index, K)
+    W = min(max_hamming + 1, max(1, K // index.lut_k))
+    cl = K // W
+    offsets = tuple(min(j * cl, K - index.lut_k) for j in range(W))
     INT32_MAX = np.iinfo(np.int32).max
 
-    starts_all = np.arange(nk, dtype=np.int64)
-    for s in range(0, nk, batch):
-        chunk = starts_all[s: s + batch]
-        nb = len(chunk)
-        qp = chunk
-        if nb < batch:
-            qp = np.concatenate([qp, np.zeros(batch - nb, np.int64)])
-        reads = g.seq[qp[:, None] + np.arange(K)]
-        o = seed_extend.align_pass(
-            gpack_d, gbad_d, sa_d, lut_d, jnp.asarray(reads),
-            genome_len=G, offsets=offsets, lut_k=index.lut_k,
-            cand_per_window=cand_per_window, n_compact=64, max_ml=8)
-        host = jax.device_get(o)
-        hid = host["hit_id"][:nb]
-        hmm = host["hit_mm"][:nb]
-        for j in range(nb):
-            p0 = int(chunk[j])
-            best = max_hamming + 1
-            for idd, mm in zip(hid[j], hmm[j]):
-                if idd == INT32_MAX or mm > max_hamming:
-                    break
-                pos = int(idd) >> 1
-                strand = int(idd) & 1
-                if strand == 0 and pos == p0:
-                    continue  # self (sense at own locus)
-                if strand == 1 and not antisense:
-                    continue
-                best = min(best, int(mm))
-            # windows containing non-ACGT stay BIG (clean-suffix queries
-            # never resolve, hit lists come back empty)
-            if (g.seq[p0:p0 + K] < 4).all():
-                out[p0] = best
-        if not antisense:
-            continue
+    def run_batches(positions, reads_of, fold_min):
+        """positions int64 [N]; reads_of(chunk)->[nb,K] uint8;
+        fold_min(chunk, best_mm) folds per-query minima into out."""
+        pending = []
+
+        def submit(s):
+            chunk = positions[s:s + batch]
+            nb = len(chunk)
+            reads = reads_of(chunk)
+            if nb < batch:
+                reads = np.concatenate(
+                    [reads, np.repeat(reads[:1], batch - nb, axis=0)])
+            return chunk, nb, F.fast_pass(
+                gview_d, sa_d, lut_d, jnp.asarray(reads),
+                genome_len=G, offsets=offsets, lut_k=index.lut_k,
+                n_compact=n_compact, max_ml=8,
+                max_per_bucket=max(1, n_compact // (2 * W)))
+
+        def drain(chunk, nb, dev):
+            host = {k: np.asarray(v)
+                    for k, v in jax.device_get(dev).items()}
+            hid = host["hit_id"][:nb]
+            hmm = host["hit_mm"][:nb].astype(np.int64)
+            valid = hid != INT32_MAX
+            pos = np.where(valid, hid >> 1, -1)
+            strand = np.where(valid, hid & 1, 0)
+            use = valid & (hmm <= max_hamming)
+            # exclude the query\'s own sense locus
+            use &= ~((strand == 0) & (pos == chunk[:, None]))
+            if not antisense:
+                use &= strand == 0
+            mm = np.where(use, hmm, max_hamming + 1)
+            fold_min(chunk, mm.min(axis=1))
+
+        for s in range(0, len(positions), batch):
+            pending.append(submit(s))
+            if len(pending) >= 2:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
+
+    # classify windows by N content (vectorized)
+    isn = (g.seq >= 4).astype(np.int64)
+    cn = np.concatenate([[0], np.cumsum(isn)])
+    n_in_win = cn[K:nk + K] - cn[:nk]
+    clean_pos = np.nonzero(n_in_win == 0)[0].astype(np.int64)
+    some_n = np.nonzero((n_in_win >= 1) & (n_in_win <= 4))[0]
+    many_n = np.nonzero(n_in_win > 4)[0]
+
+    def fold_direct(chunk, best):
+        out[chunk] = np.minimum(out[chunk],
+                                best.astype(np.uint16))
+
+    if len(clean_pos):
+        run_batches(clean_pos,
+                    lambda c: g.seq[c[:, None] + np.arange(K)],
+                    fold_direct)
+
+    # N-containing windows: enumerate 4^n canonical substitutions
+    # (SfxArray.cpp:4152-4177); each variant is one query, minima fold
+    # back to the source position
+    if len(some_n):
+        var_pos = []
+        var_reads = []
+        for p0 in some_n:
+            win = np.array(g.seq[p0:p0 + K])
+            nidx = np.nonzero(win >= 4)[0]
+            n = len(nidx)
+            for it in range(4 ** n):
+                v = win.copy()
+                for d, ix in enumerate(nidx):
+                    v[ix] = (it >> (2 * d)) & 3
+                var_pos.append(p0)
+                var_reads.append(v)
+        var_pos = np.asarray(var_pos, np.int64)
+        var_reads = np.stack(var_reads)
+
+        def fold_variant(chunk, best):
+            np.minimum.at(out, chunk, best.astype(np.uint16))
+
+        # reads_of indexes into the variant table by positional slice
+        cursor = {"i": 0}
+
+        def reads_of(chunk):
+            i = cursor["i"]
+            cursor["i"] = i + len(chunk)
+            return var_reads[i:i + len(chunk)]
+
+        run_batches(np.arange(len(var_pos), dtype=np.int64), reads_of,
+                    lambda c, b: fold_variant(var_pos[c], b))
+
+    # >4 indeterminates: treated as Hamming 0 from anything (reference)
+    out[many_n] = 0
+    out[max(0, nk):] = BIG
     return out
 
 

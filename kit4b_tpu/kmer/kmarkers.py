@@ -82,19 +82,40 @@ class Marker:
     seq: np.ndarray
 
 
+def _fast_device_arrays(index: SfxIndex, read_len: int):
+    """(gview, sa, lut) device arrays for the fast row-gather pass."""
+    import jax.numpy as jnp
+
+    from ..ops.extend_packed import pack_genome
+    from ..ops.seed_extend_fast import make_gview
+    nw2 = (read_len + 15) // 16 + 1
+    gpack, gbad = pack_genome(index.genome.seq, nw2 + 1)
+    gview = jnp.asarray(make_gview(gpack, gbad, nw2))
+    sa = jnp.asarray(index.sa_clean.astype(np.int32))
+    lut = jnp.asarray(index.lut.astype(
+        np.int32 if index.lut[-1] < 2**31 else np.int64))
+    return gview, sa, lut
+
+
 def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           target_cultivar: int, *,
                           kmer_len: int = 50, min_hamming: int = 2,
-                          batch: int = 4096, extend: bool = True,
+                          batch: int = 16384, extend: bool = True,
                           max_ml: int = 16) -> list[Marker]:
     """K-mers unique to `target_cultivar` with Hamming >= min_hamming from
-    all other cultivars (both strands)."""
-    from ..ops import seed_extend
+    all other cultivars (both strands).
+
+    Device pass is the fast row-gather path (ops/seed_extend_fast), and
+    the per-K-mer accept test is one vectorized pass over the [B, ML]
+    hit matrix — accept iff no non-target hit with mm < min_hamming and
+    exactly one exact self hit (LocKMers.cpp acceptance)."""
+    import jax
     import jax.numpy as jnp
 
+    from ..ops import seed_extend_fast as F
+
     g = index.genome
-    gpack_d, gbad_d, sa_d, lut_d = index.device_arrays(
-        max_read_len=max(kmer_len, 64))
+    gview_d, sa_d, lut_d = _fast_device_arrays(index, kmer_len)
     # pigeonhole cores: to guarantee finding every hit with
     # mm <= min_hamming - 1, use min_hamming equal slices of the K-mer
     ncores = max(1, min_hamming)
@@ -115,7 +136,8 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
         if clen < K:
             continue
         starts_all = np.arange(cstart, cstart + clen - K + 1, dtype=np.int64)
-        for s in range(0, len(starts_all), batch):
+
+        def submit(s):
             chunk = starts_all[s:s + batch]
             nb = len(chunk)
             qp = chunk
@@ -123,33 +145,35 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                 qp = np.concatenate([qp, np.full(batch - nb, cstart,
                                                  np.int64)])
             reads = g.seq[qp[:, None] + np.arange(K)]
-            out = seed_extend.align_pass(
-                gpack_d, gbad_d, sa_d, lut_d, jnp.asarray(reads),
-                genome_len=len(g.seq), offsets=offsets, lut_k=index.lut_k,
-                cand_per_window=24, n_compact=64, max_ml=max_ml)
-            import jax
-            host = jax.device_get(out)
+            return chunk, nb, F.fast_pass(
+                gview_d, sa_d, lut_d, jnp.asarray(reads),
+                genome_len=len(g.seq), offsets=offsets,
+                lut_k=index.lut_k, n_compact=64, max_ml=max_ml)
+
+        def drain(chunk, nb, dev):
+            host = {k: np.asarray(v)
+                    for k, v in jax.device_get(dev).items()}
             hid = host["hit_id"][:nb]
             hmm = host["hit_mm"][:nb]
             ovf = host["overflow"][:nb]
-            for j in range(nb):
-                if ovf[j]:
-                    continue
-                n_exact_self = 0
-                disqualified = False
-                for idd, mm in zip(hid[j], hmm[j]):
-                    if idd == INT32_MAX:
-                        break
-                    p = int(idd) >> 1
-                    cult = int(pos_cult[p])
-                    if mm < min_hamming and cult != target_cultivar:
-                        disqualified = True
-                        break
-                    if mm == 0 and cult == target_cultivar:
-                        n_exact_self += 1
-                if disqualified or n_exact_self != 1:
-                    continue
-                accepted_positions.append(int(chunk[j]))
+            valid = hid != INT32_MAX
+            cult = pos_cult[np.where(valid, hid >> 1, 0)]
+            disq = (valid & (hmm < min_hamming)
+                    & (cult != target_cultivar)).any(axis=1)
+            n_self = ((valid & (hmm == 0)
+                       & (cult == target_cultivar)).sum(axis=1))
+            ok = ~ovf & ~disq & (n_self == 1)
+            accepted_positions.extend(chunk[ok].tolist())
+
+        # double-buffered submit/drain keeps the device busy while the
+        # host classifies the previous batch
+        pending = []
+        for s in range(0, len(starts_all), batch):
+            pending.append(submit(s))
+            if len(pending) >= 2:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
 
     # extend runs of consecutive accepted positions into maximal markers
     markers: list[Marker] = []

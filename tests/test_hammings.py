@@ -79,3 +79,38 @@ def test_restricted_matches_oracle_capped():
     mismatch = np.nonzero(gt != w)[0]
     assert len(mismatch) == 0, (mismatch[:5], gt[mismatch[:5]],
                                 w[mismatch[:5]])
+
+
+def test_restricted_n_enumeration():
+    """K-mers with 1..4 Ns enumerate substitutions (SfxArray.cpp:4152);
+    >4 Ns score 0; short-K relaxed core scheduling still discovers
+    low-mm hits."""
+    import numpy as np
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome, SeqRecord
+    from kit4b_tpu.kmer.hammings import hammings_restricted
+    rng = np.random.default_rng(13)
+    K = 16
+    a = rng.integers(0, 4, 400).astype(np.uint8)
+    # duplicate a segment so its K-mers have hamming 0
+    a[200:216] = a[100:116]
+    # an N inside a window whose substitution matches the duplicate
+    b = a.copy()
+    b[300:316] = a[100:116]
+    b[308] = 4                      # one N
+    g = Genome.from_records([SeqRecord("c", "", b)])
+    idx = SfxIndex.build(g, lut_k=8)
+    # K//(max_hamming+1)=16//4=4 < lut_k=8: the old code raised; now the
+    # relaxed scheduling covers W = 2 cores
+    out = hammings_restricted(idx, K, max_hamming=3, batch=512)
+    assert out[100] == 0 and out[200] == 0
+    # N window at 300: the A/C/G/T enumeration includes the exact match
+    # against loci 100/200 -> hamming 0 via the substituted variant
+    assert out[300] == 0
+    # many-N window scores 0 per the reference convention
+    c = a.copy()
+    c[50:56] = 4                    # 6 Ns in windows covering 50..55
+    g2 = Genome.from_records([SeqRecord("c", "", c)])
+    idx2 = SfxIndex.build(g2, lut_k=8)
+    out2 = hammings_restricted(idx2, K, max_hamming=3, batch=512)
+    assert out2[45] == 0            # window 45..60 holds >4 Ns

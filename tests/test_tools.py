@@ -122,3 +122,22 @@ def test_xroiseqs_cli(tmp_path):
     recs = {r.name: dna.decode(r.codes) for r in read_seqs(out)}
     assert recs["roi1"] == "GTAC"
     assert recs["roi2"] == "GTAC"  # revcomp of GTAC is GTAC
+
+
+def test_ngsqc_plot_rendering(tmp_path):
+    """ngsqc --plots renders the libBKPLPlot-parity PNG set."""
+    import numpy as np
+    from kit4b_tpu.align.readstats import (compute_readstats,
+                                           render_readstats_plots)
+    from kit4b_tpu.io.fasta import SeqRecord
+    rng = np.random.default_rng(1)
+    recs = [SeqRecord(f"r{i}", "",
+                      rng.integers(0, 4, 100).astype(np.uint8),
+                      qual=rng.integers(20, 40, 100).astype(np.uint8))
+            for i in range(50)]
+    st = compute_readstats(recs)
+    paths = render_readstats_plots(str(tmp_path / "qc"), st)
+    import os
+    assert len(paths) >= 3
+    for p in paths:
+        assert os.path.getsize(p) > 1000
