@@ -97,13 +97,20 @@ def mark_near_duplicates(store: SeqStore, max_subs: int = 2,
     live = np.nonzero(store.live_mask())[0]
     if len(live) < 2:
         return 0
+    from ..ops.extend_packed import pack_genome
+    from ..ops.seed_extend_fast import make_gview
     g, live_ids = corpus_genome(store, with_rc=False)
     idx = SfxIndex.build(g)
     genome_d = jnp.asarray(g.seq)
     sa_d = jnp.asarray(idx.sa_clean.astype(np.int32))
     lut_d = jnp.asarray(idx.lut.astype(np.int32))
     starts, lengths = g.starts, g.lengths
+    ends_d = jnp.asarray((starts + lengths).astype(np.int32))
+    starts_d = jnp.asarray(starts.astype(np.int32))
     win = int(lengths.max())
+    nw2 = (win + 15) // 16 + 1
+    gpack, gbad = pack_genome(g.seq, nw2 + 1)
+    gview_d = jnp.asarray(make_gview(gpack, gbad, nw2))
     n = len(g.names)
     kill = np.zeros(n, bool)
     for s in range(0, n, batch):
@@ -113,20 +120,21 @@ def mark_near_duplicates(store: SeqStore, max_subs: int = 2,
         if nb < batch:
             qs = np.concatenate([qs, np.zeros(batch - nb, np.int64)])
             ql = np.concatenate([ql, np.zeros(batch - nb, np.int64)])
-        pos, mm = _overlap_pass(genome_d, sa_d, lut_d, jnp.asarray(qs),
+        pos, mm = _overlap_pass(gview_d, genome_d, sa_d, lut_d,
+                                starts_d, ends_d, jnp.asarray(qs),
                                 jnp.asarray(ql), lut_k=idx.lut_k,
                                 cand=cand, win=win)
         pos = np.asarray(pos)[:nb]
         mm = np.asarray(mm)[:nb]
-        for j in range(nb):
-            b = int(q_ids[j])
-            for p, m in zip(pos[j], mm[j]):
-                if p == INT32_MAX or int(m) > max_subs:
-                    continue
-                a = int(np.searchsorted(starts, p, side="right") - 1)
-                if a == b or p != starts[a] or lengths[a] != lengths[b]:
-                    continue
-                kill[max(a, b)] = True
+        # vectorized same-length whole-read near-dup detection
+        valid = (pos != INT32_MAX) & (mm <= max_subs)
+        b_ids = np.broadcast_to(q_ids[:, None], pos.shape)
+        a_ids = np.searchsorted(starts, np.where(valid, pos, 0),
+                                side="right") - 1
+        valid &= (a_ids != b_ids) \
+            & (np.where(valid, pos, -1) == starts[a_ids]) \
+            & (lengths[a_ids] == lengths[b_ids])
+        kill[np.maximum(a_ids, b_ids)[valid]] = True
     flagged = live_ids[np.nonzero(kill)[0]]
     store.flags[flagged] |= FLAG_DUP | FLAG_DELETED
     if store.mate is not None:

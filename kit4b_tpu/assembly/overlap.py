@@ -59,21 +59,33 @@ def corpus_genome(store: SeqStore, with_rc: bool = True):
     return g, live
 
 
-@functools.partial(jax.jit, static_argnames=("lut_k", "cand", "win"))
-def _overlap_pass(genome_u8, sa, lut, q_start, q_len, *, lut_k, cand, win):
-    """For each query seq (prefix at q_start, length q_len), find SA hits of
-    its prefix k-mer and score the implied suffix-prefix overlaps.
+@functools.partial(jax.jit,
+                   static_argnames=("lut_k", "cand", "win"))
+def _overlap_pass(gview, genome_u8, sa, lut, seq_starts, seq_ends,
+                  q_start, q_len, *, lut_k, cand, win):
+    """For each query seq (prefix at q_start, length q_len), find SA hits
+    of its prefix k-mer and score the implied suffix-prefix overlaps.
 
-    Returns (hit_pos [B,C], ovl [B,C], mm [B,C]) — hit_pos is the concat
-    position of the overlap start inside the partner (INT32_MAX invalid);
-    verification window = min(ovl, q_len, win) bases.
+    The compare runs on 2-bit packed words (16 bases/uint32, XOR +
+    popcount) via one row-gather per candidate — the same layout as the
+    kalign extension (ops/seed_extend_fast) — instead of the round-1
+    per-base gathers. Overlap extents come from seq_starts/seq_ends
+    searchsorted on device, so no sentinel scan is needed.
+
+    Returns (hit_pos [B,C], mm [B,C]): hit_pos is the concat position of
+    the overlap start inside the partner (INT32_MAX invalid); mm counts
+    mismatches over min(partner_remainder, q_len, win) bases.
     """
+    from ..ops.seed_extend_fast import MISM_BITS
     B = q_start.shape[0]
     G = genome_u8.shape[0]
     M = sa.shape[0]
     k = lut_k
+    nw = (win + 15) // 16
+    nw2 = nw + 1
+    Gv = gview.shape[0]
+    nw2g = gview.shape[1] // 2
 
-    # prefix k-mer key per query
     q_start = q_start.astype(jnp.int32)
     q_len = q_len.astype(jnp.int32)
     kidx = q_start[:, None] + jnp.arange(k, dtype=jnp.int32)
@@ -91,23 +103,49 @@ def _overlap_pass(genome_u8, sa, lut, q_start, q_len, *, lut_k, cand, win):
     cidx = lo[:, None] + jnp.arange(cand, dtype=jnp.int32)
     cvalid = jnp.arange(cand, dtype=jnp.int32) < cnt[:, None]
     pos = sa[jnp.clip(cidx, 0, M - 1)].astype(jnp.int32)       # [B, C]
-    pos = jnp.where(cvalid, pos, INT32_MAX)
 
-    # window compare: partner bases from pos, query bases from q_start.
-    # The partner window is masked at its first EOS sentinel, which bounds
-    # the compare to exactly the partner's remaining (suffix-overlap) bases;
-    # the query side is bounded by its own length. mm is then the exact
-    # mismatch count over the overlap region.
-    off = jnp.arange(win, dtype=jnp.int32)
-    a = genome_u8[jnp.clip(pos[..., None].astype(jnp.int32) + off, 0, G - 1)]
-    b = genome_u8[jnp.clip(q_start[:, None, None].astype(jnp.int32) + off,
-                           0, G - 1)]
-    in_a = jnp.cumsum((a >= dna_BASE_EOS).astype(jnp.int32), axis=-1) == 0
-    wmask = in_a & (off[None, None, :] < jnp.minimum(q_len, win)[:, None,
-                                                                 None])
-    mm = jnp.sum(((a != b) | (a >= 4) | (b >= 4)) & wmask, axis=-1,
+    # overlap extent from the partner boundary (no sentinel scan)
+    a_idx = jnp.searchsorted(seq_starts, pos, side="right") - 1
+    partner_rem = seq_ends[jnp.clip(a_idx, 0, seq_ends.shape[0] - 1)] - pos
+    L = jnp.minimum(jnp.minimum(partner_rem, q_len[:, None]),
+                    jnp.int32(win))                            # [B, C]
+    cvalid = cvalid & (L > 0)
+
+    def rows_at(p):
+        w0 = jnp.clip(jnp.where(p >= 0, p, 0) >> 4, 0, Gv - 1)
+        rows = gview[w0]
+        gw = rows[..., :nw2]
+        gb = rows[..., nw2g:nw2g + nw2]
+        sh = (2 * (jnp.where(p >= 0, p, 0) & 15)
+              ).astype(jnp.uint32)[..., None]
+        hi_sh = jnp.uint32(32) - sh
+
+        def shift(words):
+            lo_w = words[..., :nw] >> sh
+            hi_w = jnp.where(sh == 0, jnp.uint32(0),
+                             words[..., 1:] << hi_sh)
+            return lo_w | hi_w
+        return shift(gw), shift(gb)
+
+    pa, ba = rows_at(pos)                    # partner [B, C, nw]
+    pq, bq = rows_at(q_start[:, None])       # query   [B, 1, nw]
+    x = pa ^ pq
+    mism = (x | (x >> 1)) & MISM_BITS
+    badb = (ba | bq) & MISM_BITS             # N/indet counts as mismatch
+    # per-word masks truncating at the overlap length L
+    nbits = jnp.clip(L[..., None]
+                     - 16 * jnp.arange(nw, dtype=jnp.int32)[None, None, :],
+                     0, 16)
+    full = nbits >= 16
+    wmask = jnp.where(
+        full, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (2 * nbits).astype(jnp.uint32))
+        - jnp.uint32(1)) & MISM_BITS
+    bits = (mism | badb) & wmask
+    mm = jnp.sum(jax.lax.population_count(bits), axis=-1,
                  dtype=jnp.int32)
     mm = jnp.where(cvalid, mm, INT32_MAX)
+    pos = jnp.where(cvalid, pos, INT32_MAX)
     return pos, mm
 
 
@@ -122,6 +160,9 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
       contained: set of corpus ids fully matched inside another sequence
     Corpus id j in [0, n): forward live seq; j in [n, 2n): its revcomp.
     """
+    from ..ops.extend_packed import pack_genome
+    from ..ops.seed_extend_fast import make_gview
+
     g, live = corpus_genome(store, with_rc)
     n_corpus = len(g.names)
     if n_corpus == 0:
@@ -130,15 +171,20 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
     genome_d = jnp.asarray(g.seq)
     sa_d = jnp.asarray(idx.sa_clean.astype(np.int32))
     lut_d = jnp.asarray(idx.lut.astype(np.int32))
+    nw2 = (win + 15) // 16 + 1
+    gpack, gbad = pack_genome(g.seq, nw2 + 1)
+    gview_d = jnp.asarray(make_gview(gpack, gbad, nw2))
 
     starts = g.starts
     lengths = g.lengths
     ends = starts + lengths
+    starts_d = jnp.asarray(starts.astype(np.int32))
+    ends_d = jnp.asarray(ends.astype(np.int32))
     edges = []
     contained: set[int] = set()
     n_live = len(live)
 
-    for s in range(0, n_corpus, batch):
+    def submit(s):
         q_ids = np.arange(s, min(s + batch, n_corpus))
         nb = len(q_ids)
         qs = starts[q_ids]
@@ -146,39 +192,48 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
         if nb < batch:
             qs = np.concatenate([qs, np.zeros(batch - nb, np.int64)])
             ql = np.concatenate([ql, np.zeros(batch - nb, np.int64)])
-        pos, mm = _overlap_pass(
-            genome_d, sa_d, lut_d, jnp.asarray(qs), jnp.asarray(ql),
+        return q_ids, nb, _overlap_pass(
+            gview_d, genome_d, sa_d, lut_d, starts_d, ends_d,
+            jnp.asarray(qs), jnp.asarray(ql),
             lut_k=idx.lut_k, cand=cand, win=win)
-        pos = np.asarray(pos)[:nb]
-        mm = np.asarray(mm)[:nb]
-        for j in range(nb):
-            b_corpus = int(q_ids[j])
-            lb = int(lengths[b_corpus])
-            for p, m in zip(pos[j], mm[j]):
-                if p == INT32_MAX:
-                    continue
-                a_corpus = int(np.searchsorted(starts, p, side="right") - 1)
-                if a_corpus == b_corpus:
-                    continue
-                # never merge a sequence with its own reverse complement
-                if with_rc and (a_corpus % n_live) == (b_corpus % n_live):
-                    continue
-                off = int(p - starts[a_corpus])
-                la = int(lengths[a_corpus])
-                o = la - off
-                if o <= 0:
-                    continue
-                o_eff = min(o, lb, win)
-                max_mm = max(1, o_eff * max_subs_per_100 // 100)
-                if int(m) > max_mm:
-                    continue
-                if o >= lb:      # b contained within a
-                    # exact same-length duplicates are MUTUALLY contained;
-                    # keep the lower underlying id so one copy survives
-                    if la > lb or (a_corpus % n_live) < (b_corpus % n_live):
-                        contained.add(b_corpus)
-                    continue
-                if o < min_overlap:
-                    continue
-                edges.append((a_corpus, b_corpus, o, int(m)))
+
+    def drain(q_ids, nb, dev):
+        pos, mm = (np.asarray(x) for x in jax.device_get(dev))
+        pos = pos[:nb]
+        mm = mm[:nb]
+        # vectorized edge extraction (was a per-candidate host loop)
+        valid = pos != INT32_MAX
+        b_corpus = np.broadcast_to(q_ids[:, None], pos.shape)
+        a_corpus = np.searchsorted(starts, np.where(valid, pos, 0),
+                                   side="right") - 1
+        valid &= a_corpus != b_corpus
+        if with_rc:
+            valid &= (a_corpus % n_live) != (b_corpus % n_live)
+        off = np.where(valid, pos, 0) - starts[a_corpus]
+        la = lengths[a_corpus]
+        lb = lengths[b_corpus]
+        o = la - off
+        valid &= o > 0
+        o_eff = np.minimum(np.minimum(o, lb), win)
+        max_mm = np.maximum(1, o_eff * max_subs_per_100 // 100)
+        valid &= mm <= max_mm
+        is_cont = valid & (o >= lb)
+        keep_cont = is_cont & ((la > lb)
+                               | ((a_corpus % n_live)
+                                  < (b_corpus % n_live)))
+        contained.update(b_corpus[keep_cont].tolist())
+        is_edge = valid & ~is_cont & (o >= min_overlap)
+        for a, b, oo, m in zip(a_corpus[is_edge].tolist(),
+                               b_corpus[is_edge].tolist(),
+                               o[is_edge].tolist(),
+                               mm[is_edge].tolist()):
+            edges.append((a, b, oo, m))
+
+    pending = []
+    for s in range(0, n_corpus, batch):
+        pending.append(submit(s))
+        if len(pending) >= 2:
+            drain(*pending.pop(0))
+    for item in pending:
+        drain(*item)
     return edges, contained

@@ -35,13 +35,14 @@ def test_rnade_cli(tmp_path):
                "-o", str(out), "-O", str(bins), "-b", "10"])
     assert rc == 0
     lines = out.read_text().splitlines()
-    assert lines[0].startswith('"Feature"')
-    rows = {l.split(",")[0].strip('"'): l.split(",") for l in lines[1:]}
-    # CPM normalization cancels in the difference: geneA is 2x up
-    # relative to geneB -> log2 fold gap of ~1.0
-    gap = float(rows["geneA"][3]) - float(rows["geneB"][3])
-    assert abs(gap - 1.0) < 0.05
-    assert float(rows["geneA"][3]) > 0.3          # log2 fold up
+    # full CRNA_DE layout (rnade.cpp:4326)
+    assert lines[0].startswith('"Classification","Feat"')
+    rows = {l.split(",")[1].strip('"'): l.split(",") for l in lines[1:]}
+    # library autoscaling: geneA (20 vs 40) is up ~2x relative to
+    # geneB (30 vs 30); ObsFoldChange is column 17 (0-based 16)
+    foldA = float(rows["geneA"][16])
+    foldB = float(rows["geneB"][16])
+    assert foldA / max(foldB, 1e-9) > 1.7
     # bin counts file has 10+10 bins per feature
     bl = bins.read_text().splitlines()
     assert len(bl[0].split(",")) == 21
