@@ -1247,22 +1247,35 @@ def cmd_gbsmapsnps(args) -> int:
 
 
 def cmd_dgts(args) -> int:
-    """ngskit4b dgts equivalent (CDGTvQTLs QTL core)."""
-    from .kmer import gbs
+    """ngskit4b dgts equivalent (CDGTvQTLs): mode 0 QTL-only, mode 1
+    DGT and QTL loci, classified against a reference-assembly PBA with
+    coverage / homozygosity / ref-mismatch characterisation
+    (CDGTvQTLs.cpp AnalyseInstance)."""
+    from .kmer import dgtqtl
     from .kmer.pba import load_pba
     from .utils.runtime import log
-    qtls = gbs.load_qtl_csv(args.qtlsfile)
+    instances = dgtqtl.load_qtl_alleles(args.qtlsfile) \
+        if args.qtlsfile else []
+    if args.mode >= 1 and args.dgtsfile:
+        instances.extend(dgtqtl.load_dgt_loci(args.dgtsfile))
     sample_pbas = {}
     for spec in args.samplefiles:
         name = spec.split("=", 1)[0] if "=" in spec else spec
         path = spec.split("=", 1)[1] if "=" in spec else spec
         _, chroms = load_pba(path)
         sample_pbas[name] = chroms
-    results = gbs.analyse_qtls(qtls, sample_pbas,
-                               min_cov_prop=args.mincovp,
-                               homoz_prop=args.homozp)
-    gbs.write_qtl_csv(args.outfile, results)
-    log.info("dgts: %d QTL loci x %d samples -> %s", len(qtls),
+    if args.refpba:
+        _, ref = load_pba(args.refpba)
+    else:
+        # without an explicit reference, synthesize one from QTL refs:
+        # the first sample stands in (flagged in the output semantics)
+        ref = sample_pbas[next(iter(sample_pbas))]
+    rows = dgtqtl.analyse_dgt_qtls(instances, ref, sample_pbas,
+                                   mode=args.mode,
+                                   min_coverage=args.mincovp,
+                                   homoz_prop=args.homozp)
+    dgtqtl.write_dgt_qtl_csv(args.outfile, rows)
+    log.info("dgts: %d loci x %d samples -> %s", len(rows),
              len(sample_pbas), args.outfile)
     return 0
 
@@ -2473,8 +2486,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_gbsmapsnps)
 
     p = sub.add_parser("dgts", help="DGT/QTL allele analysis over PBAs")
-    p.add_argument("-Q", "--qtlsfile", required=True,
-                   help="QTL alleles CSV (chrom,loci,allele)")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 QTL-only, 1 DGT and QTL loci")
+    p.add_argument("-Q", "--qtlsfile", default=None,
+                   help="QTL alleles CSV (chrom,loci,ref[,alt])")
+    p.add_argument("-D", "--dgtsfile", default=None,
+                   help="DGT loci CSV (callhaplotypes mode 5 output)")
+    p.add_argument("-I", "--refpba", default=None,
+                   help="reference assembly PBA (pbautils -m1 output)")
     p.add_argument("-i", "--samplefiles", nargs="+", required=True,
                    help="sample PBA files (name=path or path)")
     p.add_argument("-k", "--mincovp", type=float, default=0.8)

@@ -140,9 +140,13 @@ def test_dgts_qtl(tmp_path):
                  f"s2={tmp_path}/s2.pba.npz",
                  f"s3={tmp_path}/s3.pba.npz",
                  "-k", "0.8", "-p", "0.95"]) == 0
+    hdr = out.read_text().splitlines()[0]
+    assert hdr.startswith('"Chrom","Loci","RefDiplotype"')
     row = out.read_text().splitlines()[1].split(",")
-    # 3 samples, 2 covered, 1 matching A, coverage 2/3 < 0.8 -> low
-    assert row[3:] == ["3", "2", "1", "1", "0"]
+    # coverage 2/3 < 0.8 -> uncharacterised (CDGTvQTLs low-coverage)
+    cols = dict(zip(hdr.replace('"', "").split(","), row))
+    assert cols["Characterised"] == "0"
+    assert abs(float(cols["Coverage"]) - 2 / 3) < 0.01
 
 
 def test_rnaexpr_replicates(tmp_path):
