@@ -532,6 +532,18 @@ def cmd_hypers(args) -> int:
     els = find_hypercores(ma, min_core_len=args.mincorelen,
                           max_mismatches=args.maxmismatches,
                           min_species=args.minspecies)
+    if getattr(args, "bedfile", None):
+        # region classification against a gene model (CHyperEls
+        # MapRegions)
+        from .io.biobed import RegionClassifier, load_gene_bed
+        from .tools.hypers import (classify_regions,
+                                   write_hypers_region_csv)
+        cls = RegionClassifier(load_gene_bed(args.bedfile),
+                               args.updnstream)
+        classification = classify_regions(els, cls)
+        write_hypers_region_csv(args.outfile, els, classification)
+        log.info("hypers regions: %s", classification["counts"])
+        return 0
     if args.outfile.endswith(".bed"):
         write_hypers_bed(args.outfile, els)
     else:
@@ -2333,6 +2345,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--minspecies", type=int, default=2)
     p.add_argument("-O", "--statsfile", default=None)
     p.add_argument("-b", "--numbins", type=int, default=1000)
+    p.add_argument("-b", "--bed", dest="bedfile", default=None,
+                   help="gene BED: classify elements into regions")
+    p.add_argument("-L", "--updnstream", type=int, default=2000)
     _common(p)
     p.set_defaults(fn=cmd_hypers)
 

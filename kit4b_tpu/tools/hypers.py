@@ -104,3 +104,28 @@ def write_hypers_bed(path, els: list[HyperEl]) -> None:
         for i, e in enumerate(els, 1):
             f.write(f"{e.chrom}\t{e.start}\t{e.end}\thyper{i}\t"
                     f"{min(1000, e.length)}\t+\n")
+
+
+def classify_regions(els: list[HyperEl], classifier) -> dict:
+    """Region classification of hyper elements against a gene model
+    (CHyperEls::MapRegions — per-element priority region ordinal and a
+    7-region count summary). classifier: io.biobed.RegionClassifier.
+    Returns {"per_el": [ordinal], "counts": {region_name: n}}."""
+    from ..tools.locistats import REGION_NAMES
+    ords = [classifier.region_ordinal(e.chrom, e.start, e.end - 1)
+            for e in els]
+    counts = {name: 0 for name in REGION_NAMES}
+    for o in ords:
+        counts[REGION_NAMES[o]] += 1
+    return {"per_el": ords, "counts": counts}
+
+
+def write_hypers_region_csv(path, els: list[HyperEl],
+                            classification: dict) -> None:
+    from ..tools.locistats import REGION_NAMES
+    with open(path, "w") as f:
+        f.write('"SrcID","Type","Species","Chrom","StartLoci","EndLoci",'
+                '"Len","Features","Region"\n')
+        for i, (e, o) in enumerate(zip(els, classification["per_el"])):
+            f.write(f'{i + 1},"hypercore","ref","{e.chrom}",{e.start},'
+                    f'{e.end - 1},{e.length},{o},"{REGION_NAMES[o]}"\n')

@@ -388,3 +388,14 @@ def test_cli_csvfilter_end_to_end(tmp_path):
     rc = main(["csvfilter", "-i", str(inp), "-o", str(out), "-l", "50"])
     assert rc == 0
     assert len(out.read_text().splitlines()) == 1
+
+
+def test_hypers_region_classification(tmp_path):
+    from kit4b_tpu.io.biobed import RegionClassifier
+    from kit4b_tpu.tools.hypers import HyperEl, classify_regions
+    cls = RegionClassifier([_gene()], reg_len=200)
+    els = [HyperEl("chr1", 1150, 1180, 30, 0, 3),    # CDS
+           HyperEl("chr1", 100, 160, 60, 0, 3)]      # intergenic
+    res = classify_regions(els, cls)
+    assert res["per_el"] == [3, 0]
+    assert res["counts"]["CDS"] == 1 and res["counts"]["IG"] == 1
