@@ -2345,7 +2345,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--minspecies", type=int, default=2)
     p.add_argument("-O", "--statsfile", default=None)
     p.add_argument("-b", "--numbins", type=int, default=1000)
-    p.add_argument("-b", "--bed", dest="bedfile", default=None,
+    p.add_argument("-B", "--bed", dest="bedfile", default=None,
                    help="gene BED: classify elements into regions")
     p.add_argument("-L", "--updnstream", type=int, default=2000)
     _common(p)
