@@ -4,16 +4,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config #1 of BASELINE.md: E. coli-scale genome (4.6 Mbp), 100K x 100 bp SE
 simulated reads with Illumina-skewed errors -> aligned (unique-accept) on the
-default sensitivity schedule. Steady-state reads/sec measured after one
-warmup batch (compile excluded; device transfers included).
+default sensitivity schedule.
 
-vs_baseline: ratio vs the reference ngskit4b binary measured on this host's
-CPUs if a build exists at ./native/ngskit4b_ref or /tmp/ngskit4b; else the
-recorded BASELINE_CPU_READS_PER_SEC constant (reference 64-core estimate) is
-used; 0.0 when no baseline is known.
+Measurement protocol (round 3): the full readset is aligned N_ROUNDS >= 10
+times; each round's wall-clock (h2d + device pass + d2h + escalation) is
+logged to stderr and the MEDIAN round throughput is reported. The axon
+tunnel's per-call dispatch and fetch latencies vary run to run (observed
+0.23s..0.62s for identical work in rounds 1-2), so single-shot timings are
+not reproducible; the median over 10 rounds is.
+
+vs_baseline: ratio vs the reference ngskit4b binary's 64-core linear
+extrapolation from the 2-vCPU measurement on this host (BASELINE.md).
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -38,6 +43,7 @@ GENOME_LEN = 4_600_000
 N_READS = 100_000
 READ_LEN = 100
 BATCH = 32768
+N_ROUNDS = 12
 
 
 def main():
@@ -68,27 +74,38 @@ def main():
     log(f"simreads: {len(recs)} reads")
 
     al = kalign.KAligner(idx, batch_size=BATCH)
-
-    # warmup: compile all pass shapes
-    t0 = time.time()
-    al.align_batch_raw(reads[:BATCH])
-    log(f"warmup (compile): {time.time()-t0:.1f}s")
-
-    # timed: submit every batch (async dispatch), then collect in order so
-    # host classification of batch k overlaps device compute of batch k+1
     starts = list(range(0, len(reads) - BATCH + 1, BATCH))
-    t0 = time.time()
-    devs = [al._submit(reads[s:s + BATCH]) for s in starts]
-    raws = []
-    n_acc = 0
-    for s, d in zip(starts, devs):
-        b = reads[s:s + BATCH]
-        raw = al._collect_compact(d, b)
-        n_acc += int((raw["nar"] == 0).sum())
-        raws.append(raw)
-    dt = time.time() - t0
     n_done = len(starts) * BATCH
-    rps = n_done / dt
+
+    def one_round():
+        """Align the full readset: async-submit all batches, collect in
+        order so host work on batch k overlaps device compute of k+1."""
+        devs = [al._submit(reads[s:s + BATCH]) for s in starts]
+        out, n_acc = [], 0
+        for s, d in zip(starts, devs):
+            raw = al._collect_compact(d, reads[s:s + BATCH])
+            n_acc += int((raw["nar"] == 0).sum())
+            out.append(raw)
+        return out, n_acc
+
+    # warmup: compiles every pass shape incl. escalation tiers (the first
+    # full round exercises overflow escalation exactly as the timed ones do)
+    t0 = time.time()
+    raws, n_acc = one_round()
+    log(f"warmup (compile + first full round): {time.time()-t0:.1f}s")
+
+    times = []
+    for r in range(N_ROUNDS):
+        t0 = time.time()
+        raws, n_acc = one_round()
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"round {r:2d}: {dt*1000:7.1f} ms  "
+            f"{n_done/dt:9.0f} reads/s  accepted {n_acc}")
+    med = statistics.median(times)
+    rps = n_done / med
+    log(f"median of {N_ROUNDS} rounds: {med*1000:.1f} ms = {rps:.0f} reads/s"
+        f"  (min {min(times)*1000:.1f}, max {max(times)*1000:.1f})")
 
     # correctness spot check vs ground truth (outside the timed region)
     nar = np.concatenate([r["nar"] for r in raws])
@@ -102,8 +119,7 @@ def main():
         if (g.names[int(ci[j])] == t["chrom"] and int(off[j]) == t["start"]
                 and ("-" if strand[i] else "+") == t["strand"]):
             n_ok += 1
-    log(f"aligned {n_done} reads in {dt:.2f}s = {rps:.0f} reads/s; "
-        f"accepted {n_acc} ({100*n_acc/n_done:.1f}%), "
+    log(f"accepted {n_acc} ({100*n_acc/n_done:.1f}%), "
         f"truth-correct {100*n_ok/max(n_acc,1):.2f}% of accepted")
 
     vs = 0.0

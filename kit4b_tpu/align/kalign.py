@@ -200,8 +200,7 @@ class KAligner:
                 from ..ops.extend_packed import pack_genome
                 self._host_packed = pack_genome(self.index.genome.seq, 65)
             gpack, gbad = self._host_packed
-            gview = jnp.asarray(
-                seed_extend_fast.make_gview(gpack, gbad, nw2))
+            gview = seed_extend_fast.make_gview_device(gpack, gbad, nw2)
             sa = jnp.asarray(self.index.sa_clean.astype(np.int32))
             lut = jnp.asarray(self.index.lut.astype(
                 np.int32 if self.index.lut[-1] < 2**31 else np.int64))

@@ -75,6 +75,28 @@ def make_gview(gpack: np.ndarray, gbad: np.ndarray, nw2: int) -> np.ndarray:
     return np.concatenate([p, b], axis=1).astype(np.uint32)
 
 
+def make_gview_device(gpack: np.ndarray, gbad: np.ndarray,
+                      nw2: int) -> jnp.ndarray:
+    """make_gview built ON DEVICE: only the 2-bit packed genome (+bad mask)
+    crosses the tunnel (~0.5 byte/base); the [Gv, 2*nw2] sliding-window view
+    (16x larger) is materialised device-side. The axon tunnel moves ~10-20
+    MB/s, so shipping the expanded view dominated process warmup."""
+    import jax
+
+    @jax.jit
+    def _build(gp, gb):
+        Gw = gp.shape[0]
+        Gv = Gw - nw2 + 1
+        p = jnp.stack([jax.lax.dynamic_slice(gp, (j,), (Gv,))
+                       for j in range(nw2)], axis=1)
+        b = jnp.stack([jax.lax.dynamic_slice(gb, (j,), (Gv,))
+                       for j in range(nw2)], axis=1)
+        return jnp.concatenate([p, b], axis=1)
+
+    return _build(jnp.asarray(gpack.astype(np.uint32)),
+                  jnp.asarray(gbad.astype(np.uint32)))
+
+
 def pack_reads0(seqs: jnp.ndarray, nw: int):
     """[B, S, L] uint8 codes -> phase-0 packed (rpack, rbad) [B, S, nw]."""
     B, S, L = seqs.shape
