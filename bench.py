@@ -42,7 +42,7 @@ BASELINE_CPU_READS_PER_SEC = 10_600 * 32
 GENOME_LEN = 4_600_000
 N_READS = 100_000
 READ_LEN = 100
-BATCH = 32768
+BATCH = 98304
 N_ROUNDS = 12
 
 

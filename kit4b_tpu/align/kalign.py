@@ -34,6 +34,27 @@ from ..io.sam import (FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment, SamWriter,
 
 INT32_MAX = np.iinfo(np.int32).max
 
+
+def pack_reads_2bit(reads: np.ndarray, n_cap: int = 4096):
+    """[B, L] uint8 codes -> ([B, ceil(L/4)] packed, [n_cap, 2] sparse N
+    list, ok). The host link is the bottleneck (~10-35 MB/s), so reads
+    cross it 2-bit packed; Ns ride a sparse (read, base) list. ok=False
+    when the batch has more Ns than n_cap (caller uses the unpacked path).
+    """
+    B, L = reads.shape
+    L4 = (L + 3) // 4
+    ext = np.zeros((B, 4 * L4), dtype=np.uint8)
+    ext[:, :L] = reads & 3
+    packed = (ext[:, 0::4] | (ext[:, 1::4] << 2) | (ext[:, 2::4] << 4)
+              | (ext[:, 3::4] << 6))
+    ridx, bidx = np.nonzero(reads >= 4)
+    if len(ridx) > n_cap:
+        return packed, None, False
+    nlist = np.full((n_cap, 2), -1, dtype=np.int32)
+    nlist[:len(ridx), 0] = ridx
+    nlist[:len(ridx), 1] = bidx
+    return packed, nlist, True
+
 # sensitivity modes (reference ePMdefault/ePMMoreSens/ePMUltraSens/ePMLessSens
 # mapped to slides + min-core adjustment, KAligner.cpp:9377-9393)
 SENS_MODES = {
@@ -160,6 +181,7 @@ class KAligner:
                  max_ns: int = 1,            # cDfltMaxNs (per 100bp, min 1)
                  cand_per_window: int = 24,  # (round-1 path; kept for compat)
                  n_compact: int = 24,        # tier-1 per-read candidate cap
+                 n_extend: int = 12,         # tier-1 distinct-locus cap (v3)
                  batch_size: int = 16384,
                  sens: str = "default",
                  escalation: tuple = ((512, 512), (64, 8192)),
@@ -173,6 +195,7 @@ class KAligner:
         self.max_ns = max_ns
         self.cand = cand_per_window
         self.n_compact = n_compact
+        self.n_extend = n_extend
         self.batch_size = batch_size
         self.sens = sens
         self.escalation = escalation
@@ -191,8 +214,9 @@ class KAligner:
         return self._schedules[read_len]
 
     def _device_for(self, read_len: int):
-        """(gview, sa, lut) device arrays for this read length's word count."""
-        from ..ops import seed_extend_fast
+        """(gview, sa, lut, lut2) device arrays for this read length's
+        word count (lut2 = (lo, cnt) pair rows for the v3 tier-1 path)."""
+        from ..ops import seed_extend_fast, seed_extend_v3
         nw2 = (read_len + 15) // 16 + 1
         if nw2 not in self._fast_dev:
             import jax.numpy as jnp
@@ -204,7 +228,9 @@ class KAligner:
             sa = jnp.asarray(self.index.sa_clean.astype(np.int32))
             lut = jnp.asarray(self.index.lut.astype(
                 np.int32 if self.index.lut[-1] < 2**31 else np.int64))
-            self._fast_dev[nw2] = (gview, sa, lut)
+            lut2 = (seed_extend_v3.make_lut2_device(self.index.lut)
+                    if self.index.lut[-1] < 2**31 else None)
+            self._fast_dev[nw2] = (gview, sa, lut, lut2)
         return self._fast_dev[nw2]
 
     def _offsets_for(self, read_len: int, max_tot_mm: int) -> tuple:
@@ -226,10 +252,10 @@ class KAligner:
     # --- device pass (submit / collect split for pipelining) ---------------
     def _submit(self, reads: np.ndarray, n_compact: int | None = None,
                 compact: bool | None = None, capped: bool = False):
-        from ..ops import seed_extend_fast
+        from ..ops import seed_extend_fast, seed_extend_v3
         B, L = reads.shape
         _, max_tot_mm = self.schedule_for(L)
-        gview, sa, lut = self._device_for(L)
+        gview, sa, lut, lut2 = self._device_for(L)
         offsets = self._offsets_for(L, max_tot_mm)
         nc = n_compact or self.n_compact
         # capped tiers clamp per-bucket SA exploration (reference MaxIter
@@ -242,11 +268,31 @@ class KAligner:
                   n_compact=nc, max_per_bucket=cap)
         if compact is None:
             compact = self._use_compact()
+        tier1 = n_compact is None and lut2 is not None
         if compact:
-            # one [B, 2] int32 result -> ~8 bytes/read over the tunnel
+            if tier1:
+                # v3: gather-minimal lane-major pass; overflow (raw > NC or
+                # distinct loci > NS) escalates through the old-path tiers
+                if 2 * len(self.index.genome.seq) + 1 < 2 ** 24:
+                    # minimal-link variant: 2-bit reads up, 4 bytes/read down
+                    reads2b, nlist, ok = pack_reads_2bit(reads)
+                    if ok:
+                        import jax.numpy as jnp
+                        return ("packed", seed_extend_v3.fast_pass_packed_v3(
+                            gview, sa, lut2, jnp.asarray(reads2b),
+                            jnp.asarray(nlist), read_len=L,
+                            max_tot_mm=max_tot_mm, mm_delta=self.mm_delta,
+                            n_extend=self.n_extend, **kw))
+                return seed_extend_v3.fast_pass_compact_v3(
+                    gview, sa, lut2, reads, max_tot_mm=max_tot_mm,
+                    mm_delta=self.mm_delta, n_extend=self.n_extend, **kw)
             return seed_extend_fast.fast_pass_compact(
                 gview, sa, lut, reads, max_tot_mm=max_tot_mm,
                 mm_delta=self.mm_delta, **kw)
+        if tier1:
+            return seed_extend_v3.fast_pass_v3(
+                gview, sa, lut2, reads, max_ml=self.max_ml,
+                n_extend=self.n_extend, **kw)
         return seed_extend_fast.fast_pass(
             gview, sa, lut, reads, max_ml=self.max_ml, **kw)
 
@@ -265,10 +311,15 @@ class KAligner:
     def _collect_compact(self, devout, reads: np.ndarray) -> dict:
         """Fetch [B,2] compact results; escalate overflow codes via the
         full-stats tiers; return the classification dict."""
-        host = np.array(jax.device_get(devout))
-        code = host[:, 0].astype(np.int64)
-        low = host[:, 1].astype(np.int64)
-        n_low = host[:, 2].astype(np.int64)
+        if isinstance(devout, tuple) and devout[0] == "packed":
+            from ..ops.seed_extend_v3 import unpack_result_word
+            code, low, n_low = unpack_result_word(
+                np.array(jax.device_get(devout[1])))
+        else:
+            host = np.array(jax.device_get(devout))
+            code = host[:, 0].astype(np.int64)
+            low = host[:, 1].astype(np.int64)
+            n_low = host[:, 2].astype(np.int64)
         for ti, (bt, nct) in enumerate(self.escalation):
             idxs = np.nonzero(code == -3)[0]
             if len(idxs) == 0:

@@ -237,7 +237,7 @@ class PeAligner:
         g = al.index.genome
         L = len(recs1[0].codes)
         _, max_tot = al.schedule_for(L)
-        gview, sa, lut = al._device_for(L)
+        gview, sa, lut, _lut2 = al._device_for(L)
         starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
         B = al.batch_size
         kw = dict(genome_len=len(g.seq),
@@ -334,7 +334,7 @@ class PeAligner:
         g = self.al.index.genome
         L1 = len(recs1[i0].codes)
         L2 = len(recs2[i0].codes)
-        gview, _, _ = self.al._device_for(max(L1, L2))
+        gview, _, _, _ = self.al._device_for(max(L1, L2))
         scan_len = self.max_len - self.min_len + 1
         out_map: dict[int, PePair | None] = {}
         RB = 4096
@@ -405,7 +405,7 @@ class PeAligner:
         g = al.index.genome
         L = len(sub1[0].codes)
         _, max_tot = al.schedule_for(L)
-        gview, sa, lut = al._device_for(L)
+        gview, sa, lut, _lut2 = al._device_for(L)
         starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
         a1 = np.stack([r.codes for r in sub1])
         a2 = np.stack([r.codes for r in sub2])

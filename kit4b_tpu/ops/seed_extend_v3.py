@@ -260,6 +260,85 @@ def fast_candidates_v3(gview: jnp.ndarray,   # [Gv, 2*nw2] genome row view
     return ids, mm, overflow
 
 
+def unpack_reads_2bit(reads2b: jnp.ndarray, nlist: jnp.ndarray,
+                      read_len: int) -> jnp.ndarray:
+    """[B, ceil(L/4)] 2-bit-packed codes + sparse N list [K, 2] int32
+    (read_idx, base_idx; -1 padded) -> [B, L] uint8 codes.
+
+    The host link moves ~10-35 MB/s, so reads cross it 2-bit packed
+    (the reference's own on-disk representation, libkit4b/packed seqs)
+    with the rare Ns scattered back from a sparse list."""
+    B, L4 = reads2b.shape
+    parts = [(reads2b >> (2 * t)) & 3 for t in range(4)]
+    reads = jnp.stack(parts, axis=2).reshape(B, 4 * L4)[:, :read_len]
+    reads = reads.at[nlist[:, 0], nlist[:, 1]].set(4, mode="drop")
+    return reads
+
+
+def _classify_compact(ids, mm, overflow, *, max_tot_mm, mm_delta):
+    """[NS, B] candidate stats -> (code, low, n_low) each [B]."""
+    ok = ids != INT32_MAX
+    low = jnp.min(mm, axis=0)
+    n_low = jnp.sum((mm == low[None, :]) & ok, axis=0, dtype=jnp.int32)
+    nxt = jnp.min(jnp.where(mm > low[None, :], mm, INT32_MAX), axis=0)
+    best_id = jnp.min(jnp.where(mm == low[None, :], ids, INT32_MAX), axis=0)
+    aligned = low <= max_tot_mm
+    unique = (aligned & ~overflow & (n_low == 1)
+              & ((nxt - low) >= mm_delta))
+    code = jnp.where(overflow, -3,
+                     jnp.where(unique, best_id,
+                               jnp.where(aligned, -2, -1)))
+    return code, low, n_low
+
+
+def pack_result_word(code, low, n_low):
+    """(code, low, n_low) -> ONE int32 per read (4 bytes over the link):
+      bits 31..8  pos*2+strand+1 when accepted, else 0
+      bits  7..2  lowest mismatch count, saturated at 63
+      bits  1..0  class: 0 accepted / 1 nohit / 2 multi / 3 overflow
+    Valid only when 2*genome_len + 1 < 2^24 and max_tot_mm <= 63; the
+    n_low value is reduced to its class (1 for accepted, >=2 for multi)."""
+    cls = jnp.where(code >= 0, 0,
+                    jnp.where(code == -1, 1,
+                              jnp.where(code == -2, 2, 3)))
+    lp1 = jnp.where(code >= 0, code + 1, 0)
+    mm6 = jnp.clip(jnp.where(low == INT32_MAX, 63, low), 0, 63)
+    return (lp1 << 8) | (mm6 << 2) | cls
+
+
+def unpack_result_word(word: np.ndarray):
+    """Host-side inverse of pack_result_word -> (code, low, n_low)."""
+    word = word.astype(np.int64)
+    cls = word & 3
+    mm6 = (word >> 2) & 63
+    lp1 = (word >> 8) & 0xFFFFFF
+    code = np.where(cls == 0, lp1 - 1,
+                    np.where(cls == 1, -1, np.where(cls == 2, -2, -3)))
+    low = np.where((cls == 1) & (mm6 == 63), np.int64(INT32_MAX), mm6)
+    n_low = np.where(cls == 0, 1, np.where(cls == 2, 2, 0))
+    return code, low, n_low
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
+                              "n_compact", "n_extend", "max_tot_mm",
+                              "mm_delta", "max_per_bucket", "read_len"))
+def fast_pass_packed_v3(gview, sa, lut2, reads2b, nlist, *, genome_len,
+                        offsets, lut_k, n_compact, max_tot_mm, mm_delta,
+                        read_len, n_extend=None, max_per_bucket=None):
+    """2-bit-packed reads in, ONE int32 word per read out — the minimal
+    host-link variant of fast_pass_compact_v3 (see pack_result_word)."""
+    reads = unpack_reads_2bit(reads2b, nlist, read_len)
+    ids, mm, overflow = fast_candidates_v3(
+        gview, sa, lut2, jnp.int32(0), reads, genome_len=genome_len,
+        offsets=offsets, lut_k=lut_k, n_compact=n_compact,
+        n_extend=n_extend, max_per_bucket=max_per_bucket)
+    code, low, n_low = _classify_compact(ids, mm, overflow,
+                                         max_tot_mm=max_tot_mm,
+                                         mm_delta=mm_delta)
+    return pack_result_word(code, low, n_low)
+
+
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
                               "n_compact", "n_extend", "max_tot_mm",
@@ -276,17 +355,9 @@ def fast_pass_compact_v3(gview, sa, lut2, reads, *, genome_len,
         gview, sa, lut2, jnp.int32(0), reads, genome_len=genome_len,
         offsets=offsets, lut_k=lut_k, n_compact=n_compact,
         n_extend=n_extend, max_per_bucket=max_per_bucket)
-    ok = ids != INT32_MAX
-    low = jnp.min(mm, axis=0)
-    n_low = jnp.sum((mm == low[None, :]) & ok, axis=0, dtype=jnp.int32)
-    nxt = jnp.min(jnp.where(mm > low[None, :], mm, INT32_MAX), axis=0)
-    best_id = jnp.min(jnp.where(mm == low[None, :], ids, INT32_MAX), axis=0)
-    aligned = low <= max_tot_mm
-    unique = (aligned & ~overflow & (n_low == 1)
-              & ((nxt - low) >= mm_delta))
-    code = jnp.where(overflow, -3,
-                     jnp.where(unique, best_id,
-                               jnp.where(aligned, -2, -1)))
+    code, low, n_low = _classify_compact(ids, mm, overflow,
+                                         max_tot_mm=max_tot_mm,
+                                         mm_delta=mm_delta)
     return jnp.stack([code, low, n_low], axis=1)
 
 
