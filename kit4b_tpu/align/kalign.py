@@ -38,11 +38,29 @@ INT32_MAX = np.iinfo(np.int32).max
 def pack_reads_2bit(reads: np.ndarray, n_cap: int = 4096):
     """[B, L] uint8 codes -> ([B, ceil(L/4)] packed, [n_cap, 2] sparse N
     list, ok). The host link is the bottleneck (~10-35 MB/s), so reads
-    cross it 2-bit packed; Ns ride a sparse (read, base) list. ok=False
-    when the batch has more Ns than n_cap (caller uses the unpacked path).
-    """
+    cross it 2-bit packed; Ns ride a sparse (read, base) list, padded with
+    large positive OOB sentinels (jnp .at[] mode="drop" drops out-of-range
+    indices but WRAPS negative ones). ok=False when the batch has more Ns
+    than n_cap (caller uses the unpacked path). Native C loop when built
+    (native/hostops.cpp, ~40x numpy's strided packing); numpy fallback."""
+    from ..index.sa_build import _load_native
+    import ctypes
     B, L = reads.shape
     L4 = (L + 3) // 4
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "pack2bit_u8"):
+        reads_c = np.ascontiguousarray(reads)
+        packed = np.empty((B, L4), dtype=np.uint8)
+        nlist = np.empty((n_cap, 2), dtype=np.int32)
+        nn = lib.pack2bit_u8(
+            reads_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(B), ctypes.c_int64(L),
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nlist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n_cap))
+        if nn < 0:
+            return packed, None, False
+        return packed, nlist, True
     ext = np.zeros((B, 4 * L4), dtype=np.uint8)
     ext[:, :L] = reads & 3
     packed = (ext[:, 0::4] | (ext[:, 1::4] << 2) | (ext[:, 2::4] << 4)
@@ -50,7 +68,7 @@ def pack_reads_2bit(reads: np.ndarray, n_cap: int = 4096):
     ridx, bidx = np.nonzero(reads >= 4)
     if len(ridx) > n_cap:
         return packed, None, False
-    nlist = np.full((n_cap, 2), -1, dtype=np.int32)
+    nlist = np.full((n_cap, 2), 2**30, dtype=np.int32)
     nlist[:len(ridx), 0] = ridx
     nlist[:len(ridx), 1] = bidx
     return packed, nlist, True

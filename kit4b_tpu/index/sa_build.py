@@ -36,6 +36,15 @@ def _load_native():
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib.pack2bit_u8.restype = ctypes.c_int64
+        lib.pack2bit_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+    except AttributeError:
+        pass   # older .so without hostops
     lib.sais_u8_i32.restype = ctypes.c_int
     lib.sais_u8_i32.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),

@@ -91,7 +91,27 @@ def fast_candidates_v3(gview: jnp.ndarray,   # [Gv, 2*nw2] genome row view
     overflow [B] bool = raw candidate total exceeded n_compact OR distinct
     loci exceeded n_extend (caller escalates, as the reference escalates
     MaxIter-truncated reads)."""
-    B, L = reads.shape
+    seqs = build_seqs(reads, single_strand=single_strand)
+    return _cands_core(gview, sa, lut2, key_lo, seqs,
+                       genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+                       n_compact=n_compact, n_extend=n_extend,
+                       single_strand=single_strand, lut_base=lut_base,
+                       digit_map=digit_map, max_per_bucket=max_per_bucket)
+
+
+def build_seqs(reads: jnp.ndarray, *, single_strand: int | None = None):
+    """[B, L] uint8 codes -> lane-major strand stack [S, L, B]."""
+    rt = reads.T                                            # [L, B]
+    if single_strand is None:
+        comp = jnp.where(rt < 4, 3 - rt, rt)
+        return jnp.stack([rt, comp[::-1, :]], axis=0)       # [2, L, B]
+    return rt[None]
+
+
+def _cands_core(gview, sa, lut2, key_lo, seqs, *, genome_len, offsets,
+                lut_k, n_compact, n_extend=None, single_strand=None,
+                lut_base=4, digit_map=None, max_per_bucket=None):
+    S, L, B = seqs.shape
     G = genome_len
     M = sa.shape[0]
     NC = n_compact
@@ -102,14 +122,6 @@ def fast_candidates_v3(gview: jnp.ndarray,   # [Gv, 2*nw2] genome row view
     nw2 = nw + 1
     n_keys = lut2.shape[0]
     Gv = gview.shape[0]
-
-    rt = reads.T                                            # [L, B]
-    if single_strand is None:
-        comp = jnp.where(rt < 4, 3 - rt, rt)
-        seqs = jnp.stack([rt, comp[::-1, :]], axis=0)       # [S, L, B]
-    else:
-        seqs = rt[None]
-    S = seqs.shape[0]
     D = S * W
 
     # --- seed keys [S, W, B] (full-lane shifted adds) -----------------------
@@ -263,7 +275,7 @@ def fast_candidates_v3(gview: jnp.ndarray,   # [Gv, 2*nw2] genome row view
 def unpack_reads_2bit(reads2b: jnp.ndarray, nlist: jnp.ndarray,
                       read_len: int) -> jnp.ndarray:
     """[B, ceil(L/4)] 2-bit-packed codes + sparse N list [K, 2] int32
-    (read_idx, base_idx; -1 padded) -> [B, L] uint8 codes.
+    (read_idx, base_idx; padded with out-of-range sentinels) -> [B, L] uint8 codes.
 
     The host link moves ~10-35 MB/s, so reads cross it 2-bit packed
     (the reference's own on-disk representation, libkit4b/packed seqs)
@@ -322,20 +334,51 @@ def unpack_result_word(word: np.ndarray):
 @functools.partial(
     jax.jit, static_argnames=("genome_len", "offsets", "lut_k",
                               "n_compact", "n_extend", "max_tot_mm",
-                              "mm_delta", "max_per_bucket", "read_len"))
+                              "mm_delta", "max_per_bucket", "read_len",
+                              "tier2"))
 def fast_pass_packed_v3(gview, sa, lut2, reads2b, nlist, *, genome_len,
                         offsets, lut_k, n_compact, max_tot_mm, mm_delta,
-                        read_len, n_extend=None, max_per_bucket=None):
+                        read_len, n_extend=None, max_per_bucket=None,
+                        tier2=(128, 192, 96)):
     """2-bit-packed reads in, ONE int32 word per read out — the minimal
-    host-link variant of fast_pass_compact_v3 (see pack_result_word)."""
+    host-link variant of fast_pass_compact_v3 (see pack_result_word).
+
+    tier2 = (E, NC2, NS2): capacity-overflowed reads (class -3, typically
+    <0.1%) are re-seeded ON DEVICE at the deeper (NC2, NS2) tier inside the
+    same call — the reference's MaxIter sensitivity rung without a host
+    round-trip (KAligner.h:53-56). Reads still overflowing tier 2 (or past
+    the E read slots) return class 3 and escalate through the host tiers."""
+    B = reads2b.shape[0]
     reads = unpack_reads_2bit(reads2b, nlist, read_len)
-    ids, mm, overflow = fast_candidates_v3(
-        gview, sa, lut2, jnp.int32(0), reads, genome_len=genome_len,
-        offsets=offsets, lut_k=lut_k, n_compact=n_compact,
-        n_extend=n_extend, max_per_bucket=max_per_bucket)
+    seqs = build_seqs(reads)
+    kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+              max_per_bucket=max_per_bucket)
+    ids, mm, overflow = _cands_core(gview, sa, lut2, jnp.int32(0), seqs,
+                                    n_compact=n_compact, n_extend=n_extend,
+                                    **kw)
     code, low, n_low = _classify_compact(ids, mm, overflow,
                                          max_tot_mm=max_tot_mm,
                                          mm_delta=mm_delta)
+    if tier2 is not None:
+        E, NC2, NS2 = tier2
+        esc = code == -3
+        n_esc = jnp.sum(esc, axis=0, dtype=jnp.int32)
+        ecum = jnp.cumsum(esc.astype(jnp.int32))
+        ridx = jnp.sum((ecum[None, :] <=
+                        jnp.arange(E, dtype=jnp.int32)[:, None])
+                       .astype(jnp.int32), axis=1)          # [E]
+        ridx = jnp.clip(ridx, 0, B - 1)
+        egood = jnp.arange(E, dtype=jnp.int32) < jnp.minimum(n_esc, E)
+        eseqs = seqs[:, :, ridx]                            # [S, L, E]
+        ids2, mm2, ovf2 = _cands_core(gview, sa, lut2, jnp.int32(0), eseqs,
+                                      n_compact=NC2, n_extend=NS2, **kw)
+        code2, low2, nlow2 = _classify_compact(ids2, mm2, ovf2,
+                                               max_tot_mm=max_tot_mm,
+                                               mm_delta=mm_delta)
+        tgt = jnp.where(egood, ridx, jnp.int32(2 ** 30))    # OOB -> dropped
+        code = code.at[tgt].set(code2, mode="drop")
+        low = low.at[tgt].set(low2, mode="drop")
+        n_low = n_low.at[tgt].set(nlow2, mode="drop")
     return pack_result_word(code, low, n_low)
 
 

@@ -174,3 +174,62 @@ def test_v3_full_stats_matches():
     for k_ in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm", "overflow"):
         np.testing.assert_array_equal(np.asarray(out2[k_]),
                                       np.asarray(out3[k_]), err_msg=k_)
+
+
+def test_packed_pass_device_tier2():
+    """2-bit packed pass: on-device tier-2 resolves tier-1 overflow reads
+    to the same classification as a big-capacity compact pass; reads past
+    the E capacity stay class 3 (host escalation)."""
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    g, idx, reads = _mk(repeat=True, subs_rate=0.0, n_reads=128)
+    reads[10, 3] = 4   # an N in a read
+    gview, sa_d, lut_d, lut2, offsets, G = _setup(idx, reads)
+    kw = dict(genome_len=G, offsets=offsets, lut_k=idx.lut_k,
+              max_tot_mm=5, mm_delta=1)
+    big = np.asarray(F3.fast_pass_compact_v3(
+        gview, sa_d, lut2, jnp.asarray(reads), n_compact=512, n_extend=256,
+        **kw))
+    reads2b, nlist, ok = pack_reads_2bit(reads)
+    assert ok
+    word = np.asarray(F3.fast_pass_packed_v3(
+        gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
+        read_len=reads.shape[1], n_compact=12, n_extend=4,
+        tier2=(128, 512, 256), **kw))
+    code, low, n_low = F3.unpack_result_word(word)
+    # every read must agree with the big pass (tier2 capacity is ample);
+    # reads the big pass itself cannot hold stay -3 in both
+    assert (big[:, 0] != -3).sum() > 100
+    np.testing.assert_array_equal(code, big[:, 0])
+    acc = code >= 0
+    np.testing.assert_array_equal(low[acc], big[acc, 1])
+
+    # tiny E: only the first E overflowed reads resolve; the rest stay -3
+    word_s = np.asarray(F3.fast_pass_packed_v3(
+        gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
+        read_len=reads.shape[1], n_compact=12, n_extend=4,
+        tier2=(1, 512, 256), **kw))
+    code_s, _, _ = F3.unpack_result_word(word_s)
+    word_t1 = np.asarray(F3.fast_pass_packed_v3(
+        gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
+        read_len=reads.shape[1], n_compact=12, n_extend=4,
+        tier2=None, **kw))
+    code_t1, _, _ = F3.unpack_result_word(word_t1)
+    ovf_idx = np.nonzero(code_t1 == -3)[0]
+    if len(ovf_idx) > 1:
+        assert code_s[ovf_idx[0]] == big[ovf_idx[0], 0]
+        assert (code_s[ovf_idx[1:]] == -3).all()
+
+
+def test_packed_word_roundtrip_reads_with_ns():
+    """pack_reads_2bit + unpack on device preserves codes incl. N=4 and
+    never corrupts other reads (regression: -1 pad wrapped to [-1,-1])."""
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    rng = np.random.default_rng(5)
+    reads = rng.integers(0, 4, (64, 101)).astype(np.uint8)
+    reads[3, 7] = 4
+    reads[63, 100] = 2   # last base of last read must survive
+    reads2b, nlist, ok = pack_reads_2bit(reads)
+    assert ok
+    out = np.asarray(F3.unpack_reads_2bit(
+        jnp.asarray(reads2b), jnp.asarray(nlist), 101))
+    np.testing.assert_array_equal(out, reads)
