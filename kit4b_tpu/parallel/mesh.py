@@ -101,6 +101,70 @@ def make_sharded_align_pass(mesh: Mesh, *, genome_len: int, offsets: tuple,
     return jax.jit(shmapped)
 
 
+def make_sharded_align_pass_v3(mesh: Mesh, *, genome_len: int,
+                               offsets: tuple, lut_k: int, n_compact: int,
+                               n_extend: int, max_ml: int):
+    """dp x tp sharded pass over the PRODUCTION v3 kernel
+    (ops/seed_extend_v3.fast_candidates_v3).
+
+    Args (sharded): gview [Gv, 2*nw2] replicated; sa_shards [tp, Mpad] and
+    lut2_shards [tp, keys_per, 2] split over "tp"; key_lo [tp]; reads
+    [B, L] split over "dp". Returns the fast_pass_v3 stats dict sharded
+    over "dp".
+
+    Exactly-once across shards: a locus is emitted only by the shard owning
+    its FIRST exact window's k-mer key — the canonical test recomputes the
+    first exact window from the extension's mismatch bits, a global
+    property independent of which shard evaluated it (seed_extend_v3
+    canonicalisation block) — so the cross-shard merge is a plain
+    all_gather concatenation (SURVEY.md §2.5 P3)."""
+    from ..ops import seed_extend_v3
+    from ..ops.seed_extend_fast import finalize_fast
+
+    def _local(gview, sa_s, lut2_s, key_lo_s, reads):
+        ids, mm, ovf = seed_extend_v3.fast_candidates_v3(
+            gview, sa_s[0], lut2_s[0], key_lo_s[0], reads,
+            genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+            n_compact=n_compact, n_extend=n_extend)
+        ids_all = jax.lax.all_gather(ids, "tp", axis=0, tiled=True)
+        mm_all = jax.lax.all_gather(mm, "tp", axis=0, tiled=True)
+        out = finalize_fast(ids_all.T, mm_all.T, max_ml=max_ml)
+        out["overflow"] = jax.lax.psum(ovf.astype(jnp.int32), "tp") > 0
+        return out
+
+    shmapped = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P("tp", None), P("tp", None, None), P("tp"),
+                  P("dp", None)),
+        out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None),
+                   "overflow": P("dp")},
+        check_vma=False)
+    return jax.jit(shmapped)
+
+
+def shard_index_by_key_v3(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
+    """shard_index_by_key for the v3 kernel: the per-shard LUT becomes
+    (lo, cnt) pair rows [tp, keys_per, 2] int32."""
+    sa_shards, lut_shards, key_lo = shard_index_by_key(sa_clean, lut, tp)
+    lo = lut_shards[:, :-1].astype(np.int64)
+    cnt = lut_shards[:, 1:].astype(np.int64) - lo
+    lut2_shards = np.stack([lo, cnt], axis=2).astype(np.int32)
+    return sa_shards, lut2_shards, key_lo
+
+
+def device_put_sharded_index_v3(mesh: Mesh, gview, sa_shards, lut2_shards,
+                                key_lo):
+    """Place v3 index arrays with their mesh shardings."""
+    return (jax.device_put(gview, NamedSharding(mesh, P())),
+            jax.device_put(jnp.asarray(sa_shards.astype(np.int32)),
+                           NamedSharding(mesh, P("tp", None))),
+            jax.device_put(jnp.asarray(lut2_shards),
+                           NamedSharding(mesh, P("tp", None, None))),
+            jax.device_put(jnp.asarray(key_lo),
+                           NamedSharding(mesh, P("tp"))))
+
+
 def device_put_sharded_index(mesh: Mesh, gpack, gbad, sa_shards, lut_shards,
                              key_lo):
     """Place index arrays with their mesh shardings."""

@@ -55,6 +55,67 @@ def test_sharded_pass_matches_single(setup, dp, tp):
                                   np.asarray(ref["hit_id"]))
 
 
+@pytest.fixture(scope="module")
+def setup_repeat():
+    """Repeat-dense genome: the cross-shard exactly-once property is only
+    exercised when the same locus is discovered via multiple windows whose
+    k-mer keys live in DIFFERENT shards."""
+    rng = np.random.default_rng(23)
+    n = 100_000
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    unit = seq[500:620]          # 120bp unit: spans several seed windows
+    for i in range(60):
+        p0 = 2000 + i * 400
+        seq[p0:p0 + 120] = unit
+    seq = np.concatenate([seq, [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(g)
+    reads = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=64, read_len=100, seed=5,
+                              error_mode="uniform", subs_rate=0.02))
+    arr = np.stack([r.codes for r in reads])
+    # make sure plenty of reads actually come from the repeat
+    for j in range(0, 32):
+        p0 = 2000 + (j % 60) * 400 + (j % 20)
+        arr[j] = np.where(seq[p0:p0 + 100] < 4, seq[p0:p0 + 100], 0)
+    return g, idx, arr
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_v3_matches_single(setup_repeat, dp, tp):
+    """PRODUCTION kernel (seed_extend_v3) sharded dp x tp == single chip,
+    bit-identical, on a repeat-dense genome (exactly-once across shards)."""
+    from kit4b_tpu.ops import seed_extend_fast, seed_extend_v3
+    import jax.numpy as jnp
+    g, idx, arr = setup_repeat
+    assert len(jax.devices()) >= 8
+    L = arr.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    kw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+              n_compact=512, n_extend=256, max_ml=5)
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut2 = seed_extend_v3.make_lut2_device(idx.lut)
+    ref = seed_extend_v3.fast_pass_v3(gview, sa_d, lut2, jnp.asarray(arr),
+                                      **kw)
+    assert not np.asarray(ref["overflow"]).any()
+    # multi-window rediscovery really happens (dedup is load-bearing)
+    assert (np.asarray(ref["n_low"])[:32] > 1).any()
+
+    m = pmesh.make_mesh(dp, tp)
+    sa_s, lut2_s, key_lo = pmesh.shard_index_by_key_v3(
+        idx.sa_clean, idx.lut, tp)
+    args = pmesh.device_put_sharded_index_v3(m, gview, sa_s, lut2_s, key_lo)
+    fn = pmesh.make_sharded_align_pass_v3(m, **kw)
+    out = fn(*args, np.asarray(arr))
+    for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm",
+                "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+
+
 def test_hammings_mesh_matches_oracle():
     from kit4b_tpu import dna
     from kit4b_tpu.kmer.hammings import hammings_oracle
