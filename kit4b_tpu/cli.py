@@ -896,15 +896,56 @@ def cmd_fasta2pe(args) -> int:
 
 
 def cmd_callhaplotypes(args) -> int:
-    """ngskit4b callhaplotypes equivalent. Modes (CallHaplotypes.cpp -m):
-    0-2 two-founder progeny calling; 3 allelic haplotype grouping,
-    4 coverage grouping, 5 group DGTs, 6 groupings to WIG, 10 group
-    segregating K-mers."""
+    """ngskit4b callhaplotypes equivalent. Modes (CallHaplotypes.cpp -m,
+    CallHaplotypes.h:98-113): 0 imputed matrix, 1 + raw matrices,
+    2 + GWAS; 3 allelic haplotype grouping, 4 coverage grouping,
+    5 group DGTs, 6 groupings to WIG, 7 src-vs-refs / 8 refs-vs-refs
+    allelic association scores, 9 grouping by scores, 10 group
+    segregating K-mers, 11 filter scores, 12 filter + transform."""
     from .utils.runtime import log
+    if args.mode in (7, 8):
+        from .kmer.allelescores import gen_allele_scores
+        from .kmer.pba import load_pba_any
+        refs = {}
+        for spec in args.founder:
+            name, path = spec.split("=", 1)
+            refs[name] = load_pba_any(path)[1]
+        srcs = {}
+        for spec in (args.progeny_list or []) if args.mode == 7 else []:
+            name, path = spec.split("=", 1)
+            srcs[name] = load_pba_any(path)[1]
+        if args.mode == 7 and not srcs:
+            raise SystemExit("mode 7 needs source PBAs via -i NAME=pba")
+        n = gen_allele_scores(refs, srcs, args.outfile,
+                              bin_size=args.grphapbinsize or 100_000)
+        log.info("callhaplotypes mode %d: %d score rows -> %s",
+                 args.mode, n, args.outfile)
+        return 0
+    if args.mode == 9:
+        from .kmer.allelescores import group_allele_scores
+        res = group_allele_scores(args.allelescorefile, args.outfile,
+                                  min_unpruned=args.minunprunedrefs,
+                                  max_unpruned=args.maxunprunedrefs)
+        log.info("callhaplotypes mode 9: %d srcs x %d refs, %d bins, "
+                 "%d refs pruned -> %s{.csv,.selected.csv,.imputation*}",
+                 len(res["srcs"]), len(res["refs"]), res["bins"],
+                 int(res["pruned"].sum()), args.outfile)
+        return 0
+    if args.mode in (11, 12):
+        from .kmer.allelescores import (filter_allele_scores,
+                                        filter_transform_allele_scores)
+        fn = (filter_allele_scores if args.mode == 11
+              else filter_transform_allele_scores)
+        n = fn(args.allelescorefile, args.outfile,
+               src_res=args.filtsrcpbascores or None,
+               ref_res=args.filtrefpbascores or None)
+        log.info("callhaplotypes mode %d: %d rows -> %s", args.mode, n,
+                 args.outfile)
+        return 0
     if args.mode in (3, 4, 5, 6, 10):
         import numpy as np
         from .kmer import haplogroups as hgm
-        from .kmer.pba import load_pba
+        from .kmer.pba import load_pba_any as load_pba
         names, mats = [], []
         chrom = None
         for spec in args.founder:
@@ -960,18 +1001,49 @@ def cmd_callhaplotypes(args) -> int:
         log.info("callhaplotypes mode %d: %d bins, %d samples -> %s",
                  args.mode, len(bins), len(names), args.outfile)
         return 0
-    from .kmer.callhaplotypes import call_haplotypes, write_haplotype_calls
+    # modes 0/1/2: two-founder progeny calling; 1 adds raw matrices,
+    # 2 adds GWAS files (CallHaplotypes.cpp:2218-2254)
+    import os as _os
+    from .kmer.callhaplotypes import (call_haplotypes, write_haplotype_calls,
+                                      write_haplotype_matrix,
+                                      write_haplotypes_gwas)
     founders = {}
     for spec in args.founder:
         name, path = spec.split("=", 1)
         founders[name] = path
-    calls = call_haplotypes(args.progeny, founders, bin_size=args.binsize,
-                            min_loci=args.minloci,
-                            ww_prox_window=args.wwrlproxwindow)
-    write_haplotype_calls(args.outfile, calls)
+    fnames = tuple(founders)
+    progeny = args.progeny_list or []
+    if not progeny:
+        raise SystemExit("modes 0-2 need progeny PBA(s) via -i")
+    raw_by_prog, imp_by_prog = {}, {}
+    for spec in progeny:
+        if "=" in spec:
+            pname, ppath = spec.split("=", 1)
+        else:
+            pname, ppath = _os.path.basename(spec).split(".")[0], spec
+        raw, calls = call_haplotypes(
+            ppath, founders, bin_size=args.binsize, min_loci=args.minloci,
+            ww_prox_window=args.wwrlproxwindow, return_raw=True)
+        raw_by_prog[pname] = raw
+        imp_by_prog[pname] = calls
+        write_haplotype_calls(f"{args.outfile}.{pname}.csv"
+                              if len(progeny) > 1 else args.outfile, calls)
+        if args.mode >= 1:
+            write_haplotype_calls(f"{args.outfile}.{pname}.raw.csv", raw)
+        if args.mode >= 2:
+            write_haplotypes_gwas(
+                f"{args.outfile}.{pname}.raw.gwas", raw, fnames)
+            write_haplotypes_gwas(
+                f"{args.outfile}.{pname}.imputed.gwas", calls, fnames)
+    if args.mode >= 1:
+        write_haplotype_matrix(f"{args.outfile}.raw.matrix.csv",
+                               raw_by_prog, fnames)
+    write_haplotype_matrix(f"{args.outfile}.matrix.csv", imp_by_prog,
+                           fnames)
     from collections import Counter
-    log.info("callhaplotypes: %s -> %s",
-             dict(Counter(c.call for c in calls)), args.outfile)
+    log.info("callhaplotypes mode %d: %s -> %s", args.mode,
+             {p: dict(Counter(c.call for c in cs))
+              for p, cs in imp_by_prog.items()}, args.outfile)
     return 0
 
 
@@ -997,7 +1069,8 @@ def cmd_pbautils(args) -> int:
     variant VCF, 5 genotype VCF, 6 diplotype-only VCF, 7 deletion VCF,
     8 transcribed-segment BED; plus concat/coverage extensions."""
     from .kmer import pbautils2 as pu
-    from .kmer.pba import concat_pba, load_pba, pba_coverage_wig
+    from .kmer.pba import concat_pba, pba_coverage_wig
+    from .kmer.pba import load_pba_any as load_pba
     from .utils.runtime import log
     mode = args.mode
     if mode == "concat":
@@ -1264,7 +1337,7 @@ def cmd_dgts(args) -> int:
     coverage / homozygosity / ref-mismatch characterisation
     (CDGTvQTLs.cpp AnalyseInstance)."""
     from .kmer import dgtqtl
-    from .kmer.pba import load_pba
+    from .kmer.pba import load_pba_any as load_pba
     from .utils.runtime import log
     instances = dgtqtl.load_qtl_alleles(args.qtlsfile) \
         if args.qtlsfile else []
@@ -2021,13 +2094,28 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("callhaplotypes",
                        help="founder/progeny haplotype calls + grouping")
     p.add_argument("-m", "--mode", type=int, default=0,
-                   help="0 progeny calling, 3 allelic grouping, "
-                        "4 coverage grouping, 5 group DGTs, 6 WIG, "
-                        "10 group KMers")
-    p.add_argument("-i", "--progeny", default=None, help="progeny PBA")
-    p.add_argument("-c", "--founder", nargs="+", required=True,
+                   help="0 imputed matrix, 1 +raw matrices, 2 +GWAS, "
+                        "3 allelic grouping, 4 coverage grouping, "
+                        "5 group DGTs, 6 WIG, 7 src-vs-refs scores, "
+                        "8 refs-vs-refs scores, 9 grouping by scores, "
+                        "10 group KMers, 11 filter scores, "
+                        "12 filter+transform scores")
+    p.add_argument("-i", "--progeny", dest="progeny_list", nargs="+",
+                   default=None, metavar="[NAME=]pba",
+                   help="progeny/source PBA(s)")
+    p.add_argument("-c", "--founder", nargs="*", default=[],
                    metavar="NAME=pba",
-                   help="founder/sample PBAs (two for mode 0)")
+                   help="founder/reference PBAs (two for modes 0-2)")
+    p.add_argument("-A", "--allelescorefile", default=None,
+                   help="scores CSV from mode 7/8 (modes 9/11/12)")
+    p.add_argument("--minunprunedrefs", type=int, default=1,
+                   help="mode 9: prune while >= this many refs remain")
+    p.add_argument("-P", "--maxunprunedrefs", type=int, default=4,
+                   help="mode 9: prune until <= this many refs remain")
+    p.add_argument("-r", "--filtsrcpbascores", nargs="*", default=[],
+                   help="modes 11/12: retain source PBA name regexes")
+    p.add_argument("-R", "--filtrefpbascores", nargs="*", default=[],
+                   help="modes 11/12: retain reference PBA name regexes")
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-b", "--binsize", type=int, default=10_000)
     p.add_argument("--minloci", type=int, default=5)

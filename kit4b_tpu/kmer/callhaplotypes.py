@@ -28,7 +28,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .pba import load_pba, unpack_pba
+from .pba import load_pba_any, unpack_pba
 
 CALL_NONE = "none"
 CALL_HET = "FaFb"
@@ -56,15 +56,18 @@ def _informative(fa_sc: np.ndarray, fb_sc: np.ndarray) -> np.ndarray:
 def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
                     bin_size: int = 10_000, min_loci: int = 5,
                     het_ratio: float = 0.25, smooth: bool = True,
-                    ww_prox_window: int = 1_000_000) -> list[BinCall]:
+                    ww_prox_window: int = 1_000_000,
+                    return_raw: bool = False):
     """Two-founder haplotype calling (Fa/Fb per the reference's F4 skim
-    use case). founder_paths: {name: pba path} with exactly two entries."""
+    use case). founder_paths: {name: pba path} with exactly two entries.
+    return_raw=True additionally returns the pre-smoothing calls (the
+    reference's mode-1 'raw' matrix, CallHaplotypes.cpp:2218-2232)."""
     if len(founder_paths) != 2:
         raise ValueError("callhaplotypes expects exactly two founders")
     (fa_name, fa_path), (fb_name, fb_path) = founder_paths.items()
-    _, prog = load_pba(progeny_pba_path)
-    _, fa = load_pba(fa_path)
-    _, fb = load_pba(fb_path)
+    _, prog = load_pba_any(progeny_pba_path)
+    _, fa = load_pba_any(fa_path)
+    _, fb = load_pba_any(fb_path)
 
     calls: list[BinCall] = []
     for chrom, p_pba in prog.items():
@@ -107,6 +110,7 @@ def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
                     call = fb_name
             calls.append(BinCall(chrom, start, end, call, support, n_loci))
 
+    raw = list(calls)
     if smooth:
         founders = (fa_name, fb_name)
         if ww_prox_window > 0:
@@ -117,6 +121,8 @@ def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
             calls = impute_heterozygosity(calls, founders,
                                           ww_prox_window // 5)
         calls = impute_outliers(calls, ww_prox_window or 1_000_000)
+    if return_raw:
+        return raw, calls
     return calls
 
 
@@ -225,6 +231,48 @@ def impute_outliers(calls: list[BinCall],
             out[i] = BinCall(cur.chrom, cur.start, cur.end, prev.call,
                              cur.support, cur.n_loci)
     return out
+
+
+def write_haplotype_matrix(path, per_progeny: dict[str, list[BinCall]],
+                           founders: tuple) -> None:
+    """ReportMatrix (CallHaplotypes.cpp:3277): rows chrom.loci (bins),
+    columns progeny readsets; cell encodes the call: founder index+1
+    (1=Fa, 2=Fb), 3 = Fa x Fb heterozygous, 0 = uncalled."""
+    fa, fb = founders
+    code = {CALL_NONE: 0, fa: 1, fb: 2, CALL_HET: 3}
+    names = list(per_progeny)
+    keys = list(dict.fromkeys(
+        (c.chrom, c.start) for calls in per_progeny.values() for c in calls))
+    bymap = {n: {(c.chrom, c.start): c for c in per_progeny[n]}
+             for n in names}
+    with open(path, "w") as f:
+        f.write('"Chrom","Loci"' + "".join(f',"{n}"' for n in names) + "\n")
+        for chrom, start in keys:
+            f.write(f'"{chrom}",{start}')
+            for n in names:
+                c = bymap[n].get((chrom, start))
+                f.write(f",{code.get(c.call, 0) if c else 0}")
+            f.write("\n")
+
+
+def write_haplotypes_gwas(path, calls: list[BinCall],
+                          founders: tuple) -> None:
+    """ReportHaplotypesAsGWAS (CallHaplotypes.cpp:3072): 'CHR BP SNP P'
+    rows for IGV viewing; P visually encodes the call — 0.3 Fa only,
+    0.9 Fb only, 0.1 both parental haplotypes (:3147-3156)."""
+    fa, fb = founders
+    with open(path, "w") as f:
+        f.write("CHR BP SNP P\n")
+        for c in calls:
+            if c.call == CALL_NONE:
+                continue
+            if c.call == fa:
+                snp, p = fa, 3
+            elif c.call == fb:
+                snp, p = fb, 9
+            else:
+                snp, p = f"{fa}:{fb}", 1
+            f.write(f"{c.chrom} {c.start} {snp} 0.{p}\n")
 
 
 def write_haplotype_calls(path, calls: list[BinCall]) -> None:

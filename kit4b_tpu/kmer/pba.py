@@ -71,6 +71,57 @@ def load_pba(path) -> tuple[str, dict]:
     return str(z["readset"]), {n: z[f"chrom:{n}"] for n in names}
 
 
+def save_pba_ref(path, chroms: dict, *, readset: str = "readset",
+                 experiment: str = "E1", ref_assembly: str = "ref") -> None:
+    """Write a REFERENCE-binary-format PBA file (the layout ngskit4b's
+    callhaplotypes/dgts/pbautils load, CallHaplotypes.cpp:5159-5280):
+    text header 'Type:PbA\\nVersion:1\\nExperimentID:..\\nReferenceID:..\\n
+    ReadsetID:..' NUL-terminated (KAligner.cpp:7224), then per chromosome
+    [nameLen:u8][name][NUL][chromLen:i32le][PBA bytes]. Enables direct
+    interop + golden tests against the reference binary."""
+    with open(path, "wb") as f:
+        hdr = (f"Type:PbA\nVersion:1\nExperimentID:{experiment}\n"
+               f"ReferenceID:{ref_assembly}\nReadsetID:{readset}")
+        f.write(hdr.encode() + b"\0")
+        for name, pba in chroms.items():
+            nb = name.encode()
+            f.write(bytes([len(nb)]) + nb + b"\0")
+            f.write(np.int32(len(pba)).tobytes())
+            f.write(np.asarray(pba, np.uint8).tobytes())
+
+
+def load_pba_ref(path) -> tuple[str, dict]:
+    """Read a reference-binary-format PBA file (see save_pba_ref)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    nul = data.index(b"\0")
+    hdr = data[:nul].decode()
+    tags = dict(line.split(":", 1) for line in hdr.split("\n"))
+    if tags.get("Version") != "1":
+        raise ValueError(f"unsupported PBA version in {path}")
+    chroms = {}
+    ofs = nul + 1
+    while ofs + 6 <= len(data):
+        nlen = data[ofs]
+        name = data[ofs + 1: ofs + 1 + nlen].decode()
+        ofs += nlen + 2
+        clen = int(np.frombuffer(data[ofs:ofs + 4], np.int32)[0])
+        ofs += 4
+        chroms[name] = np.frombuffer(data[ofs:ofs + clen], np.uint8).copy()
+        ofs += clen
+    return tags.get("ReadsetID", ""), chroms
+
+
+def load_pba_any(path) -> tuple[str, dict]:
+    """Load a PBA file in either container: .npz (this framework) or the
+    reference's binary layout (header 'Type:PbA\\nVersion:1\\n...')."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(b"Type:PbA"):
+        return load_pba_ref(path)
+    return load_pba(path)
+
+
 def pba_coverage_wig(path, out_path, min_score: int = 1) -> None:
     """pbautils coverage mode: per-chrom spans where any allele scores >=
     min_score -> WIG."""
