@@ -1284,33 +1284,23 @@ def cmd_pangenome(args) -> int:
 
 
 def cmd_seghaplotypes(args) -> int:
-    """ngskit4b seghaplotypes equivalent (CSegHaplotypes)."""
-    from .tools import pangenes
+    """ngskit4b seghaplotypes equivalent (CSegHaplotypes,
+    seghaplotypes.cpp:887 GenBinnedSegments): founder-tagged SAM ->
+    smoothed per-founder bins -> seed + interpolation calling -> score-run
+    BEDs split per founder (plus raw-alignment BEDs)."""
+    from .tools.seghaps import run_seghaplotypes
     from .utils.runtime import log
-    markers = None
-    if args.snpmarkers:
-        import csv as _csv
-        from collections import defaultdict
-        import numpy as _np
-        tmp = defaultdict(list)
-        with open(args.snpmarkers, newline="") as f:
-            for row in _csv.reader(f):
-                if len(row) >= 2 and not row[1].strip('"').lower() \
-                        .startswith("loci"):
-                    try:
-                        tmp[row[0].strip('"')].append(int(row[1]))
-                    except ValueError:
-                        continue
-        markers = {c: _np.array(sorted(v)) for c, v in tmp.items()}
-    segs = pangenes.seg_haplotypes(
-        args.infile, bin_kbp=args.binsizekbp,
+    res = run_seghaplotypes(
+        args.infile, args.outfile, bin_size_kbp=args.binsizekbp,
         min_bin_score=args.minbinscore, min_bin_prop=args.minbinprop,
-        unique_loci=(args.mode == 0), marker_loci=markers,
-        marker_mult=args.snpmarkermult)
-    pangenes.write_segments_bed(args.outfile, segs,
-                                track_name=args.trackname,
-                                track_descr=args.trackdescr)
-    log.info("seghaplotypes: %d segments -> %s", len(segs), args.outfile)
+        snp_marker_mult=args.snpmarkermult,
+        unique_loci=(args.mode == 0), dont_score=args.noscore,
+        no_split=args.split, snp_markers=args.snpmarkers,
+        alignment_beds=args.alignbeds, track_name=args.trackname,
+        track_descr=args.trackdescr)
+    log.info("seghaplotypes: %d alignments, founders %s, %d bins called "
+             "-> %s", res["n_alignments"], res["founders"],
+             res["called_bins"], list(res["beds"]))
     return 0
 
 
@@ -1323,8 +1313,12 @@ def cmd_gbsmapsnps(args) -> int:
         founders, progenies, rows = gbs.map_gbs_snps(args.infile, cmap)
         gbs.write_haplotype_matrix(args.outfile, founders, progenies,
                                    rows, expr_id=args.exprid)
-        log.info("gbsmapsnps: %d loci x %d progenies -> %s", len(rows),
-                 len(progenies), args.outfile)
+        reports = gbs.write_progeny_reports(args.outfile, founders,
+                                            progenies, rows,
+                                            expr_id=args.exprid)
+        log.info("gbsmapsnps: %d loci x %d progenies -> %s (+%d progeny "
+                 "reports)", len(rows), len(progenies), args.outfile,
+                 len(reports))
     else:
         st = gbs.combine_matrices(args.infile, args.cnmap, args.outfile)
         log.info("gbsmapsnps combine: %s -> %s", st, args.outfile)
@@ -2562,12 +2556,18 @@ def build_parser() -> argparse.ArgumentParser:
                        help="pangenome founder segment calling -> BED")
     p.add_argument("-m", "--mode", type=int, default=0,
                    help="0 unique loci bins, 1 all alignments")
+    p.add_argument("-s", "--split", action="store_true",
+                   help="don't split output files by haplotype tag")
+    p.add_argument("-n", "--noscore", action="store_true",
+                   help="don't score haplotype segment bins")
     p.add_argument("-b", "--binsizekbp", type=int, default=10)
-    p.add_argument("-s", "--minbinscore", type=int, default=10)
+    p.add_argument("--minbinscore", type=int, default=10)
     p.add_argument("-M", "--minbinprop", type=float, default=0.3)
     p.add_argument("-c", "--snpmarkermult", type=int, default=25)
     p.add_argument("-I", "--snpmarkers", default=None,
-                   help="SNP marker loci CSV (chrom,loci)")
+                   help="snpmarkers CSV (SNP marker loci association)")
+    p.add_argument("--alignbeds", action="store_true",
+                   help="also write per-founder raw-alignment BEDs")
     p.add_argument("-t", "--trackname", default="seghaps")
     p.add_argument("-d", "--trackdescr", default="founder segments")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)

@@ -41,13 +41,22 @@ def snps_to_alleles(s: str, major_only: bool = False) -> int:
 
 def load_chrom_map(path) -> dict:
     """Alias -> reference chromosome name mapping CSV (col1=alias,
-    col2=refname; header tolerated)."""
+    col2=refname; header tolerated). 3-field files (LoadNM,
+    GBSmapSNPs.cpp:439: fromChrom,toChrom,size) also carry the target
+    chromosome size, returned as {alias: (refname, size)}; loci beyond
+    the size are clamped by the caller as the reference does (:900)."""
     out = {}
     with open(path, newline="") as f:
         for row in csv.reader(f):
-            if len(row) < 2 or row[0].lower() in ("alias", "chrom"):
+            if len(row) < 2 or row[0].strip('"').lower() in ("alias",
+                                                             "chrom"):
                 continue
-            out[row[0].strip()] = row[1].strip()
+            alias = row[0].strip().strip('"')
+            ref = row[1].strip().strip('"')
+            if len(row) >= 3 and row[2].strip().isdigit():
+                out[alias] = (ref, int(row[2]))
+            else:
+                out[alias] = ref
     return out
 
 
@@ -77,7 +86,12 @@ def map_gbs_snps(gbs_csv, chrom_map: dict | None = None):
             if chrom_map is not None:
                 if chrom not in chrom_map:
                     continue
-                chrom = chrom_map[chrom]
+                mapped = chrom_map[chrom]
+                if isinstance(mapped, tuple):
+                    chrom, size = mapped
+                    loci = min(loci, size)  # clamp (GBSmapSNPs.cpp:900)
+                else:
+                    chrom = mapped
             fa = snps_to_alleles(row[3], major_only=True)
             fb = snps_to_alleles(row[4], major_only=True)
             if fa == 0 or fb == 0 or fa == fb:   # non-discriminating
@@ -168,6 +182,45 @@ def combine_matrices(m1_path, m2_path, out_path) -> dict:
     out_rows.sort(key=lambda r: (r[0], r[1]))
     write_haplotype_matrix(out_path, f1, p1, out_rows)
     return stats
+
+
+def write_progeny_reports(base_path, founders, progenies, rows,
+                          expr_id: int = 1) -> dict:
+    """ReportHaplotypesByProgeny (GBSmapSNPs.cpp:1108-1200): one CSV per
+    progeny readset named `<base>.progeny.<ExprID>.<readset>.csv` plus a
+    combined `.all.csv`; columns are per-founder 0/1 presence bits at
+    each informative locus (NA loci are skipped, as the reference skips
+    !NumProgenyFounders rows)."""
+    fa, fb = founders
+    written = {}
+
+    def rows_for(pi):
+        out = []
+        for chrom, loci, calls in rows:
+            c = calls[pi]
+            if c in (CALL_NA, 0):
+                continue
+            out.append((chrom, loci, int(bool(c & 1)), int(bool(c & 2))))
+        return out
+
+    def emit(path, sel):
+        with open(path, "w") as f:
+            f.write(f'"ExprID","Progeny","Chrom","Loci",'
+                    f'"Fndr:{fa}","Fndr:{fb}"\n')
+            k = 0
+            for pi in sel:
+                for chrom, loci, ba, bb in rows_for(pi):
+                    f.write(f'{expr_id},"{progenies[pi]}","{chrom}",'
+                            f'{loci},{ba},{bb}\n')
+                    k += 1
+        return k
+
+    for pi, pname in enumerate(progenies):
+        p = f"{base_path}.progeny.{expr_id}.{pname}.csv"
+        written[p] = emit(p, [pi])
+    p = f"{base_path}.progeny.{expr_id}.all.csv"
+    written[p] = emit(p, range(len(progenies)))
+    return written
 
 
 # ---------------------------------------------------------------- dgts

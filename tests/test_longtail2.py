@@ -63,26 +63,78 @@ def test_pangenome_wiggle(tmp_path):
 
 
 def test_seghaplotypes(tmp_path):
+    """Exact oracle for the full CSegHaplotypes ladder: raw bins ->
+    ApplySmoothing (adjacent halves) -> seed calling (score = counts per
+    100Kbp clamped [2,999]) -> neighbor interpolation of uncovered bins ->
+    per-founder score-run BEDs (seghaplotypes.cpp:1111-1438)."""
     sam = tmp_path / "pg.sam"
     chroms = [("FA|#c1", 50000), ("FB|#c1", 50000)]
     recs = []
-    # founder A dominates bins 0-1 (0..20k), founder B bin 2
+    # founder A: 17 hits in bin 0, 13 in bin 1; founder B: 12 in bin 2
     for i in range(30):
         recs.append(("FA|#c1", 1 + i * 600, "A" * 60))
     for i in range(12):
         recs.append(("FB|#c1", 20001 + i * 700, "A" * 60))
-    # a couple of stray B hits in bin 0 (below min score/prop)
+    # one stray B hit in bin 0 (below min score)
     recs.append(("FB|#c1", 100, "A" * 60))
     _sam(sam, recs, chroms)
     bed = tmp_path / "segs.bed"
     assert main(["seghaplotypes", "-i", str(sam), "-o", str(bed),
-                 "-b", "10", "-s", "5", "-M", "0.3"]) == 0
-    lines = [l.split("\t") for l in bed.read_text().splitlines()[1:]]
-    by_founder = {}
-    for c, s, e, f, sc, st in lines:
-        by_founder.setdefault(f, []).append((int(s), int(e)))
-    assert by_founder["FA"] == [(0, 20000)]
-    assert by_founder["FB"] == [(20000, 30000)]
+                 "-b", "10", "--minbinscore", "5", "-M", "0.3"]) == 0
+    # default output splits per founder
+    def rows(p):
+        return [l.split("\t") for l in p.read_text().splitlines()[1:]]
+    fa = [(int(s), int(e), int(sc)) for c, s, e, f, sc in
+          rows(tmp_path / "segs.bed.FA.bed")]
+    fb = [(int(s), int(e), int(sc)) for c, s, e, f, sc in
+          rows(tmp_path / "segs.bed.FB.bed")]
+    # smoothed: A = [23,21,6,0,0], B = [1,6,12,6,0]; score = cnt*10
+    # bin2: A prop 6/18 >= 0.3 -> both founders called there
+    # bin4: uncovered -> interpolated from called bin3 (pattern B only)
+    assert fa == [(0, 10000, 230), (10000, 20000, 210),
+                  (20000, 30000, 60)]
+    assert fb == [(20000, 30000, 120), (30000, 40000, 60),
+                  (40000, 50000, 1)]
+
+    # -s (no split): single combined BED; -n: called bins carry the
+    # no-score sentinel instead of coverage scores
+    assert main(["seghaplotypes", "-i", str(sam), "-o", str(bed),
+                 "-b", "10", "--minbinscore", "5", "-M", "0.3",
+                 "-s", "-n"]) == 0
+    both = rows(bed)
+    assert {r[3] for r in both} == {"FA", "FB"}
+    from kit4b_tpu.tools.seghaps import BED_NO_SCORE
+    assert all(int(r[4]) == BED_NO_SCORE for r in both)
+    # noscore merges same-score runs: one row per founder span
+    fa_rows = [r for r in both if r[3] == "FA"]
+    assert [(int(r[1]), int(r[2])) for r in fa_rows] == [(0, 30000)]
+
+
+def test_seghaplotypes_marker_boost_and_align_beds(tmp_path):
+    """SNP-marker confidence boost ((mult-1) * overlapped sites,
+    seghaplotypes.cpp:1111-1112) and per-founder raw-alignment BEDs."""
+    from kit4b_tpu.tools.seghaps import SegHapEngine, load_snpmarker_sites
+    sam = tmp_path / "pg.sam"
+    # 3 FA hits in bin 0; one overlaps two marker sites
+    recs = [("FA|#c1", 1, "A" * 60), ("FA|#c1", 201, "A" * 60),
+            ("FA|#c1", 401, "A" * 60)]
+    _sam(sam, recs, [("FA|#c1", 10000)])
+    mk = tmp_path / "markers.csv"
+    mk.write_text('"MarkerID","Chrom","Loci","RefBase","CA","CA_purity"\n'
+                  '1,"c1",210,"A","T",1.0\n1,"c1",240,"A","T",1.0\n')
+    sites = load_snpmarker_sites(mk)
+    assert list(sites["c1"]) == [210, 240]
+    eng = SegHapEngine(bin_size_kbp=1, min_bin_score=1,
+                       snp_marker_mult=5)
+    eng.load_markers(mk)
+    eng.parse_sam(str(sam))
+    eng.bin_counts()
+    # raw = 3 alignments + (5-1)*2 marker boost on the overlapping one
+    assert eng.targs["c1"].bins[0, 0] == 3 + 8
+    beds = eng.gen_alignment_beds(str(sam))
+    p = f"{sam}.FA.bed"
+    assert beds[p] == 3
+    assert len(open(p).read().splitlines()) == 4
 
 
 def test_gbsmapsnps_map_and_combine(tmp_path):
@@ -232,3 +284,36 @@ def test_alignsbs(tmp_path):
     for r in res[1:]:
         assert r.n_queries == 10 and r.n_targets == 8
         assert r.query_hits >= 5       # dense target coverage of c1
+
+
+def test_gbsmapsnps_progeny_reports_and_nm(tmp_path):
+    """Per-progeny 0/1 founder-bit reports (ReportHaplotypesByProgeny,
+    GBSmapSNPs.cpp:1108) and 3-field NM chrom mapping with loci clamping
+    (LoadNM :439, clamp :900)."""
+    gbs_csv = tmp_path / "gbs.csv"
+    gbs_csv.write_text(
+        "SNPID,Chrom,Loci,FounderA,FounderB,P1,P2\n"
+        "s1,alias1,100,AA,TT,AA,AT\n"
+        "s2,alias1,9999,CC,GG,GG,NA\n")
+    nm = tmp_path / "nm.csv"
+    nm.write_text('"FromChrom","ToChrom","Size"\nalias1,chr1,5000\n')
+    out = tmp_path / "hap.csv"
+    from kit4b_tpu.cli import main
+    assert main(["gbsmapsnps", "-i", str(gbs_csv), "-I", str(nm),
+                 "-e", "7", "-o", str(out)]) == 0
+    from kit4b_tpu.kmer.gbs import read_haplotype_matrix
+    _, progenies, rows = read_haplotype_matrix(out)
+    assert progenies == ["P1", "P2"]
+    # alias1 -> chr1, loci 9999 clamped to 5000
+    assert [(c, l) for c, l, _ in rows] == [("chr1", 100), ("chr1", 5000)]
+    p1 = (tmp_path / "hap.csv.progeny.7.P1.csv").read_text().splitlines()
+    assert p1[0] == '"ExprID","Progeny","Chrom","Loci",' \
+                    '"Fndr:FounderA","Fndr:FounderB"'
+    # P1: s1 matches Fa dirac (1,0); s2 matches Fb dirac (0,1)
+    assert p1[1] == '7,"P1","chr1",100,1,0'
+    assert p1[2] == '7,"P1","chr1",5000,0,1'
+    # P2: s1 het of both founders (1,1); s2 NA -> skipped
+    p2 = (tmp_path / "hap.csv.progeny.7.P2.csv").read_text().splitlines()
+    assert p2[1:] == ['7,"P2","chr1",100,1,1']
+    alln = (tmp_path / "hap.csv.progeny.7.all.csv").read_text()
+    assert alln.count("\n") == 4  # header + 3 informative rows
