@@ -292,11 +292,13 @@ class KAligner:
                 # v3: gather-minimal lane-major pass; overflow (raw > NC or
                 # distinct loci > NS) escalates through the old-path tiers
                 if 2 * len(self.index.genome.seq) + 1 < 2 ** 24:
-                    # minimal-link variant: 2-bit reads up, 4 bytes/read down
+                    # minimal-link variant: 2-bit reads up, 4 bytes/read
+                    # down, packed-native v4 kernel (zero-unpack)
+                    from ..ops import seed_extend_v4
                     reads2b, nlist, ok = pack_reads_2bit(reads)
                     if ok:
                         import jax.numpy as jnp
-                        return ("packed", seed_extend_v3.fast_pass_packed_v3(
+                        return ("packed", seed_extend_v4.fast_pass_packed_v4(
                             gview, sa, lut2, jnp.asarray(reads2b),
                             jnp.asarray(nlist), read_len=L,
                             max_tot_mm=max_tot_mm, mm_delta=self.mm_delta,
@@ -669,6 +671,77 @@ class KAligner:
         if err:
             raise err[0]
 
+    def align_records_raw(self, records: Iterable[SeqRecord], *,
+                          prefetch: bool = True):
+        """Batched raw-path streaming for the vectorized SAM writer:
+        yields (recs, arr, raw) per batch, skipping per-read AlignResult
+        construction entirely. Two device batches stay in flight
+        (submit k+1 before collecting k) and record parsing runs on a
+        background thread, as in align_records."""
+        def batches():
+            buckets: dict[int, list[SeqRecord]] = {}
+            for rec in records:
+                buckets.setdefault(len(rec.codes), []).append(rec)
+                bl = buckets[len(rec.codes)]
+                if len(bl) >= self.batch_size:
+                    yield bl
+                    buckets[len(rec.codes)] = []
+            for bl in buckets.values():
+                if bl:
+                    yield bl
+
+        from collections import deque
+
+        def pipeline(source):
+            pending: deque = deque()
+            for bl in source:
+                arr = self._pad_batch(bl)
+                pending.append((bl, arr, self._submit(arr)))
+                if len(pending) >= 2:
+                    bl0, arr0, dev0 = pending.popleft()
+                    yield bl0, arr0, self._collect_compact(dev0, arr0) \
+                        if not isinstance(dev0, dict) \
+                        else self._classify(arr0, self._collect(dev0, arr0))
+            while pending:
+                bl0, arr0, dev0 = pending.popleft()
+                yield bl0, arr0, self._collect_compact(dev0, arr0) \
+                    if not isinstance(dev0, dict) \
+                    else self._classify(arr0, self._collect(dev0, arr0))
+
+        if not prefetch:
+            yield from pipeline(batches())
+            return
+
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for bl in batches():
+                    q.put(bl)
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        def qsource():
+            while True:
+                bl = q.get()
+                if bl is SENTINEL:
+                    return
+                yield bl
+
+        yield from pipeline(qsource())
+        t.join()
+        if err:
+            raise err[0]
+
     def _pad_batch(self, recs: list[SeqRecord]) -> np.ndarray:
         arr = np.stack([r.codes for r in recs])
         n = len(recs)
@@ -759,7 +832,7 @@ def write_align_stats(path, stats: dict, sub_hist: np.ndarray,
 
 def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
               emit_unmapped: bool = True, snp_caller=None,
-              stats_path=None, bam_index: bool = False) -> dict:
+              stats_path=None, bam_index=False) -> dict:
     """Write (SeqRecord, AlignResult) stream to SAM (or BAM when the path
     ends .bam); returns counters.
 
@@ -794,7 +867,7 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
             # WriteBAMReadHits, KAligner.cpp:5718)
             class _SortedBam:
                 def __init__(self, *a, **kw):
-                    kw["index"] = True
+                    kw["index"] = bam_index   # True -> BAI, "csi" -> CSI
                     self._a, self._kw = a, kw
                     self._order = {n: i for i, n in enumerate(a[1])}
                     self._recs = []
@@ -873,6 +946,135 @@ def write_sam(path, index: SfxIndex, aligned, cmdline: str = "",
                 snp_pos.append(last_p)
                 snp_reads.append(last_r)
     flush_snp()
+    if stats_path:
+        write_align_stats(stats_path, stats, sub_hist)
+    return stats
+
+
+_ASCII_FWD = np.frombuffer(b"ACGTNNNN", np.uint8)          # code -> base
+_ASCII_RC = np.frombuffer(b"TGCANNNN", np.uint8)           # code -> comp
+
+
+def write_sam_fast(path, index: SfxIndex, aligner: "KAligner", records,
+                   cmdline: str = "", emit_unmapped: bool = True,
+                   snp_caller=None, stats_path=None) -> dict:
+    """Vectorized end-to-end fastq/fasta -> SAM: batches from
+    KAligner.align_records_raw are classified as whole arrays and the SAM
+    text is emitted by the native bulk formatter (native/hostops.cpp
+    format_sam_se — the reference's AppendStr fast-writer scheme,
+    KAligner.cpp:6338-6418), skipping per-read Python object churn.
+
+    Requirements: SE substitutions-only aligner (no microInDel / splice /
+    chimeric rescue), plain-text SAM output, native lib built. Falls back
+    to write_sam when any requirement is unmet. Returns the same stats
+    dict as write_sam."""
+    import ctypes
+
+    from ..index.sa_build import _load_native
+    lib = _load_native()
+    if (str(path).endswith(".bam") or aligner.micro_indel
+            or aligner.splice_max or aligner.chimeric_pct
+            or lib is None or not hasattr(lib, "format_sam_se")):
+        return write_sam(path, index, aligner.align_records(records),
+                         cmdline=cmdline, emit_unmapped=emit_unmapped,
+                         snp_caller=snp_caller, stats_path=stats_path)
+
+    g = index.genome
+    starts = g.starts.astype(np.int64)
+    chrom_cat = "".join(g.names).encode()
+    chrom_ofs = np.zeros(len(g.names) + 1, np.int64)
+    chrom_ofs[1:] = np.cumsum([len(n) for n in g.names])
+    stats = {NAR_ACCEPTED: 0, NAR_NOHIT: 0, NAR_MULTI: 0, NAR_NS: 0}
+    sub_hist = np.zeros(64, np.int64)
+
+    with open(path, "w", newline="") as f:
+        f.write("@HD\tVN:1.4\tSO:unsorted\n")
+        for name, ln in zip(g.names, g.lengths):
+            f.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+        f.write(f"@PG\tID:kit4b_tpu\tPN:kit4b_tpu\tCL:{cmdline}\n")
+    # body appended via the native formatter
+    with open(path, "ab") as raw_f:
+        for recs, arr, raw in aligner.align_records_raw(records):
+            n = len(recs)
+            L = arr.shape[1]
+            nar = raw["nar"][:n]
+            pos = raw["pos"][:n].astype(np.int64)
+            strand = raw["strand"][:n].astype(np.int64)
+            mm = np.asarray(raw["mm"][:n])
+            cnt = np.bincount(nar, minlength=4)
+            for c_i, key in enumerate((NAR_ACCEPTED, NAR_NOHIT,
+                                       NAR_MULTI, NAR_NS)):
+                stats[key] += int(cnt[c_i])
+            acc = nar == 0
+            sub_hist += np.bincount(np.minimum(mm[acc], 63),
+                                    minlength=64)
+            if not emit_unmapped:
+                sel = np.nonzero(acc)[0]
+            else:
+                sel = np.arange(n)
+            if len(sel) == 0:
+                continue
+            codes = arr[sel]
+            acc_s = acc[sel]
+            rev_s = acc_s & (strand[sel] == 1)
+            # strand-oriented ASCII sequence, vectorized
+            seq_ascii = _ASCII_FWD[codes]
+            if rev_s.any():
+                seq_ascii[rev_s] = _ASCII_RC[codes[rev_s][:, ::-1]]
+            # first-byte 0 sentinel -> formatter emits "*" (no quality);
+            # reverse-strand hits emit reversed qualities (SAMfile parity,
+            # io/sam.py seq_qual_for_strand)
+            quals = np.zeros((len(sel), L), np.uint8)
+            for j, i in enumerate(sel):
+                q = recs[i].qual
+                if q is not None and len(q) == L:
+                    qj = np.asarray(q, np.uint8) + 33
+                    quals[j] = qj[::-1] if rev_s[j] else qj
+            ci = np.zeros(len(sel), np.int64)
+            pos1 = np.zeros(len(sel), np.int64)
+            if acc_s.any():
+                p_acc = pos[sel][acc_s]
+                c_acc = np.searchsorted(starts, p_acc,
+                                        side="right") - 1
+                ci[acc_s] = c_acc
+                pos1[acc_s] = p_acc - starts[c_acc] + 1
+            flag = np.where(acc_s,
+                            np.where(rev_s, FLAG_REVERSE, 0),
+                            FLAG_UNMAPPED).astype(np.int32)
+            mapq = np.full(len(sel), 254, np.int32)
+            nm = mm[sel].astype(np.int32)
+            names = [recs[i].name.encode() for i in sel]
+            qn_cat = b"".join(names)
+            qn_ofs = np.zeros(len(sel) + 1, np.int64)
+            qn_ofs[1:] = np.cumsum([len(x) for x in names])
+            cap = int(qn_ofs[-1]) + len(sel) * (2 * L + 128)
+            out = ctypes.create_string_buffer(cap)
+            nb = lib.format_sam_se(
+                qn_cat, qn_ofs.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                chrom_cat, chrom_ofs.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                flag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ci.astype(np.int32).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)),
+                pos1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                mapq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                np.ascontiguousarray(seq_ascii).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                np.ascontiguousarray(quals).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                len(sel), L, out, cap)
+            if nb < 0:
+                raise RuntimeError("format_sam_se buffer overflow")
+            raw_f.write(out.raw[:nb])
+            if snp_caller is not None and acc_s.any():
+                orient = codes[acc_s].copy()
+                r2 = rev_s[acc_s]
+                if r2.any():
+                    rc = orient[r2][:, ::-1]
+                    orient[r2] = np.where(rc < 4, 3 - rc, rc)
+                snp_caller.add_alignments(pos[sel][acc_s], orient)
     if stats_path:
         write_align_stats(stats_path, stats, sub_hist)
     return stats

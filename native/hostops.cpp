@@ -62,4 +62,69 @@ int64_t pack2bit_u8(const uint8_t* codes, int64_t B, int64_t L,
     return nn;
 }
 
+// ---------------------------------------------------------------------------
+// Bulk SE SAM line formatter (the reference's AppendStr/AppendUInt fast
+// writers, ngskit4b/KAligner.cpp:6338-6418, applied batch-wise).
+//
+// For each read i of N, writes one SAM line:
+//   accepted (flag != 4):
+//     qname\tflag\trname\tpos\tmapq\t<L>M\t*\t0\t0\tseq\tqual\tNM:i:nm\n
+//   unmapped (flag == 4):
+//     qname\t4\t*\t0\t0\t*\t*\t0\t0\tseq\tqual\n
+// qnames and chrom names arrive concatenated with offset tables; seq/qual
+// are [N, L] ASCII matrices (seq already strand-oriented).
+// Returns bytes written, or -1 when the output buffer would overflow.
+
+static inline char* put_u64(char* p, uint64_t v) {
+    char tmp[20];
+    int n = 0;
+    do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+int64_t format_sam_se(const char* qname_cat, const int64_t* qname_ofs,
+                      const char* chrom_cat, const int64_t* chrom_ofs,
+                      const int32_t* flag, const int32_t* chrom_idx,
+                      const int64_t* pos1, const int32_t* mapq,
+                      const int32_t* nm,
+                      const uint8_t* seq, const uint8_t* qual,
+                      int64_t N, int64_t L, char* out, int64_t cap) {
+    char* p = out;
+    char* end = out + cap - 1;
+    for (int64_t i = 0; i < N; ++i) {
+        // worst case: qname + 2*L + chrom + ~80 digits/tabs
+        int64_t qlen = qname_ofs[i + 1] - qname_ofs[i];
+        if (p + qlen + 2 * L + 128 > end) return -1;
+        memcpy(p, qname_cat + qname_ofs[i], (size_t)qlen); p += qlen;
+        *p++ = '\t';
+        if (flag[i] == 4) {
+            memcpy(p, "4\t*\t0\t0\t*\t*\t0\t0\t", 16); p += 16;
+        } else {
+            p = put_u64(p, (uint64_t)flag[i]); *p++ = '\t';
+            int64_t c = chrom_idx[i];
+            int64_t clen = chrom_ofs[c + 1] - chrom_ofs[c];
+            memcpy(p, chrom_cat + chrom_ofs[c], (size_t)clen); p += clen;
+            *p++ = '\t';
+            p = put_u64(p, (uint64_t)pos1[i]); *p++ = '\t';
+            p = put_u64(p, (uint64_t)mapq[i]); *p++ = '\t';
+            p = put_u64(p, (uint64_t)L); *p++ = 'M'; *p++ = '\t';
+            memcpy(p, "*\t0\t0\t", 6); p += 6;
+        }
+        memcpy(p, seq + i * L, (size_t)L); p += L;
+        *p++ = '\t';
+        if (qual[i * L] == 0) {        // 0 sentinel: no quality -> "*"
+            *p++ = '*';
+        } else {
+            memcpy(p, qual + i * L, (size_t)L); p += L;
+        }
+        if (flag[i] != 4) {
+            memcpy(p, "\tNM:i:", 6); p += 6;
+            p = put_u64(p, (uint64_t)nm[i]);
+        }
+        *p++ = '\n';
+    }
+    return (int64_t)(p - out);
+}
+
 }  // extern "C"

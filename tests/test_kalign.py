@@ -157,3 +157,63 @@ def test_filter_alignments(genome, index):
                                         max_pcr_dups=2))
     kept = sum(1 for _, r in out if r.nar == kalign.NAR_ACCEPTED)
     assert kept == 2
+
+
+def test_write_sam_fast_matches_write_sam(tmp_path, genome, index):
+    """The vectorized native-formatter path (write_sam_fast) must emit
+    byte-identical SAM to the per-read write_sam path: accepted fwd/rev
+    strands, unmapped reads, N-containing reads, fastq qualities."""
+    params = simreads.SimParams(n_reads=300, read_len=100, seed=77,
+                                error_mode="illumina", subs_rate=0.03)
+    recs = list(simreads.sim_reads(genome, params))
+    # inject reads that exercise every class
+    rng = np.random.default_rng(3)
+    recs.append(SeqRecord("junk", "", rng.integers(0, 4, 100)
+                          .astype(np.uint8)))               # nohit
+    ncodes = recs[0].codes.copy()
+    ncodes[10:80] = dna.BASE_N
+    recs.append(SeqRecord("enns", "", ncodes))              # excess Ns
+    q = np.full(100, 30, np.uint8)
+    recs.append(SeqRecord("withqual", "", recs[1].codes.copy(), qual=q))
+
+    al1 = kalign.KAligner(index, batch_size=128)
+    p1 = tmp_path / "slow.sam"
+    st1 = kalign.write_sam(p1, index, al1.align_records(recs))
+    al2 = kalign.KAligner(index, batch_size=128)
+    p2 = tmp_path / "fast.sam"
+    st2 = kalign.write_sam_fast(p2, index, al2, recs)
+    assert st1 == st2
+
+    def body(p):
+        return [l for l in p.read_text().splitlines()
+                if not l.startswith("@")]
+    b1, b2 = body(p1), body(p2)
+    assert len(b1) == len(b2) == len(recs)
+    # align_records batches by read length; order within a batch is stable
+    # but slow path emits in record order -> compare as sorted sets
+    assert sorted(b1) == sorted(b2)
+
+    # emit_unmapped=False drops the unmapped lines
+    p3 = tmp_path / "mapped_only.sam"
+    al3 = kalign.KAligner(index, batch_size=128)
+    kalign.write_sam_fast(p3, index, al3, recs, emit_unmapped=False)
+    b3 = body(p3)
+    assert len(b3) == st1[kalign.NAR_ACCEPTED]
+    assert all(not int(l.split("\t")[1]) & 0x4 for l in b3)
+
+
+def test_write_sam_fast_snp_pileup_parity(tmp_path, genome, index):
+    """SNP pileups accumulated through write_sam_fast equal write_sam's."""
+    from kit4b_tpu.align.snp import SnpCaller
+    params = simreads.SimParams(n_reads=400, read_len=100, seed=21,
+                                subs_rate=0.02)
+    recs = list(simreads.sim_reads(genome, params))
+    sc1 = SnpCaller(index.genome)
+    kalign.write_sam(tmp_path / "a.sam", index,
+                     kalign.KAligner(index, batch_size=256)
+                     .align_records(recs), snp_caller=sc1)
+    sc2 = SnpCaller(index.genome)
+    kalign.write_sam_fast(tmp_path / "b.sam", index,
+                          kalign.KAligner(index, batch_size=256), recs,
+                          snp_caller=sc2)
+    np.testing.assert_array_equal(sc1._counts, sc2._counts)
