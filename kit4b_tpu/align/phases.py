@@ -288,3 +288,108 @@ def assign_multi_matches(aligned: list, mode: str = "uniq") -> int:
         res.n_low = 1
         n_assigned += 1
     return n_assigned
+
+
+# --- orphan splice / microInDel removal (KAligner.cpp:2406 / :2501) -------
+
+NAR_ORPHAN_SPLICE = "orphan_splice"     # eNARSpliceJctn analog
+NAR_ORPHAN_INDEL = "orphan_indel"       # eNARmicroInDel analog
+
+
+def _junction(res) -> tuple | None:
+    """(seg0_end, seg1_start) genome coords from a two-segment CIGAR
+    (MNM splice / MDM deletion / MIM insertion), as the reference takes
+    AdjEndLoci(Seg[0]) / AdjStartLoci(Seg[1])."""
+    import re
+    if not res.cigar:
+        return None
+    ops = re.findall(r"(\d+)([MIDNS])", res.cigar)
+    gpos = res.pos
+    seg_end = None
+    for ln, op in ops:
+        ln = int(ln)
+        if op == "M":
+            if seg_end is None:
+                seg_end = gpos + ln          # end of first segment
+            gpos += ln
+        elif op in ("D", "N"):
+            gpos += ln
+        # I/S consume no genome
+        if seg_end is not None and op in ("D", "N", "I"):
+            return (seg_end, gpos if op != "I" else seg_end)
+    return None
+
+
+def remove_orphan_junctions(aligned: list, kind: str) -> int:
+    """Demote accepted splice ('splice', CIGAR N) or microInDel ('indel',
+    CIGAR I/D) reads whose junction is not supported by a second read
+    within +/-3 bp on both junction coords. Mirrors the reference's
+    adjacent-after-sort multiplicity test (KAligner.cpp:2454-2466) and its
+    treat-as-unaligned demotion (:2470-2478). Returns demoted count."""
+    want = "N" if kind == "splice" else "ID"
+    juncts = []
+    for i, (rec, res) in enumerate(aligned):
+        if res.nar != NAR_ACCEPTED or not res.cigar:
+            continue
+        if not any(c in res.cigar for c in want):
+            continue
+        j = _junction(res)
+        if j is not None:
+            juncts.append((j[0], j[1], i))
+    n_removed = 0
+    nar_to = NAR_ORPHAN_SPLICE if kind == "splice" else NAR_ORPHAN_INDEL
+    if len(juncts) == 1:
+        _, res = aligned[juncts[0][2]]
+        res.nar = nar_to
+        return 1
+    juncts.sort()
+    supported = set()
+    for a, b in zip(juncts, juncts[1:]):
+        if abs(a[0] - b[0]) <= 3 and abs(a[1] - b[1]) <= 3:
+            supported.add(a[2])
+            supported.add(b[2])
+    for _, _, i in juncts:
+        if i not in supported:
+            res = aligned[i][1]
+            res.nar = nar_to
+            n_removed += 1
+    return n_removed
+
+
+# --- none-aligned / multialigned side files (KAligner.cpp:3833 / :3931) ---
+
+def _write_report_fasta(path, entries, tag: str) -> int:
+    """70-column fasta with the reference's descriptor layout
+    '>lcl|<tag>|<id> <descr> <id>|<numreads>|<len>'."""
+    n = 0
+    op = open
+    if str(path).endswith(".gz"):
+        import gzip
+        op = gzip.open
+    with op(path, "wt") as f:
+        for read_id, rec in entries:
+            seq = dna.decode(rec.codes)
+            descr = rec.name + ((" " + rec.descr) if rec.descr else "")
+            f.write(f">lcl|{tag}|{read_id} {descr} "
+                    f"{read_id}|1|{len(seq)}\n")
+            for o in range(0, len(seq), 70):
+                f.write(seq[o:o + 70] + "\n")
+            n += 1
+    return n
+
+
+def report_none_aligned(path, aligned: list) -> int:
+    """-j/--nonealign: fasta of reads with no alignment at all (NAR Ns or
+    NoHit — KAligner.cpp:3833 ReportNoneAligned)."""
+    from .kalign import NAR_NOHIT, NAR_NS
+    entries = [(i + 1, rec) for i, (rec, res) in enumerate(aligned)
+               if res.nar in (NAR_NOHIT, NAR_NS)]
+    return _write_report_fasta(path, entries, "na")
+
+
+def report_multi_align(path, aligned: list) -> int:
+    """-J/--multialign: fasta of multialigned reads
+    (KAligner.cpp:3931 ReportMultiAlign)."""
+    entries = [(i + 1, rec) for i, (rec, res) in enumerate(aligned)
+               if res.nar == NAR_MULTI]
+    return _write_report_fasta(path, entries, "ml")

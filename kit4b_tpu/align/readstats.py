@@ -221,3 +221,86 @@ def render_readstats_plots(prefix, st: ReadStats) -> list:
         plt.close(fig)
         paths.append(p)
     return paths
+
+
+# --- contaminant-hit statistics (ProcNGSQC, ReadStats.cpp:2432;
+#     CContaminants::MatchContaminants, libkit4b/Contaminants.h:226) ------
+
+def contaminant_hits(reads: np.ndarray, adapters: dict | None = None, *,
+                     min_overlap: int = 5, sub_rate: int = 1) -> dict:
+    """Per-adapter contaminant overlay counts over a [N, L] code batch.
+
+    Matching follows the reference rules (Contaminants.h:226-230 via
+    ReadStats.cpp:1153-1159): a 3' overlay is a read tail matching a
+    contaminant PREFIX, a 5' overlay a read head matching a contaminant
+    SUFFIX; overlaps >= min_overlap (default 5) accepted with sub_rate
+    substitutions allowed per 25 bp of overlap (min 1 when rate > 0) and
+    ZERO substitutions in the first 15 bp of the overlap.
+
+    Returns {adapter: {"hits3": n, "hits5": n}}; a read counts once per
+    (adapter, side) at its longest accepted overlap."""
+    from ..assembly.contaminants import DEFAULT_ADAPTERS
+    from .. import dna as _dna
+    adapters = adapters or DEFAULT_ADAPTERS
+    N, L = reads.shape
+    out = {}
+    for name, seq in adapters.items():
+        ad = _dna.encode(seq) if isinstance(seq, str) else \
+            np.asarray(seq, np.uint8)
+        A = len(ad)
+        hit3 = np.zeros(N, bool)
+        hit5 = np.zeros(N, bool)
+        for o in range(min(L, A), min_overlap - 1, -1):
+            allow = max(1, sub_rate * o // 25) if sub_rate else 0
+            exact = min(15, o)
+            # 3': read[-o:] vs adapter[:o]
+            t = reads[:, L - o:]
+            mm = (t != ad[:o]).sum(axis=1)
+            mm_head = (t[:, :exact] != ad[:exact]).sum(axis=1)
+            hit3 |= (~hit3) & (mm <= allow) & (mm_head == 0)
+            # 5': read[:o] vs adapter[-o:]
+            h = reads[:, :o]
+            mm = (h != ad[A - o:]).sum(axis=1)
+            mm_head = (h[:, :exact] != ad[A - o:A - o + exact]).sum(axis=1)
+            hit5 |= (~hit5) & (mm <= allow) & (mm_head == 0)
+        out[name] = {"hits3": int(hit3.sum()), "hits5": int(hit5.sum()),
+                     "_mask": hit3 | hit5}
+    return out
+
+
+def compute_contaminant_stats(records, adapters: dict | None = None, *,
+                              min_overlap: int = 5,
+                              sub_rate: int = 1) -> dict:
+    """Stream records -> contaminant stat dict: per-adapter 5'/3' overlay
+    counts plus the number of distinct contaminated reads (the reference's
+    'reads checked / reads with contaminant overlays' NGSQC numbers)."""
+    from collections import defaultdict
+    per: dict = defaultdict(lambda: {"hits3": 0, "hits5": 0})
+    n_reads = 0
+    n_contam = 0
+    buckets: dict[int, list] = defaultdict(list)
+    for rec in records:
+        buckets[len(rec.codes)].append(rec.codes)
+
+    for L, codes in buckets.items():
+        reads = np.stack(codes)
+        n_reads += len(reads)
+        res = contaminant_hits(reads, adapters, min_overlap=min_overlap,
+                               sub_rate=sub_rate)
+        any_mask = np.zeros(len(reads), bool)
+        for name, st in res.items():
+            per[name]["hits3"] += st["hits3"]
+            per[name]["hits5"] += st["hits5"]
+            any_mask |= st["_mask"]
+        n_contam += int(any_mask.sum())
+    return {"reads": n_reads, "contaminated_reads": n_contam,
+            "per_adapter": {k: dict(v) for k, v in per.items()}}
+
+
+def write_contaminant_csv(path, st: dict) -> None:
+    with open(path, "w") as f:
+        f.write('"Contaminant","Hits5","Hits3"\n')
+        for name, v in st["per_adapter"].items():
+            f.write(f'"{name}",{v["hits5"]},{v["hits3"]}\n')
+        f.write(f'"TOTAL_READS",{st["reads"]},\n')
+        f.write(f'"CONTAMINATED_READS",{st["contaminated_reads"]},\n')

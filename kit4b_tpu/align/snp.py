@@ -65,6 +65,8 @@ class SnpCall:
     bkgd_rate: float
     pvalue: float
     rank: int = 0
+    marker_id: int = 0          # marker fasta id when marker reporting ran
+    num_polymorphic: int = 0    # polymorphic sites within the marker
 
 
 class SnpCaller:
@@ -267,7 +269,7 @@ def write_snps_csv(path, calls: list[SnpCall], experiment: str = "exp") -> None:
         f.write('"SNP_ID","ElType","Species","Chrom","StartLoci","EndLoci",'
                 '"Len","Strand","Rank","PValue","Bases","Mismatches",'
                 '"RefBase","MMBaseA","MMBaseC","MMBaseG","MMBaseT","MMBaseN",'
-                '"BackgroundSubRate"\n')
+                '"BackgroundSubRate","MarkerID","NumPolymorphicSites"\n')
         for sid, c in enumerate(calls, start=1):
             cnts = c.counts.copy()
             cnts[c.ref_base] = 0
@@ -275,7 +277,8 @@ def write_snps_csv(path, calls: list[SnpCall], experiment: str = "exp") -> None:
                     f'{c.loci},1,"+",{c.rank},{c.pvalue:.6g},{c.tot_bases},'
                     f'{c.non_ref},"{_BASE_CHR[c.ref_base]}",{cnts[0]},'
                     f'{cnts[1]},{cnts[2]},{cnts[3]},{cnts[4]},'
-                    f'{c.bkgd_rate:.6g}\n')
+                    f'{c.bkgd_rate:.6g},{c.marker_id},'
+                    f'{c.num_polymorphic}\n')
 
 
 def write_snps_vcf(path, calls: list[SnpCall],
@@ -301,3 +304,153 @@ def write_snps_vcf(path, calls: list[SnpCall],
             f.write(f"{c.chrom}\t{c.loci + 1}\t{c.chrom}_{c.loci + 1}\t"
                     f"{_BASE_CHR[c.ref_base]}\t{alt_str}\t{qual}\tPASS\t"
                     f"DP={c.tot_bases};AF={af}\n")
+
+
+# --- SNP centroid contexts (KAligner.cpp:7380-7397, :8100-8131, :8625) ------
+
+CENTROID_FLANK = 3                      # cSNPCentfFlankLen
+CENTROID_LEN = 2 * CENTROID_FLANK + 1   # 7-mer context
+CENTROID_ELS = 4 ** CENTROID_LEN
+
+
+def snp_centroids(caller: SnpCaller, accepted: list[SnpCall]) -> dict:
+    """Centroid context distributions: for every 7-mer genome context
+    (SNP site centered), NumInsts counts loci with calling-depth coverage
+    (tot >= min_snp_reads, KAligner.cpp:7380-7397) and each accepted SNP
+    adds its ref/non-ref pileup counts to its context's row (:8100-8131).
+
+    Returns {"num_insts": [16384] int64, "num_snps": ..., "ref_cnt": ...,
+    "base_cnts": [16384, 5]} with the reference's big-endian 7-mer index."""
+    g = caller.genome
+    G = len(g.seq)
+    cov = caller._counts.reshape(G, BASE_COLS)[:, :4].sum(axis=1)
+    seq = g.seq.astype(np.int64)
+    # big-endian 7-mer value per center position (invalid where any flank
+    # base is non-ACGT or crosses the chrom boundary sentinels)
+    valid = seq < 4
+    idx7 = np.zeros(G, np.int64)
+    ok = np.ones(G, bool)
+    for o in range(-CENTROID_FLANK, CENTROID_FLANK + 1):
+        sh = np.roll(seq, -o)
+        vv = np.roll(valid, -o)
+        idx7 = (idx7 << 2) | np.where(vv, sh, 0)
+        ok &= vv
+    ok[:CENTROID_FLANK] = False
+    ok[G - CENTROID_FLANK:] = False
+
+    m = ok & (cov >= caller.opt.min_snp_reads)
+    num_insts = np.bincount(idx7[m], minlength=CENTROID_ELS)
+
+    num_snps = np.zeros(CENTROID_ELS, np.int64)
+    ref_cnt = np.zeros(CENTROID_ELS, np.int64)
+    base_cnts = np.zeros((CENTROID_ELS, 5), np.int64)
+    for c in accepted:
+        gpos = int(g.starts[g.names.index(c.chrom)]) + c.loci
+        if not ok[gpos]:
+            continue
+        ci = int(idx7[gpos])
+        num_snps[ci] += 1
+        nr = c.counts.copy().astype(np.int64)
+        ref_cnt[ci] += int(nr[c.ref_base])
+        nr[c.ref_base] = 0
+        base_cnts[ci] += nr
+    return {"num_insts": num_insts, "num_snps": num_snps,
+            "ref_cnt": ref_cnt, "base_cnts": base_cnts}
+
+
+def write_snp_centroids_csv(path, cent: dict) -> None:
+    """Reference centroid CSV layout (KAligner.cpp:8635-8650): one row per
+    7-mer, CentroidID 1-based, central base as RefBase."""
+    with open(path, "w") as f:
+        f.write('"CentroidID","Seq","NumInsts","NumSNPs","RefBase",'
+                '"RefBaseCnt","BaseA","BaseC","BaseG","BaseT","BaseN"\n')
+        for i in range(CENTROID_ELS):
+            v = i
+            bases = []
+            for _ in range(CENTROID_LEN):
+                bases.append(v & 3)
+                v >>= 2
+            bases.reverse()
+            seq = "".join(_BASE_CHR[b] for b in bases)
+            bc = cent["base_cnts"][i]
+            f.write(f'{i + 1},"{seq}",{cent["num_insts"][i]},'
+                    f'{cent["num_snps"][i]},'
+                    f'"{_BASE_CHR[bases[CENTROID_FLANK]]}",'
+                    f'{cent["ref_cnt"][i]},{bc[0]},{bc[1]},{bc[2]},'
+                    f'{bc[3]},{bc[4]}\n')
+
+
+# --- marker sequence reporting (KAligner.cpp:7483-7565) ---------------------
+
+def report_markers(path, caller: SnpCaller, accepted: list[SnpCall], *,
+                   marker5_len: int = 25, marker3_len: int = 25,
+                   poly_thres: float = 0.333) -> int:
+    """Write marker fasta for accepted SNPs whose full flanking window has
+    confident base calls (reference rules: every marker locus needs
+    >= min_snp_reads coverage; loci with non-ref proportion <= poly_thres
+    report the ref base, counting as polymorphic when > 0.1; otherwise a
+    major allele with proportion >= 1 - poly_thres is required, counting
+    as polymorphic when < 0.9; the SNP site itself needs non-ref
+    proportion >= 0.5). Sets marker_id / num_polymorphic on the calls and
+    returns the number of markers written.
+
+    Descriptor layout: '>Marker<id> <chrom> <start>|<len>|<snploci>|
+    <m5len>|<snpbase>|<refbase>|<numpoly>' (KAligner.cpp:7552)."""
+    g = caller.genome
+    G = len(g.seq)
+    counts = caller._counts.reshape(G, BASE_COLS)
+    seq = g.seq
+    marker_len = 1 + marker5_len + marker3_len
+    n = 0
+    with open(path, "w") as f:
+        for c in accepted:
+            c.marker_id = 0
+            c.num_polymorphic = 0
+            ci = g.names.index(c.chrom)
+            clen = int(g.lengths[ci])
+            if c.loci < marker5_len or c.loci + marker3_len >= clen:
+                continue
+            if c.non_ref / max(c.tot_bases, 1) < 0.5:
+                continue
+            gpos = int(g.starts[ci]) + c.loci
+            w = counts[gpos - marker5_len: gpos + marker3_len + 1]
+            acgt = w[:, :4].astype(np.int64)
+            tot = acgt.sum(axis=1)
+            refb = seq[gpos - marker5_len: gpos + marker3_len + 1]
+            if (tot < caller.opt.min_snp_reads).any() or (refb >= 4).any():
+                continue
+            ref_cnt = acgt[np.arange(marker_len), np.minimum(refb, 3)]
+            nr_prop = (tot - ref_cnt) / tot
+            mseq = []
+            npoly = 0
+            okm = True
+            for i in range(marker_len):
+                if nr_prop[i] <= poly_thres:
+                    if nr_prop[i] > 0.1:
+                        npoly += 1
+                    mseq.append(_BASE_CHR[int(refb[i])])
+                    continue
+                nrc = acgt[i].copy()
+                nrc[int(refb[i])] = 0
+                props = nrc / tot[i]
+                b = int(np.argmax(props))
+                if props[b] >= 1.0 - poly_thres:
+                    if props[b] < 0.9:
+                        npoly += 1
+                    mseq.append(_BASE_CHR[b])
+                else:
+                    okm = False
+                    break
+            if not okm:
+                continue
+            snp_base = mseq[marker5_len]
+            ref_base = _BASE_CHR[int(refb[marker5_len])]
+            if snp_base == ref_base:
+                continue
+            n += 1
+            c.marker_id = n
+            c.num_polymorphic = npoly
+            f.write(f">Marker{n} {c.chrom} {c.loci - marker5_len}|"
+                    f"{marker_len}|{c.loci}|{marker5_len}|{snp_base}|"
+                    f"{ref_base}|{npoly}\n{''.join(mseq)}\n")
+    return n

@@ -192,7 +192,10 @@ def cmd_kalign(args) -> int:
         need_phases = (getattr(args, "minflankexacts", 0)
                        or getattr(args, "pcrprimersubs", 0)
                        or getattr(args, "lociconstraints", None)
-                       or getattr(args, "mlmode", 0))
+                       or getattr(args, "mlmode", 0)
+                       or args.microindellen or args.splicemax
+                       or getattr(args, "nonealign", None)
+                       or getattr(args, "multialign", None))
         if need_phases:
             from .align import phases
             aligned = list(aligned)
@@ -219,6 +222,22 @@ def cmd_kalign(args) -> int:
                 st = phases.auto_trim_flanks(aligned, idx.genome.seq,
                                              args.minflankexacts)
                 log.info("kalign autotrim: %s", st)
+            # orphan junction removal (KAligner.cpp:668/:680)
+            if args.splicemax:
+                n = phases.remove_orphan_junctions(aligned, "splice")
+                log.info("kalign: %d orphan splice junctions removed", n)
+            if args.microindellen:
+                n = phases.remove_orphan_junctions(aligned, "indel")
+                log.info("kalign: %d orphan microInDels removed", n)
+            # none-aligned / multialigned side files (:712/:725)
+            if getattr(args, "nonealign", None):
+                n = phases.report_none_aligned(args.nonealign, aligned)
+                log.info("kalign: %d unalignable reads -> %s", n,
+                         args.nonealign)
+            if getattr(args, "multialign", None):
+                n = phases.report_multi_align(args.multialign, aligned)
+                log.info("kalign: %d multialigned reads -> %s", n,
+                         args.multialign)
         if args.include or args.exclude or args.priobed or args.pcrdups:
             pbed = None
             if args.priobed:
@@ -233,11 +252,25 @@ def cmd_kalign(args) -> int:
                 args.outfile, idx, aligned,
                 cmdline=" ".join(sys.argv),
                 emit_unmapped=(args.format == 1), snp_caller=caller,
-                stats_path=args.statsfile, bam_index=args.baindex)
+                stats_path=args.statsfile,
+                bam_index=("csi" if getattr(args, "csindex", False)
+                           else args.baindex))
         log.info("kalign: %d reads, %s", sum(stats.values()), stats)
     if caller is not None:
         with t.phase("snp call"):
             calls = caller.call()
+        if getattr(args, "markerfile", None):
+            n = snp.report_markers(args.markerfile, caller, calls,
+                                   marker5_len=args.markerlen,
+                                   marker3_len=args.markerlen,
+                                   poly_thres=args.markerpolythres)
+            log.info("snps: %d marker sequences -> %s", n,
+                     args.markerfile)
+        if getattr(args, "snpcentroidfile", None):
+            cent = snp.snp_centroids(caller, calls)
+            snp.write_snp_centroids_csv(args.snpcentroidfile, cent)
+            log.info("snps: centroid distributions -> %s",
+                     args.snpcentroidfile)
         if args.snpfile:
             if args.snpfile.endswith(".vcf"):
                 snp.write_snps_vcf(args.snpfile, calls)
@@ -1776,6 +1809,19 @@ def cmd_ngsqc(args) -> int:
             yield from read_seqs(p_)
     st = compute_readstats(stream(), kmer_len=args.kmerlen)
     write_readstats_csv(args.outprefix, st, kmer_len=args.kmerlen)
+    if args.contaminants:
+        from .align.readstats import (compute_contaminant_stats,
+                                      write_contaminant_csv)
+        adapters = None
+        if args.contaminants != "-":
+            adapters = {r.name: r.codes
+                        for r in read_seqs(args.contaminants)}
+        cst = compute_contaminant_stats(stream(), adapters,
+                                        min_overlap=args.mincontamlen,
+                                        sub_rate=args.maxcontamsubrate)
+        write_contaminant_csv(f"{args.outprefix}.contaminants.csv", cst)
+        log.info("ngsqc: %d/%d reads with contaminant overlays",
+                 cst["contaminated_reads"], cst["reads"])
     if getattr(args, "plots", False):
         from .align.readstats import render_readstats_plots
         paths = render_readstats_plots(args.outprefix, st)
@@ -1914,6 +1960,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("--csindex", action="store_true",
+                   help="write CSI index beside BAM output "
+                        "(SAMfile.h:21-58 CSI variant)")
     p.add_argument("--baindex", action="store_true",
                    help="write coordinate-sorted BAM + .bai (out must be .bam)")
     p.add_argument("-m", "--mode", type=int, default=0,
@@ -1930,6 +1979,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coverage WIG output")
     p.add_argument("-O", "--stats", dest="statsfile", default=None,
                    help="aligner stats CSV (substitution distribution)")
+    p.add_argument("--nonealign", default=None,
+                   help="write unalignable reads fasta (reference -j)")
+    p.add_argument("--multialign", default=None,
+                   help="write multialigned reads fasta (reference -J)")
+    p.add_argument("--markerfile", default=None,
+                   help="write SNP marker sequences fasta "
+                        "(KAligner.cpp:7483)")
+    p.add_argument("--markerlen", type=int, default=25,
+                   help="marker 5'/3' flank length (cMinMarkerLen)")
+    p.add_argument("--markerpolythres", type=float, default=0.333,
+                   help="max marker base polymorphism proportion")
+    p.add_argument("--snpcentroidfile", default=None,
+                   help="write SNP centroid context CSV "
+                        "(KAligner.cpp:8625)")
     p.add_argument("-Z", "--include", nargs="+", default=None,
                    help="only accept hits on chroms matching these regexes")
     p.add_argument("-z", "--exclude", nargs="+", default=None,
@@ -2234,6 +2297,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outprefix", required=True,
                    help="output file prefix")
     p.add_argument("-K", "--kmerlen", type=int, default=5)
+    p.add_argument("-H", "--contaminants", default=None,
+                   help="contaminant fasta ('-' = builtin Illumina "
+                        "adapters); writes <out>.contaminants.csv")
+    p.add_argument("-z", "--maxcontamsubrate", type=int, default=1,
+                   help="contaminant subs per 25bp of overlap (0..3)")
+    p.add_argument("-Z", "--mincontamlen", type=int, default=5,
+                   help="min contaminant overlap bases")
     p.add_argument("--plots", action="store_true",
                    help="render QC plot PNGs (libBKPLPlot parity)")
     _common(p)

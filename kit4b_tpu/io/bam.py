@@ -117,9 +117,11 @@ class BamWriter:
     """SamWriter-compatible BAM writer.
 
     index=True also writes `path + ".bai"` on close (UCSC-binning BAI, the
-    reference's WriteBAMReadHits -M6 path, KAligner.cpp:5718/5930). The BAI
-    is only meaningful when records are written coordinate-sorted, as the
-    reference does (it sorts accepted hits by chrom/loci before output).
+    reference's WriteBAMReadHits -M6 path, KAligner.cpp:5718/5930);
+    index="csi" writes the CSI variant instead (generalized binning for
+    >512 Mbp chromosomes, libkit4b/SAMfile.h:21-58 eSFTBAM_CSI). Either
+    index is only meaningful when records are written coordinate-sorted,
+    as the reference does (it sorts accepted hits by chrom/loci first).
     """
 
     def __init__(self, path, chrom_names, chrom_lengths,
@@ -189,7 +191,10 @@ class BamWriter:
 
     def close(self) -> None:
         self._w.close()
-        if self._index:
+        if self._index == "csi":
+            write_csi(self._path + ".csi", self._recs, self._n_ref,
+                      self._w)
+        elif self._index:
             write_bai(self._path + ".bai", self._recs, self._n_ref, self._w)
 
     def __enter__(self):
@@ -320,3 +325,80 @@ def read_bam(path):
             npos + 1 if npos >= 0 else 0, tlen, seq or "*", quals,
             tags=tags)
         off += block  # past this record (block_size counts the record body)
+
+
+def _csi_reg2bin(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Generalized CSI binning (SAM spec 5.3; reduces to _reg2bin at
+    min_shift=14, depth=5)."""
+    end -= 1
+    s = min_shift
+    t = ((1 << (depth * 3)) - 1) // 7
+    for lvl in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        t -= 1 << (lvl * 3 - 3)
+    return 0
+
+
+def write_csi(path, recs, n_ref: int, bgzf: BgzfWriter, *,
+              min_shift: int = 14, depth: int = 5) -> None:
+    """CSI index (SAM spec 5.3; the reference's CSI variant,
+    libkit4b/SAMfile.h:21-58): BGZF-compressed, per-reference bins with
+    chunk lists and per-bin loffset; supports chromosomes beyond BAI's
+    512 Mbp limit via configurable min_shift/depth."""
+    per_ref: list[dict] = [dict() for _ in range(n_ref)]
+    for ref_id, beg, end, u0, u1 in recs:
+        v0 = bgzf.virtual_offset(u0)
+        v1 = bgzf.virtual_offset(u1)
+        b = _csi_reg2bin(beg, end, min_shift, depth)
+        per_ref[ref_id].setdefault(b, []).append((v0, v1))
+    payload = b"CSI\x01" + struct.pack("<iii", min_shift, depth, 0)
+    payload += struct.pack("<i", n_ref)
+    for bins in per_ref:
+        merged = {}
+        for b, chunks in bins.items():
+            chunks.sort()
+            out = [list(chunks[0])]
+            for c0, c1 in chunks[1:]:
+                if c0 == out[-1][1]:
+                    out[-1][1] = c1
+                else:
+                    out.append([c0, c1])
+            merged[b] = out
+        payload += struct.pack("<i", len(merged))
+        for b in sorted(merged):
+            chunks = merged[b]
+            loffset = chunks[0][0]
+            payload += struct.pack("<IQi", b, loffset, len(chunks))
+            for c0, c1 in chunks:
+                payload += struct.pack("<QQ", c0, c1)
+    w = BgzfWriter(path)
+    w.write(payload)
+    w.close()
+
+
+def read_csi(path) -> dict:
+    """Parse a CSI index back (tests / tooling)."""
+    data = read_bgzf(path)
+    assert data[:4] == b"CSI\x01"
+    min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+    off = 16 + l_aux
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                c0, c1 = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((c0, c1))
+            bins[b] = {"loffset": loffset, "chunks": chunks}
+        refs.append(bins)
+    return {"min_shift": min_shift, "depth": depth, "refs": refs}

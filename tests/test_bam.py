@@ -117,3 +117,31 @@ def test_bai_index(tmp_path):
     # and (since sorted, 40bp step, 60M) within one window of it
     assert pos <= beg
     assert pos >= (beg >> 14 << 14) - 60
+
+
+def test_csi_index(tmp_path):
+    """CSI variant (SAMfile.h:21-58): generalized binning, BGZF container,
+    loffset per bin; reduces to BAI bin numbers at min_shift=14/depth=5."""
+    from kit4b_tpu.io.bam import (BamWriter, _csi_reg2bin, _reg2bin,
+                                  read_bam, read_csi)
+    from kit4b_tpu.io.sam import SamAlignment
+    import numpy as np
+    rng = np.random.default_rng(2)
+    for beg in (0, 100, 16384, 1 << 20, (1 << 26) + 5):
+        end = beg + int(rng.integers(1, 1000))
+        assert _csi_reg2bin(beg, end, 14, 5) == _reg2bin(beg, end)
+    p = str(tmp_path / "x.bam")
+    alns = [SamAlignment(f"r{i}", 0, "c1", 1 + i * 5000, 254, "50M",
+                         seq="A" * 50, qual="I" * 50) for i in range(40)]
+    with BamWriter(p, ["c1"], [400_000], index="csi") as w:
+        for a in alns:
+            w.write(a)
+    idx = read_csi(p + ".csi")
+    assert idx["min_shift"] == 14 and idx["depth"] == 5
+    bins = idx["refs"][0]
+    assert bins, "no bins recorded"
+    # every chunk window must be monotonically consistent
+    for b, v in bins.items():
+        assert v["chunks"] and v["loffset"] == v["chunks"][0][0]
+    # and the BAM itself still reads back
+    assert len(list(read_bam(p))) == 40

@@ -150,3 +150,98 @@ def test_cli_kalign_phases(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     sam = (tmp_path / "o.sam").read_text()
     assert "1S99M" in sam    # autotrimmed flank
+
+
+def test_remove_orphan_junctions():
+    """Orphan splice/indel junctions (no second read within +/-3 on both
+    coords) demote to unaligned (KAligner.cpp:2406/:2501)."""
+    from kit4b_tpu.align.kalign import NAR_ACCEPTED, AlignResult
+    from kit4b_tpu.align.phases import (NAR_ORPHAN_INDEL,
+                                        NAR_ORPHAN_SPLICE,
+                                        remove_orphan_junctions)
+    from kit4b_tpu.io.fasta import SeqRecord
+    import numpy as np
+
+    def rec(n):
+        return SeqRecord(n, "", np.zeros(60, np.uint8))
+
+    def res(pos, cigar):
+        return AlignResult(NAR_ACCEPTED, pos=pos, cigar=cigar, mm=0)
+
+    # two supporting splice reads (junction within +/-3) + one orphan
+    aligned = [
+        (rec("s1"), res(100, "30M200N30M")),     # junction (130, 330)
+        (rec("s2"), res(102, "28M201N32M")),     # junction (130, 331) ok
+        (rec("s3"), res(500, "30M300N30M")),     # orphan
+        (rec("m"), res(900, "60M")),             # plain M untouched
+    ]
+    n = remove_orphan_junctions(aligned, "splice")
+    assert n == 1
+    assert aligned[0][1].nar == NAR_ACCEPTED
+    assert aligned[1][1].nar == NAR_ACCEPTED
+    assert aligned[2][1].nar == NAR_ORPHAN_SPLICE
+    assert aligned[3][1].nar == NAR_ACCEPTED
+
+    # single indel read in the whole set is an orphan by definition
+    aligned2 = [(rec("i1"), res(50, "20M2D40M"))]
+    assert remove_orphan_junctions(aligned2, "indel") == 1
+    assert aligned2[0][1].nar == NAR_ORPHAN_INDEL
+
+
+def test_report_side_files(tmp_path):
+    """-j/-J fasta side files with the reference descriptor layout
+    (KAligner.cpp:3833/:3931)."""
+    from kit4b_tpu.align.kalign import (NAR_ACCEPTED, NAR_MULTI, NAR_NOHIT,
+                                        NAR_NS, AlignResult)
+    from kit4b_tpu.align.phases import (report_multi_align,
+                                        report_none_aligned)
+    from kit4b_tpu.io.fasta import SeqRecord
+    import numpy as np
+    rng = np.random.default_rng(0)
+    aligned = [
+        (SeqRecord("a", "d1", rng.integers(0, 4, 150).astype(np.uint8)),
+         AlignResult(NAR_NOHIT)),
+        (SeqRecord("b", "", rng.integers(0, 4, 80).astype(np.uint8)),
+         AlignResult(NAR_ACCEPTED, pos=5)),
+        (SeqRecord("c", "", rng.integers(0, 4, 80).astype(np.uint8)),
+         AlignResult(NAR_MULTI)),
+        (SeqRecord("d", "", rng.integers(0, 4, 80).astype(np.uint8)),
+         AlignResult(NAR_NS)),
+    ]
+    pna = tmp_path / "na.fa"
+    assert report_none_aligned(pna, aligned) == 2
+    txt = pna.read_text().splitlines()
+    assert txt[0] == ">lcl|na|1 a d1 1|1|150"
+    assert len(txt[1]) == 70      # 70-col wrap
+    assert any(l.startswith(">lcl|na|4 d") for l in txt)
+    pml = tmp_path / "ml.fa"
+    assert report_multi_align(pml, aligned) == 1
+    assert pml.read_text().startswith(">lcl|ml|3 c 3|1|80")
+
+
+def test_contaminant_stats():
+    """Contaminant overlay counting: 3' prefix overlays, 5' suffix
+    overlays, sub budget per 25bp with exact first 15bp
+    (ReadStats.cpp:2432, Contaminants.h:226)."""
+    import numpy as np
+    from kit4b_tpu import dna
+    from kit4b_tpu.align.readstats import contaminant_hits
+    ad = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    adc = dna.encode(ad)
+    rng = np.random.default_rng(1)
+    L = 60
+    reads = rng.integers(0, 4, (6, L)).astype(np.uint8)
+    # r0: clean 20bp 3' overlay
+    reads[0, L - 20:] = adc[:20]
+    # r1: 20bp 3' overlay with 1 sub outside the first 15bp -> accepted
+    reads[1, L - 20:] = adc[:20]
+    reads[1, L - 3] = (reads[1, L - 3] + 1) % 4    # overlap position 17
+    # r2: 20bp 3' overlay with a sub INSIDE the first 15bp -> rejected
+    reads[2, L - 20:] = adc[:20]
+    reads[2, L - 10] = (reads[2, L - 10] + 1) % 4  # position 10 < 15
+    # r3: 16bp 5' overlay of the adapter suffix
+    reads[3, :16] = adc[-16:]
+    # r4/r5: untouched random
+    res = contaminant_hits(reads, {"TruSeq": ad})["TruSeq"]
+    assert res["hits3"] == 2
+    assert res["hits5"] == 1

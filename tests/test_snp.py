@@ -110,3 +110,71 @@ def test_disnp_trisnp(tmp_path, setup):
     tri = snp.call_multisnps(tmp_path / "o.sam", calls, order=3)
     snp.write_multisnps_csv(tmp_path / "tri.csv", tri, order=3)
     assert (tmp_path / "di.csv").read_text().startswith('"DiSNP_ID"')
+
+
+def test_snp_centroids_and_markers(tmp_path):
+    """Centroid 7-mer context distributions (KAligner.cpp:8100-8131) and
+    marker sequence reporting (:7483-7565)."""
+    import numpy as np
+    from kit4b_tpu import dna
+    from kit4b_tpu.align import snp as snpmod
+    from kit4b_tpu.io.fasta import Genome
+
+    rng = np.random.default_rng(9)
+    G = 2000
+    seq = np.concatenate([rng.integers(0, 4, G).astype(np.uint8),
+                          [dna.BASE_EOG]])
+    g = Genome(["c1"], np.array([0]), np.array([G]), seq)
+    caller = snpmod.SnpCaller(g, snpmod.SnpOptions(min_snp_reads=5))
+
+    # 20x coverage of the whole chrom with reads matching the reference,
+    # except a SNP at locus 500 where all reads carry the alternate base
+    L = 100
+    snp_loci = 500
+    alt = (int(seq[snp_loci]) + 1) % 4
+    reads, poss = [], []
+    for start in range(0, G - L + 1, 5):
+        r = seq[start:start + L].copy()
+        if start <= snp_loci < start + L:
+            r[snp_loci - start] = alt
+        reads.append(r)
+        poss.append(start)
+    caller.add_alignments(np.asarray(poss), np.stack(reads))
+    calls = caller.call()
+    assert len(calls) == 1 and calls[0].loci == snp_loci
+
+    cent = snpmod.snp_centroids(caller, calls)
+    # the SNP's 7-mer context row carries its pileup
+    ctx = 0
+    for o in range(-3, 4):
+        ctx = (ctx << 2) | int(seq[snp_loci + o])
+    assert cent["num_snps"][ctx] == 1
+    assert cent["base_cnts"][ctx][alt] == calls[0].counts[alt]
+    # NumInsts counts every covered locus with that context
+    assert cent["num_insts"].sum() > 1000
+    cpath = tmp_path / "cent.csv"
+    snpmod.write_snp_centroids_csv(cpath, cent)
+    lines = cpath.read_text().splitlines()
+    assert len(lines) == 4 ** 7 + 1
+    row = lines[ctx + 1].split(",")
+    assert int(row[0]) == ctx + 1 and int(row[3]) == 1
+
+    # marker fasta: SNP site becomes the alt base, flanks the ref bases
+    mpath = tmp_path / "markers.fa"
+    n = snpmod.report_markers(mpath, caller, calls, marker5_len=10,
+                              marker3_len=10)
+    assert n == 1
+    hdr, mseq = mpath.read_text().splitlines()
+    assert hdr == (f">Marker1 c1 {snp_loci-10}|21|{snp_loci}|10|"
+                   f"{'ACGT'[alt]}|{'ACGT'[int(seq[snp_loci])]}|0")
+    expect = dna.decode(seq[snp_loci-10:snp_loci+11]).replace(
+        dna.decode(seq[snp_loci:snp_loci+1]), "", 0)
+    assert len(mseq) == 21 and mseq[10] == "ACGT"[alt]
+    assert calls[0].marker_id == 1
+
+    # SNP CSV now carries MarkerID / NumPolymorphicSites
+    spath = tmp_path / "snps.csv"
+    snpmod.write_snps_csv(spath, calls)
+    header, row = spath.read_text().splitlines()
+    assert header.endswith('"MarkerID","NumPolymorphicSites"')
+    assert row.split(",")[-2:] == ["1", "0"]
