@@ -246,7 +246,8 @@ class KAligner:
             sa = jnp.asarray(self.index.sa_clean.astype(np.int32))
             lut = jnp.asarray(self.index.lut.astype(
                 np.int32 if self.index.lut[-1] < 2**31 else np.int64))
-            lut2 = (seed_extend_v3.make_lut2_device(self.index.lut)
+            # lut2 derives from the device lut: zero extra host-link bytes
+            lut2 = (seed_extend_v3.make_lut2_device(lut)
                     if self.index.lut[-1] < 2**31 else None)
             self._fast_dev[nw2] = (gview, sa, lut, lut2)
         return self._fast_dev[nw2]

@@ -44,15 +44,23 @@ INT32_MAX = np.int32(np.iinfo(np.int32).max)
 MISM_BITS = np.uint32(0x55555555)
 
 
-def make_lut2_device(lut: np.ndarray) -> jnp.ndarray:
+def make_lut2_device(lut) -> jnp.ndarray:
     """[n_keys, 2] int32 (bucket_lo, bucket_cnt) pair table, so one
-    row-gather resolves a seed window (vs two scalar gathers)."""
-    lut = np.asarray(lut)
-    lo = lut[:-1].astype(np.int64)
-    cnt = (lut[1:].astype(np.int64) - lo)
-    assert lut[-1] < 2**31, "suffix count must fit int32"
-    return jnp.asarray(np.stack([lo.astype(np.int32),
-                                 cnt.astype(np.int32)], axis=1))
+    row-gather resolves a seed window (vs two scalar gathers).
+
+    Accepts the host lut or an ALREADY-UPLOADED device lut array; the pair
+    table is built on device either way (the [n_keys, 2] table is 2x the
+    lut's bytes — at lut_k=12 that is 134 MB, ~7 s over the axon tunnel,
+    so it must never cross the host link)."""
+    assert int(lut[-1]) < 2**31, "suffix count must fit int32"
+
+    @jax.jit
+    def _build(lut_d):
+        lut32 = lut_d.astype(jnp.int32)
+        return jnp.stack([lut32[:-1], lut32[1:] - lut32[:-1]], axis=1)
+
+    return _build(lut if isinstance(lut, jnp.ndarray)
+                  else jnp.asarray(np.asarray(lut)))
 
 
 def pack_reads_t(seqs: jnp.ndarray, nw: int):

@@ -176,3 +176,66 @@ def device_put_sharded_index(mesh: Mesh, gpack, gbad, sa_shards, lut_shards,
             jax.device_put(jnp.asarray(sa_shards), tspec),
             jax.device_put(jnp.asarray(lut_shards.astype(np.int32)), tspec),
             jax.device_put(jnp.asarray(key_lo), kspec))
+
+
+def make_sharded_align_pass_v4(mesh: Mesh, *, genome_len: int,
+                               offsets: tuple, lut_k: int, read_len: int,
+                               n_compact: int, n_extend: int, max_ml: int):
+    """dp x tp sharded pass over the PRODUCTION v4 packed-native kernel
+    (ops/seed_extend_v4._cands_core_v4).
+
+    Args (sharded): gview [Gv, 2*nw2] replicated; sa_shards [tp, Mpad] /
+    lut2_shards [tp, keys_per, 2] / key_lo [tp] over "tp"; reads2b
+    [B, ceil(L/4)] uint8 and nlist [K, 2] int32 split over "dp" (nlist
+    read indices are LOCAL to the dp shard). Returns the fast_pass stats
+    dict sharded over "dp".
+
+    The exactly-once guarantee is v3's unchanged: v4 keeps big-endian
+    (lexicographic) seed keys, so key-range ownership and the
+    first-exact-window canonical test are bit-identical
+    (seed_extend_v4 module docstring)."""
+    from ..ops import seed_extend_v4
+    from ..ops.seed_extend_fast import finalize_fast
+
+    def _local(gview, sa_s, lut2_s, key_lo_s, reads2b, nlist):
+        planes = seed_extend_v4.words_from_2bit(reads2b, nlist, read_len)
+        ids, mm, ovf = seed_extend_v4._cands_core_v4(
+            gview, sa_s[0], lut2_s[0], key_lo_s[0], planes,
+            genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+            read_len=read_len, n_compact=n_compact, n_extend=n_extend)
+        ids_all = jax.lax.all_gather(ids, "tp", axis=0, tiled=True)
+        mm_all = jax.lax.all_gather(mm, "tp", axis=0, tiled=True)
+        out = finalize_fast(ids_all.T, mm_all.T, max_ml=max_ml)
+        out["overflow"] = jax.lax.psum(ovf.astype(jnp.int32), "tp") > 0
+        return out
+
+    shmapped = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P("tp", None), P("tp", None, None), P("tp"),
+                  P("dp", None), P("dp", None)),
+        out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None),
+                   "overflow": P("dp")},
+        check_vma=False)
+    return jax.jit(shmapped)
+
+
+def pack_reads_sharded(reads: np.ndarray, dp: int):
+    """Host-side packing for the v4 sharded pass: [B, L] codes -> 2-bit
+    [B, ceil(L/4)] + per-dp-shard-local N lists stacked [B? no, dp*K, 2].
+
+    Each dp shard's nlist indices must be local to its rows, so the batch
+    is packed per shard and the nlists concatenated in shard order."""
+    from ..align.kalign import pack_reads_2bit
+    B = reads.shape[0]
+    if B % dp:
+        raise ValueError(f"batch {B} not divisible by dp={dp}")
+    per = B // dp
+    packed, nlists = [], []
+    for d in range(dp):
+        p, nl, ok = pack_reads_2bit(reads[d * per:(d + 1) * per])
+        if not ok:
+            raise ValueError("too many Ns for the packed path")
+        packed.append(p)
+        nlists.append(nl)
+    return np.concatenate(packed), np.concatenate(nlists)

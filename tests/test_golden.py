@@ -177,3 +177,146 @@ def test_golden_filter_assemb_contig(tmp_path):
     # ours must reassemble at least as much of the source as the reference
     assert len(our_best) >= min(len(ref_best), int(n * 0.9)), \
         (len(our_best), len(ref_best))
+
+
+def write_repeat_genome(path, n=200_000, seed=19, n_units=40,
+                        unit_len=300):
+    """Genome with a planted repeat family: the case where seed windows of
+    one read hit multiple SA buckets and loci dedup / multi classification
+    actually matter."""
+    rng = np.random.default_rng(seed)
+    seq = rng.integers(0, 4, n)
+    unit = rng.integers(0, 4, unit_len)
+    for i in range(n_units):
+        p0 = 2500 + i * ((n - 5000) // n_units)
+        u = unit.copy()
+        # diverge copies slightly so some reads stay uniquely placeable
+        nmut = rng.integers(0, 6)
+        for _ in range(nmut):
+            u[rng.integers(0, unit_len)] = rng.integers(0, 4)
+        seq[p0:p0 + unit_len] = u
+    with open(path, "w") as f:
+        f.write(">chr1\n")
+        s = "".join("ACGT"[b] for b in seq)
+        for i in range(0, n, 70):
+            f.write(s[i:i + 70] + "\n")
+
+
+def test_golden_kalign_repeat_dense(tmp_path):
+    """SE agreement on a repeat-planted genome: acceptance decisions
+    (unique vs multi) and accepted loci must match the reference where
+    the escalation/dedup designs actually diverge from it."""
+    d = tmp_path
+    fa = d / "genome.fa"
+    write_repeat_genome(fa)
+    ref(["index", "-i", str(fa), "-o", str(d / "g.sfx"), "-r", "rg",
+         "-T2"], cwd=d)
+    ref(["simreads", "-n", "4000", "-l", "100", "-z", "0.05", "-g", "3",
+         "-M1", "-i", str(fa), "-o", str(d / "reads.fa"), "-T2"], cwd=d)
+    ours(["index", "-i", str(fa), "-o", str(d / "g.kix")], cwd=d)
+    ref(["kalign", "-i", str(d / "reads.fa"), "-I", str(d / "g.sfx"),
+         "-o", str(d / "ref.sam"), "-M1", "-T2"], cwd=d)
+    ours(["kalign", "-i", str(d / "reads.fa"), "-I", str(d / "g.kix"),
+          "-o", str(d / "our.sam"), "-M", "1"], cwd=d)
+    a = sam_accepted(d / "ref.sam")
+    b = sam_accepted(d / "our.sam")
+    both = set(a) & set(b)
+    disagree = {k: (a[k], b[k]) for k in both if a[k] != b[k]}
+    assert not disagree, f"{len(disagree)} loci disagree: " \
+        f"{list(disagree.items())[:5]}"
+    only_ref = set(a) - set(b)
+    only_our = set(b) - set(a)
+    assert not only_ref and not only_our, \
+        f"acceptance sets differ: ref-only={len(only_ref)} " \
+        f"our-only={len(only_our)}"
+
+
+def test_golden_kalign_pe_snp_vcf(tmp_path):
+    """PE 2x100 with planted SNPs: paired acceptance agreement plus SNP
+    call agreement (reference CSV loci vs our VCF loci) on the same
+    readset (VERDICT round-2 item 7)."""
+    d = tmp_path
+    fa = d / "genome.fa"
+    write_genome(fa, n=150_000, seed=31)
+    ref(["index", "-i", str(fa), "-o", str(d / "g.sfx"), "-r", "rg",
+         "-T2"], cwd=d)
+    ours(["index", "-i", str(fa), "-o", str(d / "g.kix")], cwd=d)
+    # reference simreads plants SNPs at 1000/Mbp and writes the truth BED
+    ref(["simreads", "-n", "30000", "-l", "100", "-p", "-j", "200",
+         "-J", "400", "-N", "1000", "-u", str(d / "truth_snps.bed"),
+         "-g", "3", "-z", "0.02", "-M1", "-i", str(fa),
+         "-o", str(d / "r1.fa"), "-O", str(d / "r2.fa"), "-T2"], cwd=d)
+    # the reference refuses SNP processing with -M1 all-reads SAM
+    # (KAlignerCL.cpp:935), so both run accepted-only output
+    ref(["kalign", "-i", str(d / "r1.fa"), "-u", str(d / "r2.fa"),
+         "-U1", "-I", str(d / "g.sfx"), "-o", str(d / "ref.sam"),
+         "-S", str(d / "ref_snps.csv"), "-T2"], cwd=d)
+    ours(["kalign", "-i", str(d / "r1.fa"), "-u", str(d / "r2.fa"),
+          "-U", "1", "-I", str(d / "g.kix"), "-o", str(d / "our.sam"),
+          "-S", str(d / "our_snps.vcf")], cwd=d)
+    a = sam_accepted(d / "ref.sam")
+    b = sam_accepted(d / "our.sam")
+    both = set(a) & set(b)
+    disagree = {k: (a[k], b[k]) for k in both if a[k] != b[k]}
+    # PE pairing tie-breaks may differ on ambiguous inserts; demand the
+    # overwhelming majority of common acceptances agree exactly
+    assert len(disagree) <= max(2, len(both) // 1000), \
+        f"{len(disagree)}/{len(both)}: {list(disagree.items())[:5]}"
+    assert len(both) >= 0.97 * max(len(a), len(b)), \
+        (len(a), len(b), len(both))
+
+    def ref_snp_loci(p):
+        out = set()
+        for line in open(p):
+            parts = line.replace('"', "").split(",")
+            if len(parts) > 5 and parts[0].strip().isdigit():
+                out.add((parts[3], int(parts[4])))
+        return out
+
+    def vcf_loci(p):
+        out = set()
+        for line in open(p):
+            if line.startswith("#"):
+                continue
+            f = line.split("\t")
+            out.add((f[0], int(f[1]) - 1))
+        return out
+
+    sa_ = ref_snp_loci(d / "ref_snps.csv")
+    sb = vcf_loci(d / "our_snps.vcf")
+    inter = sa_ & sb
+    # SNP caller designs differ in tie cases; demand strong overlap
+    assert len(inter) >= 0.9 * max(len(sa_), 1), (len(sa_), len(sb),
+                                                  len(inter))
+    assert len(inter) >= 0.9 * max(len(sb), 1), (len(sa_), len(sb),
+                                                 len(inter))
+
+
+def test_golden_hammings_both_strands(tmp_path):
+    """Exhaustive K=25 BOTH-strand Hammings bit-identity vs the reference
+    (round-2 golden only checked Watson-only)."""
+    d = tmp_path
+    fa = d / "g.fa"
+    write_genome(fa, n=30_000, seed=13)
+    ref(["genbioseq", "-i", str(fa), "-o", str(d / "g.seq"), "-t", "g"],
+        cwd=d)
+    # Crick processing needs the explicit -c flag (watson-only default)
+    ref(["hammings", "-m1", "-K25", "-c", "-i", str(d / "g.seq"),
+         "-o", str(d / "ref.csv"), "-T2"], cwd=d)
+    ours(["hammings", "-K", "25", "-i", str(fa),
+          "-o", str(d / "our.csv")], cwd=d)
+
+    def load(p):
+        vals = {}
+        for line in open(p):
+            parts = line.replace('"', "").split(",")
+            if len(parts) >= 3 and parts[1].strip().isdigit():
+                vals[int(parts[1])] = int(parts[2])
+        return vals
+
+    a, b = load(d / "ref.csv"), load(d / "our.csv")
+    common = set(a) & set(b)
+    assert len(common) >= min(len(a), len(b)) * 0.999
+    bad = [k for k in common if a[k] != b[k]]
+    assert not bad, f"{len(bad)} positions differ, first: " \
+        f"{[(k, a[k], b[k]) for k in sorted(bad)[:5]]}"

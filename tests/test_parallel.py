@@ -185,3 +185,37 @@ def test_align_records_prefetch_equivalent():
     r2 = [(rec.name, res.nar, res.pos)
           for rec, res in al.align_records(recs, prefetch=False)]
     assert r1 == r2
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_v4_matches_single(setup_repeat, dp, tp):
+    """PRODUCTION v4 packed-native kernel sharded dp x tp == single-chip
+    v3 full-stats pass, bit-identical, repeat-dense genome (the same
+    exactly-once guarantee: v4 keeps big-endian key-range ownership)."""
+    from kit4b_tpu.ops import seed_extend_fast, seed_extend_v3
+    import jax.numpy as jnp
+    g, idx, arr = setup_repeat
+    assert len(jax.devices()) >= 8
+    L = arr.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    kw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+              n_compact=512, n_extend=256, max_ml=5)
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut2 = seed_extend_v3.make_lut2_device(idx.lut)
+    ref = seed_extend_v3.fast_pass_v3(gview, sa_d, lut2, jnp.asarray(arr),
+                                      **kw)
+
+    m = pmesh.make_mesh(dp, tp)
+    sa_s, lut2_s, key_lo = pmesh.shard_index_by_key_v3(
+        idx.sa_clean, idx.lut, tp)
+    args = pmesh.device_put_sharded_index_v3(m, gview, sa_s, lut2_s, key_lo)
+    reads2b, nlist = pmesh.pack_reads_sharded(arr, dp)
+    fn = pmesh.make_sharded_align_pass_v4(m, read_len=L, **kw)
+    out = fn(*args, reads2b, nlist)
+    for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm",
+                "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
