@@ -107,6 +107,42 @@ def main():
     log(f"median of {N_ROUNDS} rounds: {med*1000:.1f} ms = {rps:.0f} reads/s"
         f"  (min {min(times)*1000:.1f}, max {max(times)*1000:.1f})")
 
+    # cost split (the roadmap evidence): time the pure h2d of one batch's
+    # 2-bit reads and the compute with device-resident reads. The tunnel
+    # serialises transfers and compute (tools/profile_pipeline2 measured
+    # no overlap and ~20 ms per extra dispatch), so round ~= h2d + compute;
+    # on production TPU hosts (PCIe DMA, not a ~20 MB/s tunnel) the round
+    # collapses to the compute term.
+    import jax
+    import jax.numpy as jnp
+    b0 = reads[:BATCH]
+    reads2b, nlist, _ = kalign.pack_reads_2bit(b0)
+    def h2d():
+        a = jnp.asarray(reads2b); b = jnp.asarray(nlist)
+        jax.device_get(a[0, :1]); jax.device_get(b[0, :1])
+    r2b_d = jnp.asarray(reads2b); nl_d = jnp.asarray(nlist)
+    jax.device_get(r2b_d[0, :1])
+    from kit4b_tpu.ops import seed_extend_v4
+    gview, sa, lut, lut2 = al._device_for(READ_LEN)
+    _, mtm = al.schedule_for(READ_LEN)
+    offs = al._offsets_for(READ_LEN, mtm)
+    def compute():
+        out = seed_extend_v4.fast_pass_packed_v4(
+            gview, sa, lut2, r2b_d, nl_d, read_len=READ_LEN,
+            genome_len=len(seq), offsets=offs, lut_k=idx.lut_k,
+            n_compact=al.n_compact, n_extend=al.n_extend,
+            max_tot_mm=mtm, mm_delta=al.mm_delta)
+        jax.device_get(out)
+    compute()  # warm (compiled already by the rounds)
+    for name, fn in (("h2d 2-bit reads", h2d), ("compute-only", compute)):
+        ts = []
+        for _ in range(6):
+            t0 = time.time(); fn(); ts.append(time.time() - t0)
+        t = statistics.median(ts)
+        log(f"cost split - {name}: {t*1000:7.1f} ms"
+            + (f"  ({BATCH/t:,.0f} reads/s/chip compute ceiling)"
+               if name == "compute-only" else ""))
+
     # correctness spot check vs ground truth (outside the timed region)
     nar = np.concatenate([r["nar"] for r in raws])
     pos = np.concatenate([r["pos"] for r in raws])

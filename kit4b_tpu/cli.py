@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -2910,6 +2911,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     from .utils.runtime import setup_logging
+    # honor JAX_PLATFORMS from the environment: the axon TPU plugin in
+    # this image overrides the env var, so subprocesses that want CPU
+    # (golden tests, multi-process runs) must force it through the config
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass   # jax already initialised on another platform
     args = build_parser().parse_args(argv)
     setup_logging(getattr(args, "loglevel", "info"),
                   getattr(args, "logfile", None))

@@ -21,6 +21,10 @@ import numpy as np
 
 def main():
     import jax
+    # the axon plugin overrides JAX_PLATFORMS; force it via the config so
+    # the CPU-mesh invocation really runs on a virtual CPU mesh
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from kit4b_tpu import dna
@@ -39,9 +43,13 @@ def main():
     passes, _ = build_pass_schedule(100, 5, 1, len(g.seq))
     offs = union_offsets(passes)
     kw = dict(genome_len=len(g.seq), offsets=offs, lut_k=idx.lut_k,
-              cand_per_window=16, n_compact=64, max_ml=5)
-    B_per_dev = 1024
+              read_len=100, n_compact=64, n_extend=32, max_ml=5)
+    B_per_dev = 4096
+    from kit4b_tpu.ops import seed_extend_fast, seed_extend_v3
     gpack_d, gbad_d, _, _ = idx.device_arrays()
+    nw2 = (100 + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
 
     shapes = []
     d = 1
@@ -55,20 +63,21 @@ def main():
     base_rps = None
     for dp, tp in shapes:
         m = pmesh.make_mesh(dp, tp)
-        sa_s, lut_s, key_lo = pmesh.shard_index_by_key(idx.sa_clean,
-                                                       idx.lut, tp)
-        args = pmesh.device_put_sharded_index(
-            m, np.asarray(gpack_d), np.asarray(gbad_d), sa_s, lut_s, key_lo)
-        fn = pmesh.make_sharded_align_pass(m, **kw)
+        sa_s, lut2_s, key_lo = pmesh.shard_index_by_key_v3(idx.sa_clean,
+                                                           idx.lut, tp)
+        args = pmesh.device_put_sharded_index_v3(m, gview, sa_s, lut2_s,
+                                                 key_lo)
+        fn = pmesh.make_sharded_align_pass_v4(m, **kw)
         B = B_per_dev * dp
         reads = rng.integers(0, 4, (B, 100)).astype(np.uint8)
-        out = fn(*args, reads)
+        reads2b, nlist = pmesh.pack_reads_sharded(reads, dp)
+        out = fn(*args, reads2b, nlist)
         jax.block_until_ready(out)
         t0 = time.time()
-        for _ in range(3):
-            out = fn(*args, reads)
-            jax.device_get(out["low_mm"][:4])
-        dt = (time.time() - t0) / 3
+        for _ in range(5):
+            out = fn(*args, reads2b, nlist)
+            jax.device_get(out["low_mm"])
+        dt = (time.time() - t0) / 5
         rps = B / dt
         if base_rps is None:
             base_rps = rps
