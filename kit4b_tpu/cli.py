@@ -314,6 +314,10 @@ def cmd_hammings(args) -> int:
             hd = hammings.hammings_restricted(
                 idx, args.kmerlen, max_hamming=args.restricted,
                 antisense=not args.watsononly)
+        elif args.ring:
+            from .parallel.hammings_ring import hammings_ring
+            hd = hammings_ring(g.seq, args.kmerlen,
+                               antisense=not args.watsononly)
         elif args.mesh:
             from .parallel.hammings_mesh import hammings_mesh
             hd = hammings_mesh(g.seq, args.kmerlen,
@@ -2353,6 +2357,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-y", "--watsononly", action="store_true")
     p.add_argument("-M", "--mesh", action="store_true",
                    help="shard the offset sweep over all local devices")
+    p.add_argument("-R", "--ring", action="store_true",
+                   help="ppermute ring over all local devices: O(G/D) "
+                        "memory per device (parallel/hammings_ring.py)")
     p.add_argument("-r", "--restricted", type=int, default=0,
                    help="pigeonhole mode: exact distances up to this bound "
                         "(values above report bound+1); 0 = exhaustive")
