@@ -93,12 +93,36 @@ def main():
             log("no .refbin/ngskit4b; skipping reference run")
             return
         d = args.workdir
-        # reference: concatenated pseudogenome -> kit4bax index -> kmarkers
-        allfa = os.path.join(d, "all.fa")
+        # Reference flow: its kmarkers block reader (LocKMers.cpp:464)
+        # requires EOS-separated segments < 524,286 bases inside each
+        # cultivar pseudo-chrom, i.e. pseudo-chroms built by its own
+        # `pseudogenome` from segmented multifasta — a monolithic
+        # chromosome yields "K-Mers processed: 0". So: segment each
+        # cultivar into 250 kb records -> reference pseudogenome ->
+        # concat -> index -> kmarkers -C <pseudo-chrom name>.
+        t0 = time.time()
+        allfa = os.path.join(d, "all_ref.fa")
         with open(allfa, "w") as out:
             for c, paths in cult_fastas.items():
-                for p in paths:
-                    out.write(open(p).read())
+                segfa = os.path.join(d, f"{c}_segs.fa")
+                with open(segfa, "w") as sf:
+                    i = 0
+                    for p in paths:
+                        s = "".join(ln.strip() for ln in open(p)
+                                    if not ln.startswith(">"))
+                        for o in range(0, len(s), 250_000):
+                            sf.write(f">{c}_s{i:04d}\n")
+                            for j in range(o, min(o + 250_000,
+                                                  len(s)), 70):
+                                sf.write(s[j:j + 70] + "\n")
+                            i += 1
+                pfa = os.path.join(d, f"{c}_pseudo.fa")
+                subprocess.run([refbin, "pseudogenome", "-i", segfa,
+                                "-o", pfa,
+                                "-O", os.path.join(d, f"{c}.bed"),
+                                "-t", c], capture_output=True)
+                out.write(open(pfa).read())
+        t_rp = time.time() - t0
         t0 = time.time()
         r = subprocess.run([refbin, "index", "-i", allfa,
                             "-o", os.path.join(d, "all.sfx"),
@@ -108,7 +132,7 @@ def main():
         t0 = time.time()
         r = subprocess.run([refbin, "kmarkers", "-m", "0",
                             "-i", os.path.join(d, "all.sfx"),
-                            "-c", "cult0", "-C", "cult0_chr1",
+                            "-c", "cult0", "-C", "cult0",
                             "-k", str(args.kmer),
                             "-o", os.path.join(d, "ref_markers.fa"),
                             "-T2"], capture_output=True)
@@ -120,8 +144,8 @@ def main():
         log(f"reference: index {t_ri:.1f}s, kmarkers {t_rk:.1f}s, "
             f"{n_ref} markers (2-core); stderr tail: "
             f"{r.stderr.decode()[-200:] if r.stderr else ''}")
-        print(f"REFRESULT index_s={t_ri:.1f} kmarkers_s={t_rk:.1f} "
-              f"n_markers={n_ref}")
+        print(f"REFRESULT pseudo_s={t_rp:.1f} index_s={t_ri:.1f} "
+              f"kmarkers_s={t_rk:.1f} n_markers={n_ref}")
 
 
 if __name__ == "__main__":

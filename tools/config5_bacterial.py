@@ -104,9 +104,28 @@ def main():
     log(f"contig exactness: {n_exact}/{checked} top contigs are exact "
         f"substrings")
 
+    # ---- pescaffold --------------------------------------------------
+    from kit4b_tpu.assembly.scaffold import scaffold_contigs
+    cfa = os.path.join(args.workdir, "contigs.fa")
+    write_fasta(cfa, [SeqRecord(f"contig{int(i):06d}", "",
+                                np.asarray(contigs.get(int(i))))
+                      for i in order[:2000]])
+    t0 = time.time()
+    paths_s, scaf_recs = scaffold_contigs(
+        cfa, os.path.join(args.workdir, "r1.fa"),
+        os.path.join(args.workdir, "r2.fa"),
+        os.path.join(args.workdir, "scaffolds.fa"), min_contig=100)
+    t_scaf = time.time() - t0
+    slens = sorted((len(r.codes) for r in scaf_recs), reverse=True)
+    log(f"pescaffold: {len(scaf_recs)} scaffolds, longest "
+        f"{slens[0] if slens else 0} ({t_scaf:.1f}s)")
+
     reads_total = 2 * len(r1)
     print(f"RESULT filter_s={t_filter:.1f} assemb_s={t_assemb:.1f} "
+          f"scaffold_s={t_scaf:.1f} "
           f"n_contigs={len(lens)} longest={lens[0]} n50={n50} "
+          f"n_scaffolds={len(scaf_recs)} "
+          f"longest_scaffold={slens[0] if slens else 0} "
           f"exact_top={n_exact}/{checked} "
           f"reads={reads_total}")
 
