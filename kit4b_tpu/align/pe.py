@@ -284,13 +284,19 @@ class PeAligner:
             if len(ovf) == 0:
                 break
             final = ti == len(self.escalation) - 1
+            # submit every chunk of this tier before collecting any:
+            # the calls are independent, so dispatch + h2d pipeline on
+            # the device queue instead of paying a blocking round-trip
+            # per chunk (dominant cost on a WAN-tunneled chip)
+            devs = []
             for s in range(0, len(ovf), bt):
                 chunk = ovf[s:s + bt]
-                sub = self._pe_pass_subset(
+                devs.append((chunk, self._pe_pass_subset(
                     [recs1[i0 + int(i)] for i in chunk],
                     [recs2[i0 + int(i)] for i in chunk], bt, nct,
-                    capped=final)
-                out[chunk] = sub[:len(chunk)]
+                    capped=final, block=False)))
+            for chunk, dev in devs:
+                out[chunk] = np.array(jax.device_get(dev))[:len(chunk)]
             ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         # anything past the final tier takes the host full-stats path
         esc = {}
@@ -394,7 +400,7 @@ class PeAligner:
         return out_map
 
     def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int,
-                        capped: bool = False) -> np.ndarray:
+                        capped: bool = False, block: bool = True):
         """One escalation-tier pe_pass over a pair subset (batch bt,
         candidate capacity nct). The final tier runs capped: per-bucket
         SA exploration is clamped (reference MaxIter analog) so the
@@ -424,8 +430,10 @@ class PeAligner:
                   max_ml=al.max_ml, max_tot1=max_tot, max_tot2=max_tot,
                   mm_delta=al.mm_delta, min_ins=self.min_len,
                   max_ins=self.max_len, max_per_bucket=cap)
-        return np.array(jax.device_get(
-            pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)))
+        dev = pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)
+        if not block:
+            return dev
+        return np.array(jax.device_get(dev))
 
     def _pair_from_row(self, rec1, rec2, row, max_tot,
                        rescue: "PePair | None" = None) -> PePair:
