@@ -956,6 +956,60 @@ _ASCII_FWD = np.frombuffer(b"ACGTNNNN", np.uint8)          # code -> base
 _ASCII_RC = np.frombuffer(b"TGCANNNN", np.uint8)           # code -> comp
 
 
+def _align_blocks_raw(aligner: "KAligner", src_path):
+    """Zero-object block pipeline: uniform-length read blocks straight
+    from io.fasta.read_seq_blocks into the device submit queue (two
+    batches in flight, parsing on a producer thread). Yields
+    (names: list[bytes], arr [B, L], quals [n, L] | None, raw, n)."""
+    import queue
+    import threading
+    from collections import deque
+
+    from ..io.fasta import read_seq_blocks
+
+    B = aligner.batch_size
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    SENTINEL = object()
+    err: list[BaseException] = []
+
+    def producer():
+        try:
+            for blk in read_seq_blocks(src_path, B):
+                q.put(blk)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def collect(arr, dev):
+        return aligner._collect_compact(dev, arr) \
+            if not isinstance(dev, dict) \
+            else aligner._classify(arr, aligner._collect(dev, arr))
+
+    pending: deque = deque()
+    while True:
+        blk = q.get()
+        if blk is SENTINEL:
+            break
+        names, codes, quals = blk
+        n = len(names)
+        arr = codes
+        if n < B:
+            arr = np.concatenate(
+                [codes, np.repeat(codes[:1], B - n, axis=0)])
+        pending.append((names, arr, quals, n, aligner._submit(arr)))
+        if len(pending) >= 2:
+            nm0, a0, q0, n0, d0 = pending.popleft()
+            yield nm0, a0, q0, collect(a0, d0), n0
+    if err:
+        raise err[0]
+    while pending:
+        nm0, a0, q0, n0, d0 = pending.popleft()
+        yield nm0, a0, q0, collect(a0, d0), n0
+
+
 def write_sam_fast(path, index: SfxIndex, aligner: "KAligner", records,
                    cmdline: str = "", emit_unmapped: bool = True,
                    snp_caller=None, stats_path=None) -> dict:
@@ -965,20 +1019,42 @@ def write_sam_fast(path, index: SfxIndex, aligner: "KAligner", records,
     format_sam_se — the reference's AppendStr fast-writer scheme,
     KAligner.cpp:6338-6418), skipping per-read Python object churn.
 
+    `records` may be an iterable of SeqRecords OR a fastq/fasta path:
+    a path with uniform-length reads takes the zero-object block route
+    (io.fasta.read_seq_blocks — arrays straight from the file bytes to
+    the device submit queue, byte-identical SAM output).
+
     Requirements: SE substitutions-only aligner (no microInDel / splice /
     chimeric rescue), plain-text SAM output, native lib built. Falls back
     to write_sam when any requirement is unmet. Returns the same stats
     dict as write_sam."""
     import ctypes
+    import os as _os
 
     from ..index.sa_build import _load_native
     lib = _load_native()
+    src_path = records if isinstance(records, (str, _os.PathLike)) \
+        else None
     if (str(path).endswith(".bam") or aligner.micro_indel
             or aligner.splice_max or aligner.chimeric_pct
             or lib is None or not hasattr(lib, "format_sam_se")):
-        return write_sam(path, index, aligner.align_records(records),
+        from ..io.fasta import read_seqs
+        rec_iter = read_seqs(src_path) if src_path is not None else records
+        return write_sam(path, index, aligner.align_records(rec_iter),
                          cmdline=cmdline, emit_unmapped=emit_unmapped,
                          snp_caller=snp_caller, stats_path=stats_path)
+
+    blocks_gen = first_block = None
+    if src_path is not None:
+        blocks_gen = _align_blocks_raw(aligner, src_path)
+        try:
+            first_block = next(blocks_gen)
+        except ValueError:        # non-uniform read lengths
+            from ..io.fasta import read_seqs
+            blocks_gen = None
+            records = read_seqs(src_path)
+        except StopIteration:     # empty input
+            pass
 
     g = index.genome
     starts = g.starts.astype(np.int64)
@@ -993,89 +1069,112 @@ def write_sam_fast(path, index: SfxIndex, aligner: "KAligner", records,
         for name, ln in zip(g.names, g.lengths):
             f.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
         f.write(f"@PG\tID:kit4b_tpu\tPN:kit4b_tpu\tCL:{cmdline}\n")
+    def emit(raw_f, names, arr, quals_all, raw, n):
+        """Format + write one aligned block. names: list[bytes] (n);
+        arr: uint8 [>=n, L] codes; quals_all: uint8 [n, L] raw phred+33
+        ASCII or None; raw: compact result dict from the aligner."""
+        L = arr.shape[1]
+        nar = raw["nar"][:n]
+        pos = raw["pos"][:n].astype(np.int64)
+        strand = raw["strand"][:n].astype(np.int64)
+        mm = np.asarray(raw["mm"][:n])
+        cnt = np.bincount(nar, minlength=4)
+        for c_i, key in enumerate((NAR_ACCEPTED, NAR_NOHIT,
+                                   NAR_MULTI, NAR_NS)):
+            stats[key] += int(cnt[c_i])
+        acc = nar == 0
+        sub_hist[:] = sub_hist + np.bincount(
+            np.minimum(mm[acc], 63), minlength=64)
+        if not emit_unmapped:
+            sel = np.nonzero(acc)[0]
+        else:
+            sel = np.arange(n)
+        if len(sel) == 0:
+            return
+        codes = arr[sel]
+        acc_s = acc[sel]
+        rev_s = acc_s & (strand[sel] == 1)
+        # strand-oriented ASCII sequence, vectorized
+        seq_ascii = _ASCII_FWD[codes]
+        if rev_s.any():
+            seq_ascii[rev_s] = _ASCII_RC[codes[rev_s][:, ::-1]]
+        # first-byte 0 sentinel -> formatter emits "*" (no quality);
+        # reverse-strand hits emit reversed qualities (SAMfile parity,
+        # io/sam.py seq_qual_for_strand)
+        if quals_all is None:
+            quals = np.zeros((len(sel), L), np.uint8)
+        else:
+            quals = np.ascontiguousarray(quals_all[sel])
+            if rev_s.any():
+                quals[rev_s] = quals[rev_s][:, ::-1]
+        ci = np.zeros(len(sel), np.int64)
+        pos1 = np.zeros(len(sel), np.int64)
+        if acc_s.any():
+            p_acc = pos[sel][acc_s]
+            c_acc = np.searchsorted(starts, p_acc,
+                                    side="right") - 1
+            ci[acc_s] = c_acc
+            pos1[acc_s] = p_acc - starts[c_acc] + 1
+        flag = np.where(acc_s,
+                        np.where(rev_s, FLAG_REVERSE, 0),
+                        FLAG_UNMAPPED).astype(np.int32)
+        mapq = np.full(len(sel), 254, np.int32)
+        nm = mm[sel].astype(np.int32)
+        sel_names = [names[i] for i in sel] if len(sel) != n else names
+        qn_cat = b"".join(sel_names)
+        qn_ofs = np.zeros(len(sel) + 1, np.int64)
+        qn_ofs[1:] = np.cumsum([len(x) for x in sel_names])
+        # +16: the native guard checks against out+cap-1 with the full
+        # per-record worst case, so an exact-fit cap is 1 byte short
+        # (visible on single-read batches with short names)
+        cap = int(qn_ofs[-1]) + len(sel) * (2 * L + 128) + 16
+        out = ctypes.create_string_buffer(cap)
+        nb = lib.format_sam_se(
+            qn_cat, qn_ofs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            chrom_cat, chrom_ofs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            flag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ci.astype(np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            pos1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            mapq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.ascontiguousarray(seq_ascii).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(sel), L, out, cap)
+        if nb < 0:
+            raise RuntimeError("format_sam_se buffer overflow")
+        raw_f.write(out.raw[:nb])
+        if snp_caller is not None and acc_s.any():
+            orient = codes[acc_s].copy()
+            r2 = rev_s[acc_s]
+            if r2.any():
+                rc = orient[r2][:, ::-1]
+                orient[r2] = np.where(rc < 4, 3 - rc, rc)
+            snp_caller.add_alignments(pos[sel][acc_s], orient)
+
     # body appended via the native formatter
     with open(path, "ab") as raw_f:
-        for recs, arr, raw in aligner.align_records_raw(records):
-            n = len(recs)
-            L = arr.shape[1]
-            nar = raw["nar"][:n]
-            pos = raw["pos"][:n].astype(np.int64)
-            strand = raw["strand"][:n].astype(np.int64)
-            mm = np.asarray(raw["mm"][:n])
-            cnt = np.bincount(nar, minlength=4)
-            for c_i, key in enumerate((NAR_ACCEPTED, NAR_NOHIT,
-                                       NAR_MULTI, NAR_NS)):
-                stats[key] += int(cnt[c_i])
-            acc = nar == 0
-            sub_hist += np.bincount(np.minimum(mm[acc], 63),
-                                    minlength=64)
-            if not emit_unmapped:
-                sel = np.nonzero(acc)[0]
-            else:
-                sel = np.arange(n)
-            if len(sel) == 0:
-                continue
-            codes = arr[sel]
-            acc_s = acc[sel]
-            rev_s = acc_s & (strand[sel] == 1)
-            # strand-oriented ASCII sequence, vectorized
-            seq_ascii = _ASCII_FWD[codes]
-            if rev_s.any():
-                seq_ascii[rev_s] = _ASCII_RC[codes[rev_s][:, ::-1]]
-            # first-byte 0 sentinel -> formatter emits "*" (no quality);
-            # reverse-strand hits emit reversed qualities (SAMfile parity,
-            # io/sam.py seq_qual_for_strand)
-            quals = np.zeros((len(sel), L), np.uint8)
-            for j, i in enumerate(sel):
-                q = recs[i].qual
-                if q is not None and len(q) == L:
-                    qj = np.asarray(q, np.uint8) + 33
-                    quals[j] = qj[::-1] if rev_s[j] else qj
-            ci = np.zeros(len(sel), np.int64)
-            pos1 = np.zeros(len(sel), np.int64)
-            if acc_s.any():
-                p_acc = pos[sel][acc_s]
-                c_acc = np.searchsorted(starts, p_acc,
-                                        side="right") - 1
-                ci[acc_s] = c_acc
-                pos1[acc_s] = p_acc - starts[c_acc] + 1
-            flag = np.where(acc_s,
-                            np.where(rev_s, FLAG_REVERSE, 0),
-                            FLAG_UNMAPPED).astype(np.int32)
-            mapq = np.full(len(sel), 254, np.int32)
-            nm = mm[sel].astype(np.int32)
-            names = [recs[i].name.encode() for i in sel]
-            qn_cat = b"".join(names)
-            qn_ofs = np.zeros(len(sel) + 1, np.int64)
-            qn_ofs[1:] = np.cumsum([len(x) for x in names])
-            cap = int(qn_ofs[-1]) + len(sel) * (2 * L + 128)
-            out = ctypes.create_string_buffer(cap)
-            nb = lib.format_sam_se(
-                qn_cat, qn_ofs.ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int64)),
-                chrom_cat, chrom_ofs.ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int64)),
-                flag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                ci.astype(np.int32).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int32)),
-                pos1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                mapq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                nm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                np.ascontiguousarray(seq_ascii).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_uint8)),
-                np.ascontiguousarray(quals).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_uint8)),
-                len(sel), L, out, cap)
-            if nb < 0:
-                raise RuntimeError("format_sam_se buffer overflow")
-            raw_f.write(out.raw[:nb])
-            if snp_caller is not None and acc_s.any():
-                orient = codes[acc_s].copy()
-                r2 = rev_s[acc_s]
-                if r2.any():
-                    rc = orient[r2][:, ::-1]
-                    orient[r2] = np.where(rc < 4, 3 - rc, rc)
-                snp_caller.add_alignments(pos[sel][acc_s], orient)
+        if blocks_gen is not None:
+            if first_block is not None:
+                emit(raw_f, *first_block)
+                for blk in blocks_gen:
+                    emit(raw_f, *blk)
+        else:
+            for recs, arr, raw in aligner.align_records_raw(records):
+                n = len(recs)
+                L = arr.shape[1]
+                quals_all = None
+                if any(r.qual is not None for r in recs):
+                    quals_all = np.zeros((n, L), np.uint8)
+                    for i, r in enumerate(recs):
+                        if r.qual is not None and len(r.qual) == L:
+                            quals_all[i] = np.asarray(
+                                r.qual, np.uint8) + 33
+                emit(raw_f, [r.name.encode() for r in recs], arr,
+                     quals_all, raw, n)
     if stats_path:
         write_align_stats(stats_path, stats, sub_hist)
     return stats

@@ -115,6 +115,84 @@ def read_seqs(path) -> Iterator[SeqRecord]:
         yield from read_fastq(path)
 
 
+def read_fastq_blocks(path, batch: int = 32768):
+    """Bulk uniform-length fastq block reader for the aligner hot path.
+
+    One IO read + one `split` + one vectorized decode for the whole file
+    (no per-read SeqRecord objects — the reference's CProcRawReads bulk
+    ingestion idea, ProcRawReads.cpp:2052, redesigned as array blocks).
+    Yields `(names: list[bytes], codes: uint8 [n, L], quals: uint8 [n, L]
+    raw phred+33 ASCII)` blocks of at most `batch` reads.
+
+    Raises ValueError when read lengths are non-uniform — callers fall
+    back to the generic record path.
+    """
+    with _open_text(path) as f:
+        data = f.read()
+    if b"\r" in data[:4096]:
+        data = data.replace(b"\r", b"")
+    lines = data.split(b"\n")
+    while lines and not lines[-1]:
+        lines.pop()
+    if not lines:
+        return
+    if len(lines) % 4:
+        raise ValueError(f"{path}: truncated fastq ({len(lines)} lines)")
+    seqs = lines[1::4]
+    n = len(seqs)
+    L = len(seqs[0])
+    seq_cat = b"".join(seqs)
+    if len(seq_cat) != n * L:
+        raise ValueError(f"{path}: non-uniform fastq read lengths")
+    qual_cat = b"".join(lines[3::4])
+    if len(qual_cat) != n * L:
+        raise ValueError(f"{path}: fastq qual/seq length mismatch")
+    names = [ln[1:].split(None, 1)[0] for ln in lines[0::4]]
+    codes = dna.encode(seq_cat).reshape(n, L)
+    quals = np.frombuffer(qual_cat, dtype=np.uint8).reshape(n, L)
+    for i in range(0, n, batch):
+        j = min(i + batch, n)
+        yield names[i:j], codes[i:j], quals[i:j]
+
+
+def read_fasta_blocks(path, batch: int = 32768):
+    """Bulk uniform-length fasta block reader; same contract as
+    read_fastq_blocks but quals is None per block."""
+    with _open_text(path) as f:
+        data = f.read()
+    if b"\r" in data[:4096]:
+        data = data.replace(b"\r", b"")
+    start = data.find(b">")
+    if start < 0:
+        raise ValueError(f"{path}: no fasta records")
+    names: list[bytes] = []
+    bodies: list[bytes] = []
+    for block in data[start + 1:].split(b"\n>"):
+        nl = block.find(b"\n")
+        hdr = block if nl < 0 else block[:nl]
+        body = b"" if nl < 0 else block[nl + 1:]
+        parts = hdr.split(None, 1)
+        names.append(parts[0] if parts else b"")
+        bodies.append(body.replace(b"\n", b""))
+    n = len(names)
+    L = len(bodies[0])
+    cat = b"".join(bodies)
+    if len(cat) != n * L:
+        raise ValueError(f"{path}: non-uniform fasta read lengths")
+    codes = dna.encode(cat).reshape(n, L)
+    for i in range(0, n, batch):
+        j = min(i + batch, n)
+        yield names[i:j], codes[i:j], None
+
+
+def read_seq_blocks(path, batch: int = 32768):
+    """Auto-detecting bulk block reader (see read_fastq_blocks)."""
+    if sniff_format(path) == "fasta":
+        yield from read_fasta_blocks(path, batch)
+    else:
+        yield from read_fastq_blocks(path, batch)
+
+
 def write_fasta(path, records, wrap: int = 70) -> None:
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "wt") as f:

@@ -217,3 +217,107 @@ def test_write_sam_fast_snp_pileup_parity(tmp_path, genome, index):
                           kalign.KAligner(index, batch_size=256), recs,
                           snp_caller=sc2)
     np.testing.assert_array_equal(sc1._counts, sc2._counts)
+
+
+def test_write_sam_fast_path_source(tmp_path, genome, index):
+    """write_sam_fast with a fastq/fasta PATH takes the zero-object block
+    route (io.fasta.read_seq_blocks) and must emit byte-identical SAM to
+    the record-iterable route; non-uniform lengths fall back cleanly."""
+    from kit4b_tpu.io.fasta import write_fastq, write_fasta
+
+    params = simreads.SimParams(n_reads=500, read_len=100, seed=5,
+                                error_mode="illumina", subs_rate=0.03)
+    recs = list(simreads.sim_reads(genome, params))
+    rng = np.random.default_rng(9)
+    for r in recs:
+        r.qual = rng.integers(2, 40, 100).astype(np.uint8)
+
+    # fastq source
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, recs)
+    p_rec = tmp_path / "rec.sam"
+    st1 = kalign.write_sam_fast(p_rec, index,
+                                kalign.KAligner(index, batch_size=128),
+                                recs)
+    p_path = tmp_path / "path.sam"
+    st2 = kalign.write_sam_fast(p_path, index,
+                                kalign.KAligner(index, batch_size=128),
+                                str(fq))
+    assert st1 == st2
+    body = lambda p: [l for l in p.read_text().splitlines()
+                      if not l.startswith("@PG")]
+    assert body(p_rec) == body(p_path)
+
+    # fasta source (no quals)
+    fa = tmp_path / "reads.fa"
+    write_fasta(fa, [SeqRecord(r.name, "", r.codes) for r in recs])
+    p_fa_rec = tmp_path / "fa_rec.sam"
+    kalign.write_sam_fast(p_fa_rec, index,
+                          kalign.KAligner(index, batch_size=128),
+                          [SeqRecord(r.name, "", r.codes) for r in recs])
+    p_fa_path = tmp_path / "fa_path.sam"
+    kalign.write_sam_fast(p_fa_path, index,
+                          kalign.KAligner(index, batch_size=128),
+                          str(fa))
+    assert body(p_fa_rec) == body(p_fa_path)
+
+    # SNP pileup parity through the path source
+    from kit4b_tpu.align.snp import SnpCaller
+    sc1, sc2 = SnpCaller(index.genome), SnpCaller(index.genome)
+    kalign.write_sam_fast(tmp_path / "s1.sam", index,
+                          kalign.KAligner(index, batch_size=128), recs,
+                          snp_caller=sc1)
+    kalign.write_sam_fast(tmp_path / "s2.sam", index,
+                          kalign.KAligner(index, batch_size=128),
+                          str(fq), snp_caller=sc2)
+    np.testing.assert_array_equal(sc1._counts, sc2._counts)
+
+    # non-uniform read lengths: path source falls back to the record path
+    recs_nu = recs[:50] + [SeqRecord("short", "", recs[0].codes[:80])]
+    fq_nu = tmp_path / "nu.fq"
+    write_fastq(fq_nu, [SeqRecord(r.name, "", r.codes) for r in recs_nu])
+    p_nu = tmp_path / "nu.sam"
+    st_nu = kalign.write_sam_fast(p_nu, index,
+                                  kalign.KAligner(index, batch_size=128),
+                                  str(fq_nu))
+    n_lines = len([l for l in p_nu.read_text().splitlines()
+                   if not l.startswith("@")])
+    assert n_lines == len(recs_nu)
+    assert sum(st_nu.values()) == len(recs_nu)
+
+
+def test_read_seq_blocks_parity(tmp_path, genome):
+    """Block readers return the same names/codes/quals as the per-record
+    readers."""
+    from kit4b_tpu.io.fasta import (read_seq_blocks, read_seqs,
+                                    write_fastq, write_fasta)
+    params = simreads.SimParams(n_reads=77, read_len=64, seed=1)
+    recs = list(simreads.sim_reads(genome, params))
+    rng = np.random.default_rng(2)
+    for r in recs:
+        r.qual = rng.integers(2, 40, 64).astype(np.uint8)
+    fq = tmp_path / "r.fq"
+    write_fastq(fq, recs)
+    names, codes, quals = [], [], []
+    for nm, cd, ql in read_seq_blocks(fq, batch=32):
+        names.extend(nm)
+        codes.append(cd)
+        quals.append(ql)
+    codes = np.concatenate(codes)
+    quals = np.concatenate(quals)
+    ref = list(read_seqs(fq))
+    assert names == [r.name.encode() for r in ref]
+    np.testing.assert_array_equal(codes,
+                                  np.stack([r.codes for r in ref]))
+    np.testing.assert_array_equal(
+        quals, np.stack([r.qual for r in ref]) + 33)
+
+    fa = tmp_path / "r.fa"
+    write_fasta(fa, [SeqRecord(r.name, "", r.codes) for r in recs])
+    out = list(read_seq_blocks(fa, batch=50))
+    assert all(q is None for _, _, q in out)
+    assert [n for nm, _, _ in out for n in nm] == \
+        [r.name.encode() for r in ref]
+    np.testing.assert_array_equal(
+        np.concatenate([c for _, c, _ in out]),
+        np.stack([r.codes for r in ref]))
