@@ -122,16 +122,25 @@ def main():
         jax.device_get(a[0, :1]); jax.device_get(b[0, :1])
     r2b_d = jnp.asarray(reads2b); nl_d = jnp.asarray(nlist)
     jax.device_get(r2b_d[0, :1])
-    from kit4b_tpu.ops import seed_extend_v4
+    from kit4b_tpu.ops import seed_extend_v4, seed_extend_v5
     gview, sa, lut, lut2 = al._device_for(READ_LEN)
     _, mtm = al.schedule_for(READ_LEN)
     offs = al._offsets_for(READ_LEN, mtm)
+    lut4 = al._lut4_for(READ_LEN, sa)   # production: v5 on clean indexes
+    log(f"tier-1 kernel: {'v5 (flattened lut4)' if lut4 is not None else 'v4'}")
     def compute():
-        out = seed_extend_v4.fast_pass_packed_v4(
-            gview, sa, lut2, r2b_d, nl_d, read_len=READ_LEN,
-            genome_len=len(seq), offsets=offs, lut_k=idx.lut_k,
-            n_compact=al.n_compact, n_extend=al.n_extend,
-            max_tot_mm=mtm, mm_delta=al.mm_delta)
+        if lut4 is not None:
+            out = seed_extend_v5.fast_pass_packed_v5(
+                gview, sa, lut2, lut4, r2b_d, nl_d, read_len=READ_LEN,
+                genome_len=len(seq), offsets=offs, lut_k=idx.lut_k,
+                n_compact=al.n_compact, n_extend=al.n_extend,
+                max_tot_mm=mtm, mm_delta=al.mm_delta, tier2=(512, 192, 96))
+        else:
+            out = seed_extend_v4.fast_pass_packed_v4(
+                gview, sa, lut2, r2b_d, nl_d, read_len=READ_LEN,
+                genome_len=len(seq), offsets=offs, lut_k=idx.lut_k,
+                n_compact=al.n_compact, n_extend=al.n_extend,
+                max_tot_mm=mtm, mm_delta=al.mm_delta)
         jax.device_get(out)
     compute()  # warm (compiled already by the rounds)
     for name, fn in (("h2d 2-bit reads", h2d), ("compute-only", compute)):

@@ -205,7 +205,9 @@ class KAligner:
                  escalation: tuple = ((512, 512), (64, 8192)),
                  micro_indel: int = 0,   # microInDel max length (-y), 0=off
                  splice_max: int = 0,    # splice junction max gap (-l), 0=off
-                 chimeric_pct: int = 0): # min chimeric len % (-c), 0=off
+                 chimeric_pct: int = 0,  # min chimeric len % (-c), 0=off
+                 use_v5: bool | None = None):  # flattened lut4 tier-1
+                                               # (None = auto by histogram)
         self.index = index
         self.max_subs = max_subs
         self.mm_delta = mm_delta
@@ -220,8 +222,11 @@ class KAligner:
         self.micro_indel = micro_indel
         self.splice_max = splice_max
         self.chimeric_pct = chimeric_pct
+        self.use_v5 = use_v5
         self._schedules: dict[int, tuple[list[PassSpec], int]] = {}
         self._fast_dev: dict[int, tuple] = {}   # nw2 -> (gview, sa, lut)
+        self._lut4 = None       # device lut4 (read-length independent)
+        self._lut4_decided = None
         self._host_packed = None
 
     def schedule_for(self, read_len: int):
@@ -251,6 +256,28 @@ class KAligner:
                     if self.index.lut[-1] < 2**31 else None)
             self._fast_dev[nw2] = (gview, sa, lut, lut2)
         return self._fast_dev[nw2]
+
+    def _lut4_for(self, read_len: int, sa):
+        """Device lut4 (flattened bucket table) when the v5 tier-1 path is
+        worth it: escalation population predicted tiny by the host-side
+        bucket histogram (ops/seed_extend_v5.host_escalation_estimate) and
+        the table fits HBM comfortably. Returns None to keep the v4 path
+        (e.g. repeat-dense indexes, where most reads would escalate)."""
+        if self._lut4_decided is None:
+            from ..ops import seed_extend_v5
+            decided = False
+            if self.use_v5 is not False and \
+                    len(self.index.lut) - 1 <= 4 ** 12:
+                _, mtm = self.schedule_for(read_len)
+                w = len(self._offsets_for(read_len, mtm))
+                est = seed_extend_v5.host_escalation_estimate(
+                    self.index.lut, w)
+                decided = bool(self.use_v5) or est <= 0.004
+            if decided:
+                self._lut4 = seed_extend_v5.make_lut4_device(
+                    self.index.lut, sa)
+            self._lut4_decided = decided
+        return self._lut4
 
     def _offsets_for(self, read_len: int, max_tot_mm: int) -> tuple:
         from ..ops import seed_extend_fast
@@ -294,11 +321,26 @@ class KAligner:
                 # distinct loci > NS) escalates through the old-path tiers
                 if 2 * len(self.index.genome.seq) + 1 < 2 ** 24:
                     # minimal-link variant: 2-bit reads up, 4 bytes/read
-                    # down, packed-native v4 kernel (zero-unpack)
-                    from ..ops import seed_extend_v4
+                    # down, packed-native kernel (zero-unpack). v5 when the
+                    # bucket histogram predicts a tiny escalation set (one
+                    # flattened row gather replaces LUT pair + SA gathers),
+                    # else the v4 full lut2+SA tier-1.
+                    from ..ops import seed_extend_v4, seed_extend_v5
                     reads2b, nlist, ok = pack_reads_2bit(reads)
                     if ok:
                         import jax.numpy as jnp
+                        lut4 = self._lut4_for(L, sa)
+                        if lut4 is not None:
+                            kw.pop("max_per_bucket", None)
+                            return ("packed",
+                                    seed_extend_v5.fast_pass_packed_v5(
+                                        gview, sa, lut2, lut4,
+                                        jnp.asarray(reads2b),
+                                        jnp.asarray(nlist), read_len=L,
+                                        max_tot_mm=max_tot_mm,
+                                        mm_delta=self.mm_delta,
+                                        n_extend=self.n_extend,
+                                        tier2=(512, 192, 96), **kw))
                         return ("packed", seed_extend_v4.fast_pass_packed_v4(
                             gview, sa, lut2, jnp.asarray(reads2b),
                             jnp.asarray(nlist), read_len=L,

@@ -239,3 +239,69 @@ def pack_reads_sharded(reads: np.ndarray, dp: int):
         packed.append(p)
         nlists.append(nl)
     return np.concatenate(packed), np.concatenate(nlists)
+
+
+def shard_index_by_key_v5(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
+    """shard_index_by_key for the v5 flattened kernel: per-shard lut4
+    rows [tp, keys_per, 8] = [sa[lo..lo+6] (global positions), cnt].
+    Positions are global genome loci, so cross-shard merge semantics are
+    unchanged; only bucket ownership (key ranges) is sharded."""
+    from ..ops.seed_extend_v5 import P_POS
+    sa_shards, lut_shards, key_lo = shard_index_by_key(sa_clean, lut, tp)
+    l4 = []
+    for t in range(tp):
+        lo = lut_shards[t, :-1].astype(np.int64)
+        cnt = (lut_shards[t, 1:].astype(np.int64) - lo)
+        sa_s = sa_shards[t].astype(np.int64)
+        m = len(sa_s)
+        cols = [sa_s[np.clip(lo + p, 0, m - 1)] for p in range(P_POS)]
+        l4.append(np.stack(cols + [cnt], axis=1).astype(np.int32))
+    return sa_shards, np.stack(l4), key_lo
+
+
+def device_put_sharded_index_v5(mesh: Mesh, gview, lut4_shards, key_lo):
+    """Place v5 index arrays with their mesh shardings."""
+    return (jax.device_put(gview, NamedSharding(mesh, P())),
+            jax.device_put(jnp.asarray(lut4_shards),
+                           NamedSharding(mesh, P("tp", None, None))),
+            jax.device_put(jnp.asarray(key_lo),
+                           NamedSharding(mesh, P("tp"))))
+
+
+def make_sharded_align_pass_v5(mesh: Mesh, *, genome_len: int,
+                               offsets: tuple, lut_k: int, read_len: int,
+                               n_compact: int, n_extend: int, max_ml: int):
+    """dp x tp sharded pass over the v5 flattened-index kernel
+    (ops/seed_extend_v5._cands_core_v5) — the production tier-1 on
+    clean indexes.
+
+    Args (sharded): gview replicated; lut4_shards [tp, keys_per, 8] and
+    key_lo [tp] over "tp"; reads2b/nlist over "dp" (nlist indices local to
+    the dp shard). The exactly-once guarantee is v4's unchanged (big-endian
+    keys, first-exact-window canonical test); reads whose seed buckets
+    exceed P_POS inline positions are flagged overflow (psum over "tp") and
+    escalate through the caller's ladder, exactly as on one chip."""
+    from ..ops import seed_extend_v4, seed_extend_v5
+    from ..ops.seed_extend_fast import finalize_fast
+
+    def _local(gview, lut4_s, key_lo_s, reads2b, nlist):
+        planes = seed_extend_v4.words_from_2bit(reads2b, nlist, read_len)
+        ids, mm, ovf = seed_extend_v5._cands_core_v5(
+            gview, lut4_s[0], key_lo_s[0], planes,
+            genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+            read_len=read_len, n_compact=n_compact, n_extend=n_extend)
+        ids_all = jax.lax.all_gather(ids, "tp", axis=0, tiled=True)
+        mm_all = jax.lax.all_gather(mm, "tp", axis=0, tiled=True)
+        out = finalize_fast(ids_all.T, mm_all.T, max_ml=max_ml)
+        out["overflow"] = jax.lax.psum(ovf.astype(jnp.int32), "tp") > 0
+        return out
+
+    shmapped = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P("tp", None, None), P("tp"),
+                  P("dp", None), P("dp", None)),
+        out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None),
+                   "overflow": P("dp")},
+        check_vma=False)
+    return jax.jit(shmapped)

@@ -219,3 +219,47 @@ def test_sharded_v4_matches_single(setup_repeat, dp, tp):
                 "overflow"):
         np.testing.assert_array_equal(np.asarray(out[key]),
                                       np.asarray(ref[key]), err_msg=key)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_v5_matches_single(setup_repeat, dp, tp):
+    """v5 flattened-index kernel sharded dp x tp == single-device v5,
+    bit-identical on the repeat-dense genome (key-range ownership +
+    first-exact-window canonicalisation are shard-invariant; bucket-high
+    escalation flags psum to the same per-read overflow set)."""
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    from kit4b_tpu.ops import seed_extend_fast, seed_extend_v3, \
+        seed_extend_v4, seed_extend_v5
+    from kit4b_tpu.ops.seed_extend_fast import finalize_fast
+    import jax.numpy as jnp
+    g, idx, arr = setup_repeat
+    assert len(jax.devices()) >= 8
+    L = arr.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    kw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+              read_len=L, n_compact=512, n_extend=256)
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut4 = seed_extend_v5.make_lut4_device(idx.lut, sa_d)
+    r2b, nl, ok = pack_reads_2bit(arr)
+    assert ok
+    planes = seed_extend_v4.words_from_2bit(jnp.asarray(r2b),
+                                            jnp.asarray(nl), L)
+    ids, mm, ovf = seed_extend_v5._cands_core_v5(
+        gview, lut4, jnp.int32(0), planes, **kw)
+    ref = finalize_fast(ids.T, mm.T, max_ml=5)
+    ref["overflow"] = np.asarray(ovf)
+
+    m = pmesh.make_mesh(dp, tp)
+    sa_s, lut4_s, key_lo = pmesh.shard_index_by_key_v5(
+        idx.sa_clean, idx.lut, tp)
+    args = pmesh.device_put_sharded_index_v5(m, gview, lut4_s, key_lo)
+    reads2b, nlist = pmesh.pack_reads_sharded(arr, dp)
+    fn = pmesh.make_sharded_align_pass_v5(m, max_ml=5, **kw)
+    out = fn(*args, reads2b, nlist)
+    for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm",
+                "overflow"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)

@@ -1,0 +1,200 @@
+"""Amortized stage timing: submit N async calls, one sync at the end.
+
+The axon tunnel quantizes single-call block_until_ready at ~24 ms, so
+tools/profile_v4_stages.py numbers are ceilings. Here each stage is timed
+as (N back-to-back submissions + one final sync)/N with device-resident
+inputs, which amortizes both dispatch and the sync quantum.
+"""
+import sys, os, time, functools
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from kit4b_tpu.utils.runtime import enable_compile_cache
+enable_compile_cache()
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kit4b_tpu import dna
+from kit4b_tpu.io.fasta import Genome
+from kit4b_tpu.index.sfx_index import SfxIndex
+from kit4b_tpu.sim import simreads
+from kit4b_tpu.ops import seed_extend_fast as F2
+from kit4b_tpu.ops import seed_extend_v3 as F3
+from kit4b_tpu.ops import seed_extend_v4 as F4
+from kit4b_tpu.ops.extend_packed import pack_genome
+from kit4b_tpu.align import kalign
+
+GENOME_LEN = 4_600_000
+L = 100
+B = 98304
+NC, NS = 24, 12
+
+rng = np.random.default_rng(12345)
+seq = np.concatenate([rng.integers(0, 4, GENOME_LEN).astype(np.uint8),
+                      [dna.BASE_EOG]]).astype(np.uint8)
+g = Genome(["e"], np.array([0]), np.array([GENOME_LEN]), seq)
+idx = SfxIndex.build(g)
+recs = simreads.sim_reads(g, simreads.SimParams(
+    n_reads=B, read_len=L, seed=7, error_mode="illumina", subs_rate=0.02))
+reads = np.stack([r.codes for r in recs])
+reads2b, nlist, _ = kalign.pack_reads_2bit(reads)
+
+offsets = F2.fast_offsets(L, idx.lut_k, 5)
+nw = (L + 15) // 16
+nw2 = nw + 1
+gpack, gbad = pack_genome(seq, 65)
+gview = F2.make_gview_device(gpack, gbad, nw2)
+sa = jnp.asarray(idx.sa_clean.astype(np.int32))
+lut2 = F3.make_lut2_device(idx.lut)
+G = len(seq)
+k = idx.lut_k
+W = len(offsets)
+D = 2 * W
+M = int(sa.shape[0])
+Gv = int(gview.shape[0])
+print(f"devices: {jax.devices()}  W={W} D={D} NC={NC} NS={NS}", flush=True)
+
+r2b_d = jnp.asarray(reads2b)
+nl_d = jnp.asarray(nlist)
+jax.block_until_ready(r2b_d)
+
+
+def amort(name, fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        outs = [fn(*args) for _ in range(n)]
+        for o in outs:
+            jax.block_until_ready(o)
+        dt = (time.time() - t0) / n
+        best = dt if best is None else min(best, dt)
+    print(f"{name:46s} {best*1000:8.2f} ms/call (amortized x{n})",
+        flush=True)
+    return out
+
+
+@jax.jit
+def s_trivial(x):
+    return x + 1
+
+
+amort("0 trivial x+1 on [B] i32", s_trivial,
+      jnp.zeros((B,), jnp.int32))
+
+s_planes = jax.jit(functools.partial(F4.words_from_2bit, read_len=L))
+planes = s_planes(r2b_d, nl_d)
+planes = jax.block_until_ready(planes)
+amort("1 words_from_2bit", s_planes, r2b_d, nl_d)
+
+
+@jax.jit
+def s_keys_only(planes):
+    rw, rb, rcw, rcb = planes
+    kf, okf = F4._keys_be(rw, rb, offsets, k)
+    kr, okr = F4._keys_be(rcw, rcb, offsets, k)
+    return kf, okf, kr, okr
+
+
+amort("2a keys only (no gather)", s_keys_only, planes)
+
+
+@jax.jit
+def s_seeds(planes):
+    rw, rb, rcw, rcb = planes
+    kf, okf = F4._keys_be(rw, rb, offsets, k)
+    kr, okr = F4._keys_be(rcw, rcb, offsets, k)
+    keys = jnp.stack([kf, kr], axis=0)
+    key_ok = jnp.stack([okf, okr], axis=0)
+    pair = lut2[keys]
+    lo = pair[..., 0]
+    cnt = jnp.where(key_ok, pair[..., 1], 0)
+    return lo.reshape(D, B), cnt.reshape(D, B)
+
+
+lo_d, cnt_d = amort("2 keys + lut2 gather", s_seeds, planes)
+lo_d = jax.block_until_ready(lo_d)
+
+
+@jax.jit
+def s_compact(lo_d, cnt_d):
+    cum = jnp.cumsum(cnt_d, axis=0)
+    total = cum[-1]
+    overflow = total > NC
+    j = jnp.arange(NC, dtype=jnp.int32)[:, None, None]
+    le = (cum[None, :, :] <= j).astype(jnp.int32)
+    b = jnp.clip(jnp.sum(le, axis=1), 0, D - 1)
+    donehot = (b[:, None, :] ==
+               jnp.arange(D, dtype=jnp.int32)[None, :, None])
+    cum0 = jnp.concatenate([jnp.zeros((1, B), jnp.int32), cum[:-1]], axis=0)
+    prev = jnp.sum(jnp.where(donehot, cum0[None], 0), axis=1)
+    lo_b = jnp.sum(jnp.where(donehot, lo_d[None], 0), axis=1)
+    jq = jnp.arange(NC, dtype=jnp.int32)[:, None]
+    rank = jq - prev
+    sa_idx = lo_b + rank
+    slot_ok = jq < jnp.minimum(total, NC)[None, :]
+    w_d = b % W
+    strand = b // W
+    off_np = np.asarray(offsets, np.int32)
+    off_b = jnp.sum(jnp.where(
+        w_d[:, None, :] == jnp.arange(W, dtype=jnp.int32)[None, :, None],
+        jnp.asarray(off_np)[None, :, None], 0), axis=1)
+    return sa_idx, slot_ok, w_d, strand, off_b, overflow
+
+
+cp = amort("3 compaction", s_compact, lo_d, cnt_d)
+sa_idx, slot_ok, w_d, strand, off_b, overflow = jax.block_until_ready(cp)
+
+
+@jax.jit
+def s_sagather(sa_idx, off_b, slot_ok):
+    sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
+    pos = sa_pos - off_b
+    valid = slot_ok & (pos >= 0) & (pos + L <= G)
+    return pos, valid
+
+
+pv = amort("4 SA gather [NC,B]", s_sagather, sa_idx, off_b, slot_ok)
+pos, valid = jax.block_until_ready(pv)
+
+
+@jax.jit
+def s_dedup(pos, valid, strand, w_d):
+    lid = jnp.where(valid, pos * 2 + strand, F3.INT32_MAX)
+    eq = (lid[:, None, :] == lid[None, :, :]) & valid[None, :, :]
+    tri = np.tril(np.ones((NC, NC), dtype=bool), -1)
+    dup = jnp.any(eq & jnp.asarray(tri)[:, :, None], axis=1)
+    keep = valid & ~dup
+    n_uniq = jnp.sum(keep, axis=0, dtype=jnp.int32)
+    kcum = jnp.cumsum(keep.astype(jnp.int32), axis=0)
+    j2 = jnp.arange(NS, dtype=jnp.int32)[:, None, None]
+    src = jnp.clip(jnp.sum((kcum[None, :, :] <= j2).astype(jnp.int32),
+                           axis=1), 0, NC - 1)
+    shot = (src[:, None, :] ==
+            jnp.arange(NC, dtype=jnp.int32)[None, :, None])
+    pos2 = jnp.sum(jnp.where(shot, pos[None], 0), axis=1)
+    str2 = jnp.sum(jnp.where(shot, strand[None], 0), axis=1)
+    wd2 = jnp.sum(jnp.where(shot, w_d[None], 0), axis=1)
+    ok2 = (jnp.arange(NS, dtype=jnp.int32)[:, None]
+           < jnp.minimum(n_uniq, NS)[None, :])
+    return pos2, str2, wd2, ok2
+
+
+dd = amort("5 dedup+recompact", s_dedup, pos, valid, strand, w_d)
+pos2, str2, wd2, ok2 = jax.block_until_ready(dd)
+
+
+@jax.jit
+def s_gather_only(pos2, ok2):
+    posc = jnp.where(ok2, pos2, 0)
+    w0 = jnp.clip(posc >> 4, 0, Gv - 1)
+    return gview[w0]
+
+
+amort("6a gview row gather [NS,B,16]", s_gather_only, pos2, ok2)
+
+f4 = jax.jit(functools.partial(
+    F4.fast_pass_packed_v4, gview, sa, lut2, read_len=L, genome_len=G,
+    offsets=offsets, lut_k=k, n_compact=NC, n_extend=NS, max_tot_mm=5,
+    mm_delta=1))
+amort("FULL fast_pass_packed_v4 (incl tier2)", f4, r2b_d, nl_d, n=6)
