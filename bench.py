@@ -109,10 +109,10 @@ def main():
 
     # cost split (the roadmap evidence): time the pure h2d of one batch's
     # 2-bit reads and the compute with device-resident reads. The tunnel
-    # serialises transfers and compute (tools/profile_pipeline2 measured
-    # no overlap and ~20 ms per extra dispatch), so round ~= h2d + compute;
-    # on production TPU hosts (PCIe DMA, not a ~20 MB/s tunnel) the round
-    # collapses to the compute term.
+    # serialises transfers and compute (tools/profile_pipeline.py and the
+    # round-4 tools/profile_overlap.py experiment measure the overlap
+    # attained), so round ~= h2d + compute; on production TPU hosts
+    # (PCIe DMA, not a ~20 MB/s tunnel) the round collapses to compute.
     import jax
     import jax.numpy as jnp
     b0 = reads[:BATCH]

@@ -262,22 +262,34 @@ class KAligner:
         worth it: escalation population predicted tiny by the host-side
         bucket histogram (ops/seed_extend_v5.host_escalation_estimate) and
         the table fits HBM comfortably. Returns None to keep the v4 path
-        (e.g. repeat-dense indexes, where most reads would escalate)."""
+        (e.g. repeat-dense indexes, where most reads would escalate).
+        The decision is keyed per read length (window counts differ), the
+        lut4 table itself is read-length independent and built once."""
         if self._lut4_decided is None:
+            self._lut4_decided = {}
+        if read_len not in self._lut4_decided:
             from ..ops import seed_extend_v5
             decided = False
-            if self.use_v5 is not False and \
-                    len(self.index.lut) - 1 <= 4 ** 12:
-                _, mtm = self.schedule_for(read_len)
-                w = len(self._offsets_for(read_len, mtm))
-                est = seed_extend_v5.host_escalation_estimate(
-                    self.index.lut, w)
-                decided = bool(self.use_v5) or est <= 0.004
-            if decided:
+            if self.use_v5 is not False:
+                if len(self.index.lut) - 1 > 4 ** 12:
+                    if self.use_v5:
+                        import warnings
+                        warnings.warn(
+                            "use_v5=True ignored: lut has "
+                            f"{len(self.index.lut) - 1} keys > 4^12; the "
+                            "flattened lut4 would exceed the HBM budget — "
+                            "running the v4 tier-1 instead", RuntimeWarning)
+                else:
+                    _, mtm = self.schedule_for(read_len)
+                    w = len(self._offsets_for(read_len, mtm))
+                    est = seed_extend_v5.host_escalation_estimate(
+                        self.index.lut, w)
+                    decided = bool(self.use_v5) or est <= 0.004
+            if decided and self._lut4 is None:
                 self._lut4 = seed_extend_v5.make_lut4_device(
                     self.index.lut, sa)
-            self._lut4_decided = decided
-        return self._lut4
+            self._lut4_decided[read_len] = decided
+        return self._lut4 if self._lut4_decided[read_len] else None
 
     def _offsets_for(self, read_len: int, max_tot_mm: int) -> tuple:
         from ..ops import seed_extend_fast
@@ -319,8 +331,8 @@ class KAligner:
             if tier1:
                 # v3: gather-minimal lane-major pass; overflow (raw > NC or
                 # distinct loci > NS) escalates through the old-path tiers
-                if 2 * len(self.index.genome.seq) + 1 < 2 ** 24:
-                    # minimal-link variant: 2-bit reads up, 4 bytes/read
+                if 2 * len(self.index.genome.seq) + 1 < 2 ** 31:
+                    # minimal-link variant: 2-bit reads up, 8 bytes/read
                     # down, packed-native kernel (zero-unpack). v5 when the
                     # bucket histogram predicts a tiny escalation set (one
                     # flattened row gather replaces LUT pair + SA gathers),
@@ -375,8 +387,8 @@ class KAligner:
         """Fetch [B,2] compact results; escalate overflow codes via the
         full-stats tiers; return the classification dict."""
         if isinstance(devout, tuple) and devout[0] == "packed":
-            from ..ops.seed_extend_v3 import unpack_result_word
-            code, low, n_low = unpack_result_word(
+            from ..ops.seed_extend_v3 import unpack_result2
+            code, low, n_low = unpack_result2(
                 np.array(jax.device_get(devout[1])))
         else:
             host = np.array(jax.device_get(devout))

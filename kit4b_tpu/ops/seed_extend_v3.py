@@ -311,31 +311,26 @@ def _classify_compact(ids, mm, overflow, *, max_tot_mm, mm_delta):
     return code, low, n_low
 
 
-def pack_result_word(code, low, n_low):
-    """(code, low, n_low) -> ONE int32 per read (4 bytes over the link):
-      bits 31..8  pos*2+strand+1 when accepted, else 0
-      bits  7..2  lowest mismatch count, saturated at 63
-      bits  1..0  class: 0 accepted / 1 nohit / 2 multi / 3 overflow
-    Valid only when 2*genome_len + 1 < 2^24 and max_tot_mm <= 63; the
-    n_low value is reduced to its class (1 for accepted, >=2 for multi)."""
-    cls = jnp.where(code >= 0, 0,
-                    jnp.where(code == -1, 1,
-                              jnp.where(code == -2, 2, 3)))
-    lp1 = jnp.where(code >= 0, code + 1, 0)
-    mm6 = jnp.clip(jnp.where(low == INT32_MAX, 63, low), 0, 63)
-    return (lp1 << 8) | (mm6 << 2) | cls
+def pack_result2(code, low):
+    """(code, low) -> [B, 2] int32 compact result (8 bytes/read over the
+    link): col 0 = code (pos*2+strand when accepted, else -1 nohit /
+    -2 multi / -3 overflow), col 1 = lowest mismatch count (INT32_MAX when
+    no candidate scored). Valid while 2*genome_len + 1 < 2^31 (~1.07 Gbp,
+    the int32 locus-id ceiling — the reference switches to 5-byte suffix
+    elements past 4 Gbp, libkit4b/SfxArray.cpp:906-909; beyond 1 Gbp our
+    path is the key-range sharded index with per-shard offsets,
+    parallel/mesh.py). Replaces round 3's single-word format, whose 24-bit
+    position field capped the production path at 8.4 Mbp genomes."""
+    return jnp.stack([code, low], axis=1)
 
 
-def unpack_result_word(word: np.ndarray):
-    """Host-side inverse of pack_result_word -> (code, low, n_low)."""
-    word = word.astype(np.int64)
-    cls = word & 3
-    mm6 = (word >> 2) & 63
-    lp1 = (word >> 8) & 0xFFFFFF
-    code = np.where(cls == 0, lp1 - 1,
-                    np.where(cls == 1, -1, np.where(cls == 2, -2, -3)))
-    low = np.where((cls == 1) & (mm6 == 63), np.int64(INT32_MAX), mm6)
-    n_low = np.where(cls == 0, 1, np.where(cls == 2, 2, 0))
+def unpack_result2(res: np.ndarray):
+    """Host-side inverse of pack_result2 -> (code, low, n_low); n_low is
+    reduced to its class (1 accepted, >=2 multi, 0 otherwise)."""
+    res = np.asarray(res)
+    code = res[:, 0].astype(np.int64)
+    low = res[:, 1].astype(np.int64)
+    n_low = np.where(code >= 0, 1, np.where(code == -2, 2, 0))
     return code, low, n_low
 
 
@@ -348,8 +343,8 @@ def fast_pass_packed_v3(gview, sa, lut2, reads2b, nlist, *, genome_len,
                         offsets, lut_k, n_compact, max_tot_mm, mm_delta,
                         read_len, n_extend=None, max_per_bucket=None,
                         tier2=(128, 192, 96)):
-    """2-bit-packed reads in, ONE int32 word per read out — the minimal
-    host-link variant of fast_pass_compact_v3 (see pack_result_word).
+    """2-bit-packed reads in, [B, 2] int32 out — the minimal host-link
+    variant of fast_pass_compact_v3 (see pack_result2).
 
     tier2 = (E, NC2, NS2): capacity-overflowed reads (class -3, typically
     <0.1%) are re-seeded ON DEVICE at the deeper (NC2, NS2) tier inside the
@@ -386,8 +381,7 @@ def fast_pass_packed_v3(gview, sa, lut2, reads2b, nlist, *, genome_len,
         tgt = jnp.where(egood, ridx, jnp.int32(2 ** 30))    # OOB -> dropped
         code = code.at[tgt].set(code2, mode="drop")
         low = low.at[tgt].set(low2, mode="drop")
-        n_low = n_low.at[tgt].set(nlow2, mode="drop")
-    return pack_result_word(code, low, n_low)
+    return pack_result2(code, low)
 
 
 @functools.partial(

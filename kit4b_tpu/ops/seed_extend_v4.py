@@ -34,7 +34,7 @@ import numpy as np
 
 from .seed_extend_fast import _tail_mask, _window_masks
 from .seed_extend_v3 import INT32_MAX, MISM_BITS, _classify_compact, \
-    pack_result_word
+    pack_result2
 
 M2 = np.uint32(0x33333333)
 M4 = np.uint32(0x0F0F0F0F)
@@ -263,8 +263,8 @@ def fast_pass_packed_v4(gview, sa, lut2, reads2b, nlist, *, genome_len,
                         read_len, n_extend=None, max_per_bucket=None,
                         tier2=(128, 192, 96)):
     """Drop-in replacement for seed_extend_v3.fast_pass_packed_v3 with the
-    packed-native pipeline: 2-bit reads in, one int32 word per read out
-    (pack_result_word), including the on-device tier-2 escalation."""
+    packed-native pipeline: 2-bit reads in, [B, 2] int32 out
+    (pack_result2), including the on-device tier-2 escalation."""
     B = reads2b.shape[0]
     planes = words_from_2bit(reads2b, nlist, read_len)
     kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
@@ -295,5 +295,4 @@ def fast_pass_packed_v4(gview, sa, lut2, reads2b, nlist, *, genome_len,
         tgt = jnp.where(egood, ridx, jnp.int32(2 ** 30))
         code = code.at[tgt].set(code2, mode="drop")
         low = low.at[tgt].set(low2, mode="drop")
-        n_low = n_low.at[tgt].set(nlow2, mode="drop")
-    return pack_result_word(code, low, n_low)
+    return pack_result2(code, low)

@@ -1,6 +1,7 @@
 """Round-3 kalign hot path v5: flattened seed index (positions-in-LUT).
 
-Bit-identical final results to seed_extend_v4.fast_pass_packed_v4, with the
+Bit-identical final results to seed_extend_v4.fast_pass_packed_v4 (see the
+fast_pass_packed_v5 docstring for the n_esc <= E precondition), with the
 tier-1 SA indirection REMOVED. Chip ablation (tools/profile_v4_ablate.py,
 forced-fetch protocol) attributes the v4 fused pass cost to three
 latency-bound HBM row gathers — LUT pair ~13 ms, SA ~20 ms, genome rows
@@ -35,7 +36,7 @@ import numpy as np
 
 from .seed_extend_fast import _tail_mask, _window_masks
 from .seed_extend_v3 import INT32_MAX, MISM_BITS, _classify_compact, \
-    pack_result_word
+    pack_result2
 from .seed_extend_v4 import _cands_core_v4, _keys_be, words_from_2bit
 
 P_POS = 7   # suffix positions inlined per bucket (col 7 = cnt)
@@ -217,8 +218,16 @@ def fast_pass_packed_v5(gview, sa, lut2, lut4, reads2b, nlist, *,
                         tier2=(256, 192, 96)):
     """Drop-in for fast_pass_packed_v4 with the flattened tier-1 index.
     Tier-2 escalation (bucket>P_POS, candidate-total or distinct-loci
-    overflow) runs v4's full lut2+SA path on device with big caps, so the
-    packed result word is bit-identical to v4's for every read."""
+    overflow) runs v4's full lut2+SA path on device with big caps.
+
+    Result equivalence: identical to v4's for every read PROVIDED the
+    number of escalated reads fits the E tier-2 slots. v5 escalates
+    strictly more reads than v4 (every bucket-high read, not just
+    capacity overflows), so when n_esc > E the leftover reads return
+    class -3 and resolve through the caller's host escalation ladder —
+    still correct end to end, at a perf cost. Hosts size E from the
+    bucket histogram (KAligner._lut4_for picks v5 only when the
+    predicted escalation population is tiny relative to E)."""
     B = reads2b.shape[0]
     planes = words_from_2bit(reads2b, nlist, read_len)
     kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
@@ -249,5 +258,4 @@ def fast_pass_packed_v5(gview, sa, lut2, lut4, reads2b, nlist, *,
         tgt = jnp.where(egood, ridx, jnp.int32(2 ** 30))
         code = code.at[tgt].set(code2, mode="drop")
         low = low.at[tgt].set(low2, mode="drop")
-        n_low = n_low.at[tgt].set(nlow2, mode="drop")
-    return pack_result_word(code, low, n_low)
+    return pack_result2(code, low)

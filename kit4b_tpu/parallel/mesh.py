@@ -254,7 +254,11 @@ def shard_index_by_key_v5(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
         cnt = (lut_shards[t, 1:].astype(np.int64) - lo)
         sa_s = sa_shards[t].astype(np.int64)
         m = len(sa_s)
-        cols = [sa_s[np.clip(lo + p, 0, m - 1)] for p in range(P_POS)]
+        # m == 0 (a shard owning zero suffixes — tiny genomes / skewed key
+        # ranges at large tp): cnt is all zero so the position columns are
+        # never dereferenced; emit a zero block instead of indexing empty
+        cols = [sa_s[np.clip(lo + p, 0, max(m - 1, 0))] if m
+                else np.zeros_like(lo) for p in range(P_POS)]
         l4.append(np.stack(cols + [cnt], axis=1).astype(np.int32))
     return sa_shards, np.stack(l4), key_lo
 

@@ -195,7 +195,7 @@ def test_packed_pass_device_tier2():
         gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
         read_len=reads.shape[1], n_compact=12, n_extend=4,
         tier2=(128, 512, 256), **kw))
-    code, low, n_low = F3.unpack_result_word(word)
+    code, low, n_low = F3.unpack_result2(word)
     # every read must agree with the big pass (tier2 capacity is ample);
     # reads the big pass itself cannot hold stay -3 in both
     assert (big[:, 0] != -3).sum() > 100
@@ -208,12 +208,12 @@ def test_packed_pass_device_tier2():
         gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
         read_len=reads.shape[1], n_compact=12, n_extend=4,
         tier2=(1, 512, 256), **kw))
-    code_s, _, _ = F3.unpack_result_word(word_s)
+    code_s, _, _ = F3.unpack_result2(word_s)
     word_t1 = np.asarray(F3.fast_pass_packed_v3(
         gview, sa_d, lut2, jnp.asarray(reads2b), jnp.asarray(nlist),
         read_len=reads.shape[1], n_compact=12, n_extend=4,
         tier2=None, **kw))
-    code_t1, _, _ = F3.unpack_result_word(word_t1)
+    code_t1, _, _ = F3.unpack_result2(word_t1)
     ovf_idx = np.nonzero(code_t1 == -3)[0]
     if len(ovf_idx) > 1:
         assert code_s[ovf_idx[0]] == big[ovf_idx[0], 0]

@@ -108,7 +108,39 @@ def test_kaligner_v5_wiring(setup):
     auto.align_batch_raw(reads[:32])
     cnt = np.diff(np.asarray(idx.lut))
     frac_high = cnt[cnt > v5.P_POS].sum() / max(cnt.sum(), 1)
-    assert auto._lut4_decided == (frac_high * 12 <= 0.004)
+    assert auto._lut4_decided[100] == (frac_high * 12 <= 0.004)
+
+
+def test_large_genome_past_24bit():
+    """Production packed path on a 10 Mbp genome — past round 3's 8.4 Mbp
+    single-word cap (VERDICT r3 item 1): accepted loci round-trip through
+    the [B, 2] compact result (ops/seed_extend_v3.pack_result2) and match
+    simreads ground truth at positions beyond 2^23. Mirrors the reference's
+    large-genome capacity class (libkit4b/SfxArray.h:182)."""
+    rng = np.random.default_rng(99)
+    G = 10_000_000
+    seq = np.concatenate([rng.integers(0, 4, G).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["big"], np.array([0]), np.array([G]), seq)
+    idx = SfxIndex.build(g, lut_k=11)
+    al = kalign.KAligner(idx, batch_size=256)
+    recs = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=256, read_len=100, seed=4,
+                              error_mode="uniform", subs_rate=0.02))
+    reads = np.stack([r.codes for r in recs])
+    dev = al._submit(reads)
+    assert isinstance(dev, tuple) and dev[0] == "packed"
+    raw = al._collect_compact(dev, reads)
+    acc = raw["nar"] == 0
+    assert acc.mean() > 0.9
+    n_far = 0
+    for i in np.nonzero(acc)[0]:
+        t = simreads.parse_truth(recs[i].name)
+        assert int(raw["pos"][i]) == t["start"]
+        assert ("-" if raw["strand"][i] else "+") == t["strand"]
+        if raw["pos"][i] > 2 ** 23:
+            n_far += 1
+    assert n_far > 0
 
 
 def test_escalation_estimate(setup):

@@ -168,7 +168,7 @@ def core_ablate(planes, *, no_lut, no_sa, no_gview, no_dedup=False,
     mm = jnp.where(canonical, mm, F3.INT32_MAX)
     code, low, n_low = F3._classify_compact(ids, mm, overflow,
                                             max_tot_mm=5, mm_delta=1)
-    return F3.pack_result_word(code, low, n_low)
+    return F3.pack_result2(code, low)
 
 
 def run(name, B, **abl):

@@ -91,6 +91,6 @@ w4 = np.asarray(jax.device_get(o4))
 w5 = np.asarray(jax.device_get(o5))
 same = (w4 == w5).mean()
 print(f"agreement v4 vs v5 on chip: {same*100:.4f}%", flush=True)
-code5, _, _ = F3.unpack_result_word(w5)
+code5, _, _ = F3.unpack_result2(w5)
 print(f"v5 codes: acc={np.sum(code5>=0)} no={np.sum(code5==-1)} "
       f"mu={np.sum(code5==-2)} ovf={np.sum(code5==-3)}", flush=True)
