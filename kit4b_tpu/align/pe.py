@@ -168,6 +168,8 @@ def _hits_of(res: _k.AlignResult, hit_ids, hit_mms, max_tot_mm):
 class PeAligner:
     """Paired-end driver over a base KAligner."""
 
+    use_packed = True   # False forces the round-2 byte-tensor device path
+
     def __init__(self, aligner: _k.KAligner, *,
                  pair_min_len: int = 100, pair_max_len: int = 1000,
                  pe_mode: int = 2,
@@ -237,7 +239,7 @@ class PeAligner:
         g = al.index.genome
         L = len(recs1[0].codes)
         _, max_tot = al.schedule_for(L)
-        gview, sa, lut, _lut2 = al._device_for(L)
+        gview, sa, lut, lut2 = al._device_for(L)
         starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
         B = al.batch_size
         kw = dict(genome_len=len(g.seq),
@@ -246,8 +248,25 @@ class PeAligner:
                   max_ml=al.max_ml, max_tot1=max_tot, max_tot2=max_tot,
                   mm_delta=al.mm_delta, min_ins=self.min_len,
                   max_ins=self.max_len)
+        # production path: the TOTAL packed-native PE pass (one submission
+        # resolves seed+extend, pairing, tier-2 AND the capped final tier
+        # on device — ops/pe_packed.py); the round-2 byte-tensor pe_pass
+        # stays as the fallback for genomes past the int32 locus ceiling
+        use_packed = (self.use_packed and lut2 is not None
+                      and 2 * len(g.seq) + 1 < 2 ** 31)
+        pkw = dict(genome_len=len(g.seq),
+                   offsets=al._offsets_for(L, max_tot),
+                   lut_k=al.index.lut_k, read_len=L,
+                   n_compact=al.n_compact, n_extend=al.n_extend,
+                   max_ml=al.max_ml, max_tot=max_tot,
+                   mm_delta=al.mm_delta, min_ins=self.min_len,
+                   max_ins=self.max_len,
+                   tier2=(min(B, 1024), 192, 96),
+                   tier3=(min(B, 256), 1024))
 
         def submit(i0):
+            from ..ops import pe_packed
+            from .kalign import pack_reads_2bit
             c1 = recs1[i0:i0 + B]
             c2 = recs2[i0:i0 + B]
             a1 = np.stack([r.codes for r in c1])
@@ -257,6 +276,14 @@ class PeAligner:
                     [a1, np.repeat(a1[:1], B - len(c1), axis=0)])
                 a2 = np.concatenate(
                     [a2, np.repeat(a2[:1], B - len(c2), axis=0)])
+            if use_packed:
+                r2b1, nl1, ok1 = pack_reads_2bit(a1)
+                r2b2, nl2, ok2 = pack_reads_2bit(a2)
+                if ok1 and ok2:
+                    return pe_packed.pe_pass_packed(
+                        gview, sa, lut2, starts_d,
+                        jnp.asarray(r2b1), jnp.asarray(nl1),
+                        jnp.asarray(r2b2), jnp.asarray(nl2), **pkw)
             return pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)
 
         pending = []
@@ -277,8 +304,9 @@ class PeAligner:
         # escalate overflowed pairs through DEVICE pe_pass tiers with
         # larger candidate capacities (the PE analog of the SE
         # escalation ladder / reference MaxIter sensitivity tiers,
-        # KAligner.h:53-56); repeat-dense genomes overflow tier 1 for a
-        # large read fraction, so this must stay off the host
+        # KAligner.h:53-56). The packed pass resolves its tiers in-graph,
+        # so this loop only sees pairs past its escape-slot capacities
+        # (empty in practice); the fallback pe_pass path still uses it.
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
         for ti, (bt, nct) in enumerate(self.escalation):
             if len(ovf) == 0:

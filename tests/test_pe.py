@@ -87,6 +87,56 @@ def test_pe_orphan_rescue(setup):
     assert len(acc) >= 26
 
 
+@pytest.fixture(scope="module")
+def setup_repeats():
+    """Repeat-dense genome: drives tier-1 overflow so the packed PE pass's
+    in-graph tier-2/tier-3 escalation is exercised."""
+    rng = np.random.default_rng(31)
+    n = 200_000
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    unit = rng.integers(0, 4, 300).astype(np.uint8)
+    for i in range(40):
+        p = 2000 + i * 4500
+        seq[p:p + 300] = unit
+    seq = np.concatenate([seq, [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    idx = SfxIndex.build(g)
+    r1, r2 = simreads.sim_reads(
+        g, simreads.SimParams(n_reads=400, read_len=100, pe=True,
+                              pe_insert_min=250, pe_insert_max=450,
+                              seed=9, error_mode="uniform", subs_rate=0.01))
+    return g, idx, r1, r2
+
+
+@pytest.mark.parametrize("fixture", ["setup", "setup_repeats"])
+def test_pe_packed_matches_fallback(fixture, request):
+    """The packed-native total PE pass (ops/pe_packed.py) produces the same
+    PePair stream as the round-2 byte-tensor device path + host escalation
+    ladder, on clean AND repeat-dense genomes."""
+    g, idx, r1, r2 = request.getfixturevalue(fixture)
+    al = kalign.KAligner(idx, batch_size=256)
+    pal_new = pe.PeAligner(al, pair_min_len=200, pair_max_len=500,
+                           pe_mode=2)
+    pal_old = pe.PeAligner(al, pair_min_len=200, pair_max_len=500,
+                           pe_mode=2)
+    pal_old.use_packed = False
+    out_new = list(pal_new.align_pairs(r1, r2))
+    out_old = list(pal_old.align_pairs(r1, r2))
+    assert len(out_new) == len(out_old)
+    n_acc = 0
+    for (a1, a2, pn), (b1, b2, po) in zip(out_new, out_old):
+        assert a1.name == b1.name
+        assert pn.nar == po.nar, a1.name
+        if pn.nar == pe.NAR_PE_ACCEPTED:
+            n_acc += 1
+            assert (pn.r1.pos, pn.r1.strand, pn.r1.mm) == \
+                   (po.r1.pos, po.r1.strand, po.r1.mm)
+            assert (pn.r2.pos, pn.r2.strand, pn.r2.mm) == \
+                   (po.r2.pos, po.r2.strand, po.r2.mm)
+            assert pn.tlen == po.tlen
+    assert n_acc >= 0.9 * len(r1)
+
+
 def test_pe_sam(tmp_path, setup):
     g, idx, r1, r2 = setup
     al = kalign.KAligner(idx, batch_size=512)
