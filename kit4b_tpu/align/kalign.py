@@ -35,17 +35,28 @@ from ..io.sam import (FLAG_REVERSE, FLAG_UNMAPPED, SamAlignment, SamWriter,
 INT32_MAX = np.iinfo(np.int32).max
 
 
-def pack_reads_2bit(reads: np.ndarray, n_cap: int = 4096):
+def pack_reads_2bit(reads: np.ndarray, n_cap: int | None = None):
     """[B, L] uint8 codes -> ([B, ceil(L/4)] packed, [n_cap, 2] sparse N
     list, ok). The host link is the bottleneck (~10-35 MB/s), so reads
     cross it 2-bit packed; Ns ride a sparse (read, base) list, padded with
     large positive OOB sentinels (jnp .at[] mode="drop" drops out-of-range
     indices but WRAPS negative ones). ok=False when the batch has more Ns
     than n_cap (caller uses the unpacked path). Native C loop when built
-    (native/hostops.cpp, ~40x numpy's strided packing); numpy fallback."""
+    (native/hostops.cpp, ~40x numpy's strided packing); numpy fallback.
+
+    n_cap=None sizes the list from the batch's actual N count, rounded up
+    to a power of two >= 4096 so jit executables are shared across batches
+    (reads sampled over telomere/centromere N runs carry tens of thousands
+    of Ns per batch — a fixed 4096 cap silently demoted those batches to
+    the slow unpacked path)."""
     from ..index.sa_build import _load_native
     import ctypes
     B, L = reads.shape
+    if n_cap is None:
+        n_n = int((reads >= 4).sum())
+        n_cap = 4096
+        while n_cap < n_n:
+            n_cap <<= 1
     L4 = (L + 3) // 4
     lib = _load_native()
     if lib is not None and hasattr(lib, "pack2bit_u8"):

@@ -261,8 +261,12 @@ class PeAligner:
                    max_ml=al.max_ml, max_tot=max_tot,
                    mm_delta=al.mm_delta, min_ins=self.min_len,
                    max_ins=self.max_len,
-                   tier2=(min(B, 1024), 192, 96),
-                   tier3=(min(B, 256), 1024))
+                   tier2=(min(B, 1024), 192, 96), tier3=None)
+        # context for the deep escalation tier (repeat-dense pairs past
+        # the in-graph tier-2 slots run ops/seed_extend_deep.deep_pe_pass)
+        self._pctx = dict(gview=gview, sa=sa, lut2=lut2, starts_d=starts_d,
+                          L=L, max_tot=max_tot,
+                          offsets=al._offsets_for(L, max_tot))
 
         def submit(i0):
             from ..ops import pe_packed
@@ -280,11 +284,13 @@ class PeAligner:
                 r2b1, nl1, ok1 = pack_reads_2bit(a1)
                 r2b2, nl2, ok2 = pack_reads_2bit(a2)
                 if ok1 and ok2:
-                    return pe_packed.pe_pass_packed(
-                        gview, sa, lut2, starts_d,
-                        jnp.asarray(r2b1), jnp.asarray(nl1),
-                        jnp.asarray(r2b2), jnp.asarray(nl2), **pkw)
-            return pe_pass(gview, sa, lut, starts_d, a1, a2, **kw)
+                    handles = (jnp.asarray(r2b1), jnp.asarray(nl1),
+                               jnp.asarray(r2b2), jnp.asarray(nl2))
+                    dev = pe_packed.pe_pass_packed(
+                        gview, sa, lut2, starts_d, *handles, **pkw)
+                    return ("packed", dev, handles)
+            return ("old", pe_pass(gview, sa, lut, starts_d, a1, a2, **kw),
+                    None)
 
         pending = []
         starts_idx = list(range(0, len(recs1), B))
@@ -296,18 +302,77 @@ class PeAligner:
         for item in pending:
             yield from self._drain_device(*item, recs1, recs2, max_tot)
 
-    def _drain_device(self, i0, dev, recs1, recs2, max_tot):
+    # deep-tier E quanta: escalated-pair subsets pad to these static
+    # shapes so only a couple of deep executables ever compile
+    _DEEP_QUANTA = (256, 4096)
+    # deep candidate budget (n_blocks, block_size) by sensitivity mode.
+    # Measured on the config-4 Alu workload: budget 512 vs 2048 costs only
+    # ~0.7% pair acceptance at identical 100% true-locus precision —
+    # repeat-interior reads resolve through the orphan-rescue window scan
+    # anchored on their (usually non-repeat) mate, not through bucket
+    # exploration, so the deeper lottery buys little (.verify_scratch
+    # deep_quality protocol, 2026-08-20). The reference MaxIter skip
+    # applies on top (ops/seed_extend_deep).
+    _DEEP_BLOCKS_BY_SENS = {"less": (2, 128), "default": (4, 128),
+                            "more": (16, 128), "ultra": (64, 128)}
+
+    @property
+    def _DEEP_BLOCKS(self):
+        if "_deep_blocks" in self.__dict__:
+            return self.__dict__["_deep_blocks"]
+        return self._DEEP_BLOCKS_BY_SENS.get(self.al.sens, (4, 128))
+
+    @_DEEP_BLOCKS.setter
+    def _DEEP_BLOCKS(self, v):
+        self.__dict__["_deep_blocks"] = v
+
+    def _deep_escalate(self, out, ovf, handles):
+        """Resolve PAIR_OVERFLOW rows with the deep capped kernel
+        (ops/seed_extend_deep.deep_pe_pass) — one device submission per
+        E-quantum chunk, mates gathered on device from the batch's
+        already-uploaded 2-bit reads."""
         import jax
+        import jax.numpy as jnp
+
+        from ..ops.seed_extend_deep import deep_pe_pass
+        ctx = self._pctx
+        al = self.al
+        NB, NCb = self._DEEP_BLOCKS
+        kw = dict(genome_len=len(al.index.genome.seq),
+                  offsets=ctx["offsets"], lut_k=al.index.lut_k,
+                  read_len=ctx["L"], n_blocks=NB, block_size=NCb,
+                  max_ml=al.max_ml, max_tot=ctx["max_tot"],
+                  mm_delta=al.mm_delta, min_ins=self.min_len,
+                  max_ins=self.max_len)
+        devs = []
+        step = self._DEEP_QUANTA[-1]
+        for s in range(0, len(ovf), step):
+            chunk = ovf[s:s + step]
+            E = next(q for q in self._DEEP_QUANTA if q >= len(chunk))
+            idxs = np.full(E, chunk[0], np.int32)
+            idxs[:len(chunk)] = chunk
+            devs.append((chunk, deep_pe_pass(
+                ctx["gview"], ctx["sa"], ctx["lut2"], ctx["starts_d"],
+                *handles, jnp.asarray(idxs), **kw)))
+        for chunk, dev in devs:
+            out[chunk] = np.array(jax.device_get(dev))[:len(chunk)]
+
+    def _drain_device(self, i0, sub, recs1, recs2, max_tot):
+        import jax
+        kind, dev, handles = sub
         out = np.array(jax.device_get(dev))
         B = self.al.batch_size
         n = min(B, len(recs1) - i0)
         # escalate overflowed pairs through DEVICE pe_pass tiers with
         # larger candidate capacities (the PE analog of the SE
         # escalation ladder / reference MaxIter sensitivity tiers,
-        # KAligner.h:53-56). The packed pass resolves its tiers in-graph,
-        # so this loop only sees pairs past its escape-slot capacities
-        # (empty in practice); the fallback pe_pass path still uses it.
+        # KAligner.h:53-56). The packed pass resolves scattered overflow
+        # in-graph (tier-2); repeat-dense residues take the deep capped
+        # kernel; the fallback pe_pass path keeps the host ladder.
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
+        if kind == "packed" and len(ovf):
+            self._deep_escalate(out, ovf, handles)
+            ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         for ti, (bt, nct) in enumerate(self.escalation):
             if len(ovf) == 0:
                 break

@@ -58,17 +58,39 @@ def cmd_index(args) -> int:
 
 
 def cmd_simreads(args) -> int:
-    """ngskit4b simreads equivalent (libkit4b/SimReads.cpp)."""
+    """ngskit4b simreads equivalent (libkit4b/SimReads.cpp: GenSimReads
+    :1805, SimSeqErrors :272, SimInDels :137, SimArtefacts :174,
+    SimulateSNPs :1222; flags ngskit4b/SimReads.cpp:149-200)."""
     from .io.fasta import Genome
     from .sim import simreads
     g = Genome.load(args.infile)
+    regions = None
+    if args.featfile:
+        from .io.bed import BedFile
+        bed = BedFile.load(args.featfile)
+        regions = [(f.chrom, f.start, f.end) for f in bed.features]
+    snp_truth = None
+    if args.snprate:
+        g, snp_truth = simreads.simulate_snps(
+            g, rate=args.snprate / 1e6, seed=args.seed)
+        if args.outsnp:
+            simreads.write_snp_bed(args.outsnp, snp_truth)
     params = simreads.SimParams(
         n_reads=args.nreads, read_len=args.length,
         pe=args.pe is not None,
         pe_insert_min=args.insertmin, pe_insert_max=args.insertmax,
         error_mode=args.errmode, subs_rate=args.subsrate,
+        uniform_profile=args.seqerrprofile,
         strand=("watson" if args.strand == "+" else "both"),
-        seed=args.seed)
+        seed=args.seed,
+        indel_rate=args.indelrate, indel_size=args.indelsize,
+        artef5_rate=args.artif5rate, artef3_rate=args.artif3rate,
+        artef5_seqs=tuple(args.artif5str) if args.artif5str
+        else (simreads.DEFAULT_ARTEF5,),
+        artef3_seqs=tuple(args.artif3str) if args.artif3str
+        else (simreads.DEFAULT_ARTEF3,),
+        rand_reads=args.randreads, regions=regions,
+        dedupe=args.dedupe)
     out = simreads.sim_reads(g, params)
     fmt = "fastq" if args.fastq else "fasta"
     if params.pe:
@@ -1953,8 +1975,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-j", "--insertmin", type=int, default=200)
     p.add_argument("-J", "--insertmax", type=int, default=500)
     p.add_argument("-e", "--errmode", default="none",
-                   choices=["none", "uniform", "illumina"])
+                   choices=["none", "uniform", "illumina", "static",
+                            "fixed"],
+                   help="sequencer error mode (-g generrmode: illumina = "
+                        "dynamic composite, static = Poisson(1) profile)")
     p.add_argument("-z", "--subsrate", type=float, default=0.01)
+    p.add_argument("-Z", "--seqerrprofile", action="store_true",
+                   help="uniform error positions (default Illumina "
+                        "3'-skewed)")
+    p.add_argument("-x", "--indelsize", type=int, default=3,
+                   help="micro-InDel max size 1..9 (SimReads.cpp:137)")
+    p.add_argument("-X", "--indelrate", type=float, default=0.0,
+                   help="fraction of reads with a micro-InDel")
+    p.add_argument("-a", "--artif5rate", type=float, default=0.0,
+                   help="5' adapter artefact rate (SimReads.cpp:174)")
+    p.add_argument("-A", "--artif5str", nargs="+", default=None,
+                   help="5' artefact sequence(s)")
+    p.add_argument("-b", "--artif3rate", type=float, default=0.0,
+                   help="3' adapter artefact rate")
+    p.add_argument("--artif3str", nargs="+", default=None,
+                   help="3' artefact sequence(s)")
+    p.add_argument("-R", "--randreads", type=float, default=0.0,
+                   help="proportion of random unalignable (lcr) reads")
+    p.add_argument("-N", "--snprate", type=int, default=0,
+                   help="plant SNPs at this rate per Mbp")
+    p.add_argument("-u", "--outsnp", default=None,
+                   help="write truth SNP loci BED")
+    p.add_argument("-t", "--featfile", default=None,
+                   help="restrict fragments to features in this BED")
+    p.add_argument("-d", "--dedupe", action="store_true",
+                   help="generate unique read sequences only")
     p.add_argument("-s", "--strand", default="both", choices=["both", "+"])
     p.add_argument("-Q", "--fastq", action="store_true")
     p.add_argument("-S", "--seed", type=int, default=1)

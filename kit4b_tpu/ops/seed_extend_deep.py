@@ -1,0 +1,210 @@
+"""Deep capped candidate exploration — the repeat-dense escalation tier.
+
+Reads whose seed buckets hold thousands of entries (Alu/satellite genomes,
+BASELINE config #4) cannot run the [NC, NC, B] dedup machinery of
+seed_extend_v3/v4 at the capacities they need: the quadratic dedup matrix
+alone would be gigabytes at NC ~ 2048. This kernel explores a large capped
+candidate budget with BOUNDED memory by scanning fixed-size rank blocks
+with jax.lax.fori_loop: per block it compacts NCb candidate slots, gathers
+their genome rows, scores mismatches, canonicalises, and merges
+(low/n_low/nxt + top-max_ml hits) into a running carry. No pre-extension
+dedup is needed — first-exact-window canonicalisation alone guarantees
+exactly-once locus emission (seed_extend_fast module docstring).
+
+Reference parity:
+  * per-bucket cap = budget / n_buckets — the MaxIter truncation ladder
+    (ngskit4b/KAligner.h:53-56), identical to the round-3 host final tier;
+  * buckets with cnt > skip_bucket are SKIPPED ENTIRELY, exactly as
+    LocateCoreMultiples skips a core whose exact-match count reaches
+    MaxIter ("hopefully there will be a manageable number of matches on
+    the next core", libkit4b/SfxArray.cpp:6592) and as the over-occurring
+    K-mer classifier pre-skips cores (SfxArray.cpp:5961 OverOccKMerClas);
+  * the pass is TOTAL: capped totals can never overflow, so nothing
+    escalates past it — it is the ladder's floor.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .seed_extend_fast import INT32_MAX, MISM_BITS, _tail_mask, \
+    _window_masks
+from .seed_extend_v4 import _keys_be, words_from_2bit
+
+# reference default MaxIter at standard sensitivity (KAligner.h:53-56):
+# cores with more exact matches than this are skipped, not explored
+DFLT_SKIP_BUCKET = 5000
+
+
+def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
+                      offsets: tuple, lut_k: int, read_len: int,
+                      n_blocks: int, block_size: int, max_ml: int,
+                      skip_bucket: int = DFLT_SKIP_BUCKET):
+    """Capped deep exploration of one mate's candidates from packed word
+    planes ([nw, E] lane-major). Returns the finalize_fast stats dict
+    (low_mm/n_low/nxt_mm [E], hit_id/hit_mm [E, max_ml]) — complete under
+    the cap semantics, never overflowing."""
+    rw, rb, rcw, rcb = planes
+    nw, E = rw.shape
+    L = read_len
+    G = genome_len
+    W = len(offsets)
+    k = lut_k
+    nw2 = nw + 1
+    n_keys = lut2.shape[0]
+    Gv = gview.shape[0]
+    D = 2 * W
+    NB, NCb = n_blocks, block_size
+    cap = max(1, (NB * NCb) // D)     # uniform per-bucket budget
+
+    kf, okf = _keys_be(rw, rb, offsets, k)
+    kr, okr = _keys_be(rcw, rcb, offsets, k)
+    keys = jnp.stack([kf, kr], axis=0)                      # [S, W, E]
+    key_ok = jnp.stack([okf, okr], axis=0)
+    local = jnp.clip(keys, 0, n_keys - 1)
+    pair = lut2[local]
+    lo = pair[..., 0]
+    cnt = jnp.where(key_ok, pair[..., 1], 0)
+    cnt = jnp.where(cnt > skip_bucket, 0, cnt)   # reference MaxIter skip
+    cnt = jnp.minimum(cnt, cap)
+    lo_d = lo.reshape(D, E)
+    cnt_d = cnt.reshape(D, E)
+    cum = jnp.cumsum(cnt_d, axis=0)                         # [D, E]
+    cum0 = jnp.concatenate([jnp.zeros((1, E), jnp.int32), cum[:-1]], axis=0)
+    total = cum[-1]                                         # <= NB*NCb
+
+    off_arr = jnp.asarray(np.asarray(offsets, np.int32))
+    tmask = jnp.asarray(_tail_mask(L, nw))[None, :, None]
+    wmask = _window_masks(offsets, k, nw)                   # np [W, nw]
+    M = sa.shape[0]
+
+    def block_stats(j):
+        """(ids, mm) [NCb, E] for candidate ranks [j*NCb, (j+1)*NCb)."""
+        ranks = j * NCb + jnp.arange(NCb, dtype=jnp.int32)  # [NCb]
+        le = (cum[None, :, :] <= ranks[:, None, None]).astype(jnp.int32)
+        b = jnp.clip(jnp.sum(le, axis=1), 0, D - 1)         # [NCb, E]
+        donehot = (b[:, None, :] ==
+                   jnp.arange(D, dtype=jnp.int32)[None, :, None])
+        prev = jnp.sum(jnp.where(donehot, cum0[None], 0), axis=1)
+        lo_b = jnp.sum(jnp.where(donehot, lo_d[None], 0), axis=1)
+        rank_in = ranks[:, None] - prev
+        sa_idx = lo_b + rank_in
+        slot_ok = ranks[:, None] < total[None, :]
+        w_d = b % W
+        strand = b // W
+        off_b = off_arr[w_d]
+        sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
+        pos = sa_pos - off_b
+        valid = slot_ok & (pos >= 0) & (pos + L <= G)
+
+        posc = jnp.where(valid, pos, 0)
+        w0 = jnp.clip(posc >> 4, 0, Gv - 1)
+        rows = gview[w0]                                    # [NCb, E, 2nw2]
+        rows = jnp.transpose(rows, (0, 2, 1))
+        gw = rows[:, :nw2]
+        gb = rows[:, nw2:]
+        sh = (2 * (posc & 15)).astype(jnp.uint32)[:, None, :]
+        hi_sh = jnp.uint32(32) - sh
+
+        def shift_align(words):
+            lo_w = words[:, :nw] >> sh
+            hi_w = jnp.where(sh == 0, jnp.uint32(0), words[:, 1:] << hi_sh)
+            return lo_w | hi_w
+
+        ga = shift_align(gw)
+        gba = shift_align(gb)
+        st = strand[:, None, :]
+        rp = jnp.where(st == 0, rw[None], rcw[None])
+        rbad = jnp.where(st == 0, rb[None], rcb[None])
+        x = ga ^ rp
+        mism = (x | (x >> 1)) & MISM_BITS
+        badb = (gba | rbad) & MISM_BITS
+        bits = (mism | badb) & tmask
+        mm = jnp.sum(jax.lax.population_count(bits), axis=1,
+                     dtype=jnp.int32)
+
+        fw = jnp.full((NCb, E), W, dtype=jnp.int32)
+        any_exact = jnp.zeros((NCb, E), dtype=bool)
+        for w in range(W - 1, -1, -1):
+            ne = jnp.zeros((NCb, E), dtype=bool)
+            for wi in range(nw):
+                if wmask[w, wi]:
+                    ne = ne | ((bits[:, wi] & jnp.uint32(wmask[w, wi]))
+                               != 0)
+            ex = ~ne
+            fw = jnp.where(ex, w, fw)
+            any_exact = any_exact | ex
+        canonical = valid & any_exact & (fw == w_d)
+        ids = jnp.where(canonical, pos * 2 + strand, INT32_MAX)
+        mm = jnp.where(canonical, mm, INT32_MAX)
+        return ids, mm
+
+    ML = max_ml
+
+    def body(j, carry):
+        hit_id, hit_mm, low, n_low, nxt = carry
+        ids, mm = block_stats(j)                            # [NCb, E]
+        ok = ids != INT32_MAX
+        b_low = jnp.min(mm, axis=0)
+        b_n = jnp.sum((mm == b_low[None, :]) & ok, axis=0,
+                      dtype=jnp.int32)
+        b_nxt = jnp.min(jnp.where(mm > b_low[None, :], mm, INT32_MAX),
+                        axis=0)
+        # merge scalar stats
+        new_low = jnp.minimum(low, b_low)
+        new_n = (jnp.where(low == new_low, n_low, 0)
+                 + jnp.where(b_low == new_low, b_n, 0))
+
+        def gt_or_max(v):
+            return jnp.where(v > new_low, v, INT32_MAX)
+        new_nxt = jnp.minimum(
+            jnp.minimum(gt_or_max(low), gt_or_max(nxt)),
+            jnp.minimum(gt_or_max(b_low), gt_or_max(b_nxt)))
+        # merge top-ML hit lists: carry [E, ML] ++ block [E, NCb] -> sort
+        cat_mm = jnp.concatenate([hit_mm, mm.T], axis=1)    # [E, ML+NCb]
+        cat_id = jnp.concatenate([hit_id, ids.T], axis=1)
+        mm_s, id_s = jax.lax.sort((cat_mm, cat_id), dimension=1,
+                                  num_keys=2)
+        new_mm = mm_s[:, :ML]
+        new_id = jnp.where(new_mm == INT32_MAX, INT32_MAX, id_s[:, :ML])
+        return (new_id, new_mm, new_low, new_n, new_nxt)
+
+    init = (jnp.full((E, ML), INT32_MAX, jnp.int32),
+            jnp.full((E, ML), INT32_MAX, jnp.int32),
+            jnp.full((E,), INT32_MAX, jnp.int32),
+            jnp.zeros((E,), jnp.int32),
+            jnp.full((E,), INT32_MAX, jnp.int32))
+    hit_id, hit_mm, low, n_low, nxt = jax.lax.fori_loop(0, NB, body, init)
+    return {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
+            "hit_id": hit_id, "hit_mm": hit_mm}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "offsets", "lut_k", "read_len",
+                              "n_blocks", "block_size", "max_ml",
+                              "skip_bucket", "max_tot", "mm_delta",
+                              "min_ins", "max_ins"))
+def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
+                 genome_len: int, offsets: tuple, lut_k: int,
+                 read_len: int, n_blocks: int, block_size: int,
+                 max_ml: int, max_tot: int, mm_delta: int, min_ins: int,
+                 max_ins: int, skip_bucket: int = DFLT_SKIP_BUCKET):
+    """Deep capped PE pass over the pair subset idxs [E] (device-side
+    gather from the batch's already-uploaded 2-bit reads): both mates'
+    deep exploration + AcceptProvPE pairing -> [E, 10] rows (align/pe.py
+    pe_pass layout). TOTAL: rows never come back PAIR_OVERFLOW."""
+    from .pe_packed import _pair_rows
+    kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+              read_len=read_len, n_blocks=n_blocks, block_size=block_size,
+              max_ml=max_ml, skip_bucket=skip_bucket)
+    p1 = tuple(p[:, idxs] for p in words_from_2bit(r2b1, nl1, read_len))
+    p2 = tuple(p[:, idxs] for p in words_from_2bit(r2b2, nl2, read_len))
+    f1 = deep_stats_planes(gview, sa, lut2, p1, **kw)
+    f2 = deep_stats_planes(gview, sa, lut2, p2, **kw)
+    no_ovf = jnp.zeros(idxs.shape[0], bool)
+    return _pair_rows(f1, f2, no_ovf, no_ovf, starts, L1=read_len,
+                      L2=read_len, max_tot=max_tot, mm_delta=mm_delta,
+                      min_ins=min_ins, max_ins=max_ins)

@@ -162,3 +162,34 @@ def test_pe_sam(tmp_path, setup):
         assert int(a[7]) == int(b[3])          # PNEXT == mate POS
         n_checked += 1
     assert n_checked > 30
+
+
+def test_deep_stats_matches_full(setup_repeats):
+    """Deep blockwise exploration (ops/seed_extend_deep) returns the same
+    stats as a single big uncapped pass when every bucket fits the cap."""
+    import jax.numpy as jnp
+    from kit4b_tpu.ops import seed_extend_deep as D
+    from kit4b_tpu.ops import seed_extend_fast as F
+    g, idx, r1, r2 = setup_repeats
+    al = kalign.KAligner(idx, batch_size=256)
+    reads = np.stack([r.codes for r in r1[:256]])
+    L = reads.shape[1]
+    _, mtm = al.schedule_for(L)
+    gview, sa, lut, lut2 = al._device_for(L)
+    offs = al._offsets_for(L, mtm)
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    from kit4b_tpu.ops.seed_extend_v4 import words_from_2bit
+    r2b, nl, ok = pack_reads_2bit(reads)
+    assert ok
+    planes = words_from_2bit(jnp.asarray(r2b), jnp.asarray(nl), L)
+    deep = D.deep_stats_planes(
+        gview, sa, lut2, planes, genome_len=len(g.seq), offsets=offs,
+        lut_k=idx.lut_k, read_len=L, n_blocks=16, block_size=128,
+        max_ml=al.max_ml)
+    ref = F.fast_pass(gview, sa, lut, jnp.asarray(reads),
+                      genome_len=len(g.seq), offsets=offs,
+                      lut_k=idx.lut_k, n_compact=2048, max_ml=al.max_ml)
+    assert not np.asarray(ref["overflow"]).any()
+    for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm"):
+        np.testing.assert_array_equal(np.asarray(deep[key]),
+                                      np.asarray(ref[key]), err_msg=key)
