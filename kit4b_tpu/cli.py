@@ -321,14 +321,27 @@ def cmd_kalign(args) -> int:
 
 
 def cmd_hammings(args) -> int:
-    """ngskit4b hammings equivalent (hammings.cpp)."""
+    """ngskit4b hammings equivalent (hammings.cpp; mode enum :99-106)."""
     from .io.fasta import Genome
     from .kmer import hammings
     from .utils.runtime import PhaseTimer, enable_compile_cache, log
+    infiles = args.infile if isinstance(args.infile, list) else [args.infile]
+    if args.mode == 3:          # ePMmerge: elementwise min over node files
+        loaded = [hammings.load_dists(p) for p in infiles]
+        names, dists = hammings.merge_dists(loaded)
+        hammings.save_dists(args.outfile, names, dists)
+        print(f"hammings merge: {len(infiles)} node files -> "
+              f"{args.outfile}")
+        return 0
+    if args.mode in (4, 5):     # ePMtrans / ePMtransCSV conversions
+        names, dists = hammings.load_dists(infiles[0])
+        hammings.save_dists(args.outfile, names, dists)
+        print(f"hammings trans: {infiles[0]} -> {args.outfile}")
+        return 0
     enable_compile_cache()
     t = PhaseTimer()
     with t.phase("load genome"):
-        g = Genome.load(args.infile)
+        g = Genome.load(infiles[0])
     with t.phase("sweep"):
         if args.restricted:
             from .index.sfx_index import SfxIndex
@@ -352,8 +365,11 @@ def cmd_hammings(args) -> int:
     with t.phase("write"):
         if args.outfile.endswith(".csv"):
             hammings.write_csv(args.outfile, g, hd, args.kmerlen)
-        else:
+        elif args.outfile.endswith(".npy"):
             np.save(args.outfile, hd)
+        else:   # reference quick-load .hmg binary (tsHHamHdr)
+            names, dists = hammings.split_by_chrom(g, hd, args.kmerlen)
+            hammings.write_hmg(args.outfile, names, dists)
     log.info("hammings: K=%d node %d/%d -> %s (phases %s)",
              args.kmerlen, args.node, args.numnodes, args.outfile,
              json.dumps(t.phases))
@@ -2399,8 +2415,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_benchmark)
 
     p = sub.add_parser("hammings", help="genome-wide K-mer Hamming distances")
-    p.add_argument("-i", "--in", dest="infile", required=True)
-    p.add_argument("-o", "--out", dest="outfile", required=True)
+    p.add_argument("-i", "--in", dest="infile", required=True, nargs="+",
+                   help="genome fasta (modes 0-2) or node result files "
+                        "(.hmg/.csv/.npy) for merge/trans modes")
+    p.add_argument("-o", "--out", dest="outfile", required=True,
+                   help="output (.csv, .npy, or reference .hmg binary)")
+    p.add_argument("-m", "--mode", type=int, default=1,
+                   help="0/1/2 compute (restricted/exhaustive/dist), "
+                        "3 merge node files (ePMmerge), 4 trans to .hmg, "
+                        "5 trans to CSV (hammings.cpp:99-106)")
     p.add_argument("-K", "--kmerlen", type=int, default=25)
     p.add_argument("-N", "--node", type=int, default=1)
     p.add_argument("-n", "--numnodes", type=int, default=1)

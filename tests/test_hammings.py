@@ -114,3 +114,60 @@ def test_restricted_n_enumeration():
     idx2 = SfxIndex.build(g2, lut_k=8)
     out2 = hammings_restricted(idx2, K, max_hamming=3, batch=512)
     assert out2[45] == 0            # window 45..60 holds >4 Ns
+
+
+def test_hmg_binary_roundtrip_and_cli_merge(tmp_path):
+    """Reference .hmg quick-load binary (tsHHamHdr/tsHHamChrom,
+    ngskit4b/hammings.cpp:78-94) roundtrips, and the CLI mode ladder
+    (node runs -m1 -N/-n -> -m3 merge -> -m5 transCSV) reproduces the
+    single-node result end to end (VERDICT r3 item 8)."""
+    import subprocess
+    import sys
+
+    from kit4b_tpu.io.fasta import SeqRecord, write_fasta
+    from kit4b_tpu.kmer import hammings
+    rng = np.random.default_rng(11)
+    seqs = [SeqRecord("cA", "", rng.integers(0, 4, 400).astype(np.uint8)),
+            SeqRecord("cB", "", rng.integers(0, 4, 300).astype(np.uint8))]
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, seqs)
+    K = 9
+    env = dict(__import__("os").environ,
+               JAX_PLATFORMS="cpu")
+
+    def run(*args):
+        r = subprocess.run([sys.executable, "-m", "kit4b_tpu", *args],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    # single-node reference result
+    run("hammings", "-m1", "-i", str(fa), "-o", str(tmp_path / "all.hmg"),
+        "-K", str(K))
+    # 3-node split + merge
+    for node in (1, 2, 3):
+        run("hammings", "-m1", "-i", str(fa),
+            "-o", str(tmp_path / f"n{node}.hmg"), "-K", str(K),
+            "-N", str(node), "-n", "3")
+    run("hammings", "-m3",
+        "-i", *(str(tmp_path / f"n{i}.hmg") for i in (1, 2, 3)),
+        "-o", str(tmp_path / "merged.hmg"))
+    names_a, dists_a = hammings.read_hmg(tmp_path / "all.hmg")
+    names_m, dists_m = hammings.read_hmg(tmp_path / "merged.hmg")
+    assert names_a == names_m == ["cA", "cB"]
+    for a, m in zip(dists_a, dists_m):
+        np.testing.assert_array_equal(a, m)
+    # trans to CSV and back preserves the distances
+    run("hammings", "-m5", "-i", str(tmp_path / "merged.hmg"),
+        "-o", str(tmp_path / "merged.csv"))
+    names_c, dists_c = hammings.read_csv_dists(tmp_path / "merged.csv")
+    assert names_c == names_a
+    for a, c in zip(dists_a, dists_c):
+        np.testing.assert_array_equal(a[:len(c)], c)
+        assert (a[len(c):] == hammings.BIG).all()
+    # binary roundtrip exactness
+    hammings.write_hmg(tmp_path / "rt.hmg", names_a, dists_a)
+    names_r, dists_r = hammings.read_hmg(tmp_path / "rt.hmg")
+    assert names_r == names_a
+    for a, r in zip(dists_a, dists_r):
+        np.testing.assert_array_equal(a, r)
