@@ -891,7 +891,7 @@ def cmd_kmarkers(args) -> int:
         markers = kmarkers.find_cultivar_markers(
             idx, cc, names.index(args.target),
             kmer_len=args.kmerlen, min_hamming=args.minhamming,
-            extend=not args.noextend)
+            extend=(args.mode == 1) and not args.noextend)
     kmarkers.write_markers_fasta(args.outfile, markers)
     log.info("kmarkers: %d markers (%d bp) for %s -> %s",
              len(markers), sum(m.length for m in markers), args.target,
@@ -2129,7 +2129,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", dest="outfile", required=True)
     p.add_argument("-K", "--kmerlen", type=int, default=50)
     p.add_argument("-e", "--minhamming", type=int, default=2)
-    p.add_argument("-x", "--noextend", action="store_true")
+    p.add_argument("-m", "--mode", type=int, default=0,
+                   help="0 report each accepted K-mer (matches the "
+                        "reference's -m0 behaviour — its extension branch "
+                        "only runs under -m1, LocKMers.cpp:1209), "
+                        "1 merge runs into maximal extended markers")
+    p.add_argument("-x", "--noextend", action="store_true",
+                   help="alias for -m0")
     _common(p)
     p.set_defaults(fn=cmd_kmarkers)
 

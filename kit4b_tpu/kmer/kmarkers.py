@@ -101,14 +101,32 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           target_cultivar: int, *,
                           kmer_len: int = 50, min_hamming: int = 2,
                           batch: int = 16384, extend: bool = True,
-                          max_ml: int = 16) -> list[Marker]:
-    """K-mers unique to `target_cultivar` with Hamming >= min_hamming from
-    all other cultivars (both strands).
+                          max_ml: int = 48) -> list[Marker]:
+    """K-mers present in `target_cultivar` (and ONLY there exactly) with
+    Hamming >= min_hamming from every K-mer of all other cultivars (both
+    strands).
 
-    Device pass is the fast row-gather path (ops/seed_extend_fast), and
-    the per-K-mer accept test is one vectorized pass over the [B, ML]
-    hit matrix — accept iff no non-target hit with mm < min_hamming and
-    exactly one exact self hit (LocKMers.cpp acceptance)."""
+    Acceptance mirrors CLocKMers (ngskit4b/LocKMers.cpp:1094-1165):
+      - reject on any exact other-cultivar occurrence of the K-mer or its
+        revcomp (bNonTargHit);
+      - reject when a K-mer of another cultivar lies within
+        Hamming < min_hamming (the documented MatchesOtherChroms
+        contract — NOTE the reference implementation's mismatch-counting
+        loop is dead code, `for(Idx = 0; NumMM > MaxTotMM && ...)`
+        SfxArray.cpp:5223, so the reference actually rejects on
+        exact-first-core sharing and silently ACCEPTS true
+        Hamming-(min_hamming-1) neighbours; we implement the documented
+        semantics — tests/test_golden_kmarkers.py arbitrates this with
+        the reference binary);
+      - K-mers repeated WITHIN the target are accepted once, at their
+        first-encountered locus (the reference's SetBaseFlags dup skip,
+        LocKMers.cpp:1110-1121) — implemented as accept-at-minimal exact
+        self-locus over both orientations.
+
+    Device pass is the fast row-gather path (ops/seed_extend_fast); the
+    per-K-mer accept test is one vectorized pass over the [B, ML] hit
+    matrix. Positions whose hit capacity saturated escalate through a
+    bigger tier so crowding can never hide a disqualifying hit."""
     import jax
     import jax.numpy as jnp
 
@@ -126,10 +144,29 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
     pos_cult = np.repeat(chrom_cult,
                          (g.lengths + 1).astype(np.int64))  # +EOS per chrom
     accepted_positions: list[int] = []
+    escalate: list[int] = []
 
     K = kmer_len
     target_chroms = np.nonzero(chrom_cult == target_cultivar)[0]
     INT32_MAX = np.iinfo(np.int32).max
+    I64_MAX = np.iinfo(np.int64).max
+
+    def classify(chunk, hid, hmm, ovf, ml):
+        """Returns (ok mask, saturated mask) for positions `chunk`."""
+        valid = hid != INT32_MAX
+        cult = pos_cult[np.where(valid, hid >> 1, 0)]
+        disq = (valid & (hmm < min_hamming)
+                & (cult != target_cultivar)).any(axis=1)
+        self_exact = valid & (hmm == 0) & (cult == target_cultivar)
+        # first-instance dedup: accept only at the minimal exact
+        # self-occurrence locus over both orientations
+        self_pos = np.where(self_exact, (hid >> 1).astype(np.int64),
+                            I64_MAX)
+        min_self = self_pos.min(axis=1)
+        ok = ~ovf & ~disq & self_exact.any(axis=1) & (min_self == chunk)
+        sat = ovf | (valid.sum(axis=1) >= ml)
+        return ok & ~sat, sat
+
     for ci in target_chroms:
         cstart = int(g.starts[ci])
         clen = int(g.lengths[ci])
@@ -153,17 +190,11 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
         def drain(chunk, nb, dev):
             host = {k: np.asarray(v)
                     for k, v in jax.device_get(dev).items()}
-            hid = host["hit_id"][:nb]
-            hmm = host["hit_mm"][:nb]
-            ovf = host["overflow"][:nb]
-            valid = hid != INT32_MAX
-            cult = pos_cult[np.where(valid, hid >> 1, 0)]
-            disq = (valid & (hmm < min_hamming)
-                    & (cult != target_cultivar)).any(axis=1)
-            n_self = ((valid & (hmm == 0)
-                       & (cult == target_cultivar)).sum(axis=1))
-            ok = ~ovf & ~disq & (n_self == 1)
+            ok, sat = classify(chunk, host["hit_id"][:nb],
+                               host["hit_mm"][:nb],
+                               host["overflow"][:nb], max_ml)
             accepted_positions.extend(chunk[ok].tolist())
+            escalate.extend(chunk[sat].tolist())
 
         # double-buffered submit/drain keeps the device busy while the
         # host classifies the previous batch
@@ -174,6 +205,31 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                 drain(*pending.pop(0))
         for item in pending:
             drain(*item)
+
+    # saturated positions re-run at a capacity where crowding by exact
+    # self-hits cannot hide a disqualifying other-cultivar hit
+    if escalate:
+        EB, ENC, EML = 1024, 2048, 512
+        esc = np.asarray(escalate, np.int64)
+        for s in range(0, len(esc), EB):
+            chunk = esc[s:s + EB]
+            qp = chunk
+            if len(chunk) < EB:
+                qp = np.concatenate([qp, np.full(EB - len(chunk), esc[0],
+                                                 np.int64)])
+            reads = g.seq[qp[:, None] + np.arange(K)]
+            host = {k: np.asarray(v) for k, v in jax.device_get(
+                F.fast_pass(gview_d, sa_d, lut_d, jnp.asarray(reads),
+                            genome_len=len(g.seq), offsets=offsets,
+                            lut_k=index.lut_k, n_compact=ENC,
+                            max_ml=EML)).items()}
+            nb = len(chunk)
+            ok, sat = classify(chunk, host["hit_id"][:nb],
+                               host["hit_mm"][:nb],
+                               host["overflow"][:nb], EML)
+            # a position saturating even this tier sits in a >512-copy
+            # repeat family — never a cultivar-unique marker
+            accepted_positions.extend(chunk[ok].tolist())
 
     # extend runs of consecutive accepted positions into maximal markers
     markers: list[Marker] = []
