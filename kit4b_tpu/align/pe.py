@@ -330,7 +330,9 @@ class PeAligner:
         """Resolve PAIR_OVERFLOW rows with the deep capped kernel
         (ops/seed_extend_deep.deep_pe_pass) — one device submission per
         E-quantum chunk, mates gathered on device from the batch's
-        already-uploaded 2-bit reads."""
+        already-uploaded 2-bit reads. Pairs are grouped by WHICH mate
+        overflowed (rows cols 10/11): single-overflow pairs pay one deep
+        mate plus a cheap tier-1 rescore of the clean mate."""
         import jax
         import jax.numpy as jnp
 
@@ -343,19 +345,36 @@ class PeAligner:
                   read_len=ctx["L"], n_blocks=NB, block_size=NCb,
                   max_ml=al.max_ml, max_tot=ctx["max_tot"],
                   mm_delta=al.mm_delta, min_ins=self.min_len,
-                  max_ins=self.max_len)
-        devs = []
-        step = self._DEEP_QUANTA[-1]
-        for s in range(0, len(ovf), step):
-            chunk = ovf[s:s + step]
-            E = next(q for q in self._DEEP_QUANTA if q >= len(chunk))
-            idxs = np.full(E, chunk[0], np.int32)
-            idxs[:len(chunk)] = chunk
-            devs.append((chunk, deep_pe_pass(
-                ctx["gview"], ctx["sa"], ctx["lut2"], ctx["starts_d"],
-                *handles, jnp.asarray(idxs), **kw)))
-        for chunk, dev in devs:
-            out[chunk] = np.array(jax.device_get(dev))[:len(chunk)]
+                  max_ins=self.max_len, n_compact=al.n_compact,
+                  n_extend=al.n_extend)
+        def wave(groups):
+            devs = []
+            step = self._DEEP_QUANTA[-1]
+            for rows, d1, d2 in groups:
+                for s in range(0, len(rows), step):
+                    chunk = rows[s:s + step]
+                    E = next(q for q in self._DEEP_QUANTA
+                             if q >= len(chunk))
+                    idxs = np.full(E, chunk[0], np.int32)
+                    idxs[:len(chunk)] = chunk
+                    devs.append((chunk, deep_pe_pass(
+                        ctx["gview"], ctx["sa"], ctx["lut2"],
+                        ctx["starts_d"], *handles, jnp.asarray(idxs),
+                        deep1=d1, deep2=d2, **kw)))
+            for chunk, dev in devs:
+                out[chunk] = np.array(jax.device_get(dev))[:len(chunk)]
+
+        o1 = out[ovf, 10] != 0
+        o2 = out[ovf, 11] != 0
+        wave(((ovf[o1 & ~o2], True, False),
+              (ovf[~o1 & o2], False, True),
+              (ovf[o1 & o2], True, True)))
+        # a clean-mate rescore at tier-1 capacity can re-overflow for
+        # rows that had resolved through the in-graph tier-2 (NC 192):
+        # finish those with both mates deep — deep never overflows
+        left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+        if len(left):
+            wave(((left, True, True),))
 
     def _drain_device(self, i0, sub, recs1, recs2, max_tot):
         import jax
@@ -531,7 +550,7 @@ class PeAligner:
     def _pair_from_row(self, rec1, rec2, row, max_tot,
                        rescue: "PePair | None" = None) -> PePair:
         (bid1, bid2, mm1, mm2, tlen, pcode, code1, code2,
-         low1, low2) = (int(x) for x in row)
+         low1, low2) = (int(x) for x in row[:10])
         if pcode == PAIR_ACCEPT:
             return PePair(
                 NAR_PE_ACCEPTED,

@@ -100,9 +100,9 @@ def merge_pe_to_se(store: SeqStore, *, min_overlap: int = 16,
         return store, 0
     live = np.nonzero(store.live_mask())[0]
     live_set = set(int(i) for i in live)
-    arrays: list[np.ndarray] = []
-    mate: list[int] = []
-    n_merged = 0
+    # collect (i, mate) pairs in first-member order + unpaired singles
+    pairs: list[tuple[int, int]] = []
+    singles: list[int] = []
     done: set[int] = set()
     for i in live:
         i = int(i)
@@ -110,32 +110,59 @@ def merge_pe_to_se(store: SeqStore, *, min_overlap: int = 16,
             continue
         m = int(store.mate[i])
         if m < 0 or m not in live_set:
-            arrays.append(store.get(i))
-            mate.append(-1)
+            singles.append(i)
             done.add(i)
             continue
-        a = store.get(i)
-        b_rc = dna.revcomp(store.get(m))
+        pairs.append((i, m))
         done.add(i)
         done.add(m)
-        best_o, best_rate = 0, 1.0
-        max_o = min(len(a), len(b_rc))
-        for o in range(min_overlap, max_o + 1):
-            mm = int((a[len(a) - o:] != b_rc[:o]).sum())
-            if mm > max(1, o * max_subs_pct // 100):
-                continue
-            rate = mm / o - o * 1e-9   # prefer longer at equal rate
-            if rate < best_rate:
-                best_rate, best_o = rate, o
-        if best_o:
-            arrays.append(np.concatenate([a, b_rc[best_o:]]))
+
+    # vectorized best-overlap scan over all pairs at once: mate1 sequences
+    # right-aligned, revcomp(mate2) left-aligned (distinct pad sentinels so
+    # out-of-range overlaps can never score), one [P] compare per overlap
+    # length — replaces the per-pair Python loop, which dominated the
+    # config-5 assembly wall-clock
+    P = len(pairs)
+    best_o = np.zeros(P, np.int64)
+    if P:
+        la = store.lengths[[i for i, _ in pairs]].astype(np.int64)
+        lb = store.lengths[[m for _, m in pairs]].astype(np.int64)
+        Lmax = int(max(la.max(), lb.max()))
+        a_pad = np.full((P, Lmax), 255, np.uint8)
+        b_pad = np.full((P, Lmax), 254, np.uint8)
+        for j, (i, m) in enumerate(pairs):
+            a = store.get(i)
+            a_pad[j, Lmax - len(a):] = a
+            b = dna.revcomp(store.get(m))
+            b_pad[j, :len(b)] = b
+        best_rate = np.full(P, 1.0)
+        for o in range(min_overlap, Lmax + 1):
+            mm = (a_pad[:, Lmax - o:] != b_pad[:, :o]).sum(axis=1)
+            feas = (o <= la) & (o <= lb)
+            ok = feas & (mm <= np.maximum(1, o * max_subs_pct // 100))
+            rate = mm / o - o * 1e-9       # prefer longer at equal rate
+            better = ok & (rate < best_rate)
+            best_rate[better] = rate[better]
+            best_o[better] = o
+
+    arrays: list[np.ndarray] = []
+    mate: list[int] = []
+    n_merged = 0
+    for j, (i, m) in enumerate(pairs):
+        if best_o[j]:
+            a = store.get(i)
+            b_rc = dna.revcomp(store.get(m))
+            arrays.append(np.concatenate([a, b_rc[int(best_o[j]):]]))
             mate.append(-1)
             n_merged += 1
         else:
-            j = len(arrays)
-            arrays.append(a)
+            k = len(arrays)
+            arrays.append(store.get(i))
             arrays.append(store.get(m))
-            mate.extend([j + 1, j])
+            mate.extend([k + 1, k])
+    for i in singles:
+        arrays.append(store.get(i))
+        mate.append(-1)
     return SeqStore.from_arrays(
         arrays, mate=np.asarray(mate, np.int64)), n_merged
 

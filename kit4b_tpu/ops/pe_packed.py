@@ -104,12 +104,16 @@ def _pair_rows(f1, f2, ovf1, ovf2, starts, *, L1, L2, max_tot, mm_delta,
     pcode = jnp.where(overflow, PAIR_OVERFLOW,
                       jnp.where(~have, PAIR_NONE,
                                 jnp.where(tie, PAIR_MULTI, PAIR_ACCEPT)))
+    # cols 10/11: per-mate overflow bits — the host groups escalated
+    # pairs by which mate actually needs the deep exploration
     return jnp.stack([jnp.where(have, bid1, -1),
                       jnp.where(have, bid2, -1),
                       bmm1, bmm2,
                       jnp.where(have, btlen, 0),
                       pcode, code1, code2,
-                      f1["low_mm"], f2["low_mm"]], axis=1)
+                      f1["low_mm"], f2["low_mm"],
+                      ovf1.astype(jnp.int32), ovf2.astype(jnp.int32)],
+                     axis=1)
 
 
 def _mate_stats(gview, sa, lut2, planes, *, kw, n_compact, n_extend,
