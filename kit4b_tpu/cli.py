@@ -915,10 +915,20 @@ def cmd_prekmarkers(args) -> int:
         g, cc, names = kmarkers.build_pseudogenome(cults)
         idx = SfxIndex.build(g)
     with t.phase("walk"):
-        out = kmarkers.shared_prefix_markers(
-            idx, cc, len(names), kmer_len=args.kmerlen,
-            min_cultivars=args.mincultivars,
-            max_per_cultivar=args.maxpercultivar)
+        if args.suffixlen:
+            # homozygotic-constraint mode (-s/-S): suffix region must
+            # discriminate the cultivars (GenKMerCultsCnts,
+            # SfxArray.cpp:2902)
+            out = kmarkers.shared_prefix_suffix_markers(
+                idx, cc, len(names), prefix_len=args.kmerlen,
+                suffix_len=args.suffixlen,
+                min_cultivars=args.mincultivars,
+                max_homozygotic=args.maxhomozygotic)
+        else:
+            out = kmarkers.shared_prefix_markers(
+                idx, cc, len(names), kmer_len=args.kmerlen,
+                min_cultivars=args.mincultivars,
+                max_per_cultivar=args.maxpercultivar)
     with open(args.outfile, "w") as f:
         f.write("\"KMer\"," + ",".join(f'"{n}"' for n in names) + "\n")
         for codes, counts in out:
@@ -2144,9 +2154,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--cultivar", nargs="+", required=True,
                    metavar="NAME=fa1,fa2")
     p.add_argument("-o", "--out", dest="outfile", required=True)
-    p.add_argument("-K", "--kmerlen", type=int, default=25)
+    p.add_argument("-K", "--kmerlen", type=int, default=25,
+                   help="prefix K-mer length")
     p.add_argument("-m", "--mincultivars", type=int, default=2)
     p.add_argument("-M", "--maxpercultivar", type=int, default=0)
+    p.add_argument("-s", "--suffixlen", type=int, default=0,
+                   help="suffix region length: enables the homozygotic "
+                        "constraint (MarkerKMers.h:91)")
+    p.add_argument("-S", "--maxhomozygotic", type=int, default=1,
+                   help="report prefix only if every full-length variant "
+                        "is shared by at most this many cultivars")
     _common(p)
     p.set_defaults(fn=cmd_prekmarkers)
 

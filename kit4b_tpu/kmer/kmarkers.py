@@ -340,6 +340,69 @@ def antisense_counts(index: SfxIndex, rep_pos: np.ndarray,
     return anti
 
 
+def shared_prefix_suffix_markers(index: SfxIndex, chrom_cult: np.ndarray,
+                                 n_cultivars: int, *, prefix_len: int,
+                                 suffix_len: int, min_cultivars: int = 2,
+                                 max_homozygotic: int = 1,
+                                 antisense: bool = True):
+    """prekmarkers homozygotic-constraint mode (-S maxhomozygotic,
+    CSfxArray::GenKMerCultsCnts, libkit4b/SfxArray.cpp:2902-2986): report
+    prefixes (prefix_len bases, shared by >= min_cultivars) whose
+    (prefix + suffix_len)-length K-mer VARIANTS are each carried by at
+    most max_homozygotic cultivars — i.e. the suffix region discriminates
+    the cultivars. Counts include antisense occurrences.
+
+    Semantics note: this implements the documented per-variant contract
+    ("only report prefixes if K-Mer suffixes are homozygotic between a
+    maximum of this many cultivars", MarkerKMers.h:91). The reference
+    CODE accumulates its CultivarsHomozygotic flags across suffix
+    variants without resetting (SfxArray.cpp:2904-2986), which collapses
+    the check into "prefix occurs in <= max cultivars at all" and
+    contradicts the reported prefix being SHARED by >= MinCultivars; we
+    do not replicate that accumulator bug.
+
+    Returns list of (prefix_codes, per-cultivar presence counts)."""
+    P, S = prefix_len, suffix_len
+    if P > 31:
+        raise ValueError("prefix packing supports prefix_len <= 31")
+    full = P + S
+    rep_pos, counts = prefix_kmer_counts(index, chrom_cult, n_cultivars,
+                                         kmer_len=full)
+    if len(rep_pos) == 0:
+        return []
+    if antisense:
+        counts = counts + antisense_counts(index, rep_pos, counts, full)
+    g = index.genome
+    w = g.seq[rep_pos[:, None] + np.arange(P)[None, :]].astype(np.int64)
+    pw = 4 ** np.arange(P - 1, -1, -1, dtype=np.int64)
+    pkeys = w @ pw
+    order = np.argsort(pkeys, kind="stable")
+    sk = pkeys[order]
+    newp = np.ones(len(sk), bool)
+    newp[1:] = sk[1:] != sk[:-1]
+    group = np.cumsum(newp) - 1
+    n_groups = int(group[-1]) + 1
+    present = (counts[order] > 0)
+    # prefix-level cultivar presence = union over variants
+    pref_pres = np.zeros((n_groups, n_cultivars), bool)
+    np.logical_or.at(pref_pres, group, present)
+    # homozygotic metric = max over variants of #cultivars sharing the
+    # identical full K-mer
+    var_ncult = present.sum(axis=1)
+    homo = np.zeros(n_groups, np.int64)
+    np.maximum.at(homo, group, var_ncult)
+    ok = pref_pres.sum(axis=1) >= min_cultivars
+    if max_homozygotic:
+        ok &= homo <= max_homozygotic
+    out = []
+    first_of_group = np.nonzero(newp)[0]
+    for gi in np.nonzero(ok)[0]:
+        p = int(rep_pos[order[first_of_group[gi]]])
+        out.append((g.seq[p:p + P].copy(),
+                    pref_pres[gi].astype(np.int32)))
+    return out
+
+
 def shared_prefix_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           n_cultivars: int, *, kmer_len: int = 25,
                           min_cultivars: int = 2,

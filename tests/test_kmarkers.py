@@ -172,3 +172,68 @@ def test_prefix_counts_antisense():
     # with antisense counting it becomes shared (or its revcomp does)
     rc_key = dna.decode(dna.revcomp(kmer))
     assert key in both_keys or rc_key in both_keys
+
+
+def test_shared_prefix_suffix_homozygotic():
+    """Homozygotic-constraint prekmarkers (-s/-S): prefixes whose suffix
+    variants discriminate cultivars are reported; prefixes where >=2
+    cultivars share an identical full prefix+suffix K-mer are rejected,
+    verified against a brute-force scan (GenKMerCultsCnts documented
+    contract, MarkerKMers.h:91; the reference's non-resetting accumulator
+    is deliberately not replicated — see kmarkers docstring)."""
+    import itertools
+
+    from kit4b_tpu.kmer.kmarkers import (build_pseudogenome,
+                                         shared_prefix_suffix_markers)
+    rng = np.random.default_rng(21)
+    P, S = 12, 6
+    base = rng.integers(0, 4, 3000).astype(np.uint8)
+    # cultivar B: same backbone but with SNPs every ~40 bp so most
+    # suffixes differ; cultivar C unrelated
+    B = base.copy()
+    B[np.arange(20, len(B), 40)] = (B[np.arange(20, len(B), 40)] + 1) % 4
+    C = rng.integers(0, 4, 3000).astype(np.uint8)
+    d = {}
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    for nm, s in (("a", base), ("b", B), ("c", C)):
+        p = os.path.join(tmp, nm + ".fa")
+        with open(p, "w") as f:
+            f.write(">" + nm + "\n"
+                    + "".join("ACGT"[int(x)] for x in s) + "\n")
+        d[nm] = [p]
+    g, cc, names = build_pseudogenome(d)
+    idx = SfxIndex.build(g, lut_k=8)
+    out = shared_prefix_suffix_markers(
+        idx, cc, len(names), prefix_len=P, suffix_len=S,
+        min_cultivars=2, max_homozygotic=1, antisense=True)
+    got = {bytes(codes) for codes, _ in out}
+
+    # brute force of the documented contract
+    def windows(seq):
+        return {bytes(seq[i:i + P + S]): None
+                for i in range(len(seq) - P - S + 1)}
+
+    # variants are SENSE-occurring full K-mers (the reference walks the
+    # suffix array); a cultivar is present at a variant when it carries
+    # the variant sense-side OR its revcomp sense-side (the reference's
+    # IterateExacts(revcomp) antisense lookup)
+    from collections import defaultdict
+    sense_by_cult = []
+    for s in (base, B, C):
+        sense_by_cult.append({bytes(s[i:i + P + S])
+                              for i in range(len(s) - P - S + 1)})
+    all_variants = set().union(*sense_by_cult)
+    pref_cults = defaultdict(set)
+    pref_maxhomo = defaultdict(int)
+    for w in all_variants:
+        wrc = bytes(dna.revcomp(np.frombuffer(w, np.uint8)))
+        cs = {ci for ci, wins in enumerate(sense_by_cult)
+              if w in wins or wrc in wins}
+        pref = w[:P]
+        pref_cults[pref] |= cs
+        pref_maxhomo[pref] = max(pref_maxhomo[pref], len(cs))
+    truth = {p for p in pref_cults
+             if len(pref_cults[p]) >= 2 and pref_maxhomo[p] <= 1}
+    assert got == truth
+    assert len(got) > 10
