@@ -127,10 +127,14 @@ def _keys_be(words: jnp.ndarray, bads: jnp.ndarray, offsets: tuple,
 
 def _cands_core_v4(gview, sa, lut2, key_lo, planes, *, genome_len,
                    offsets, lut_k, read_len, n_compact, n_extend=None,
-                   max_per_bucket=None):
+                   max_per_bucket=None, gview_base=None):
     """Seed + compact + locus-dedup + extend from packed word planes.
     planes = (rw, rb, rcw, rcb) from words_from_2bit. Returns (ids, mm,
-    overflow) with seed_extend_v3._cands_core's exact contract."""
+    overflow) with seed_extend_v3._cands_core's exact contract.
+
+    gview_base: GLOBAL genome position of gview row 0 (must be a multiple
+    of 16) for position-sharded genomes (parallel/mesh.py P3 completion):
+    sa entries stay global, extension row indices rebase locally."""
     rw, rb, rcw, rcb = planes
     nw, B = rw.shape
     L = read_len
@@ -210,7 +214,10 @@ def _cands_core_v4(gview, sa, lut2, key_lo, planes, *, genome_len,
 
     # --- extension: one row-gather per distinct locus (v3 gview) ------------
     posc = jnp.where(ok2, pos2, 0)
-    w0 = jnp.clip(posc >> 4, 0, Gv - 1)
+    if gview_base is not None:
+        w0 = jnp.clip((posc - gview_base) >> 4, 0, Gv - 1)
+    else:
+        w0 = jnp.clip(posc >> 4, 0, Gv - 1)
     rows = gview[w0]                                        # [NS, B, 2*nw2]
     rows = jnp.transpose(rows, (0, 2, 1))                   # [NS, 2*nw2, B]
     gw = rows[:, :nw2]

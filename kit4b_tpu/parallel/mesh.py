@@ -241,6 +241,114 @@ def pack_reads_sharded(reads: np.ndarray, dp: int):
     return np.concatenate(packed), np.concatenate(nlists)
 
 
+def shard_index_by_position(index, tp: int, read_len: int):
+    """POSITION-range sharding — the P3 completion for multi-Gbp genomes
+    (SURVEY.md §2.5 P3; VERDICT r3 item 7). Key-range sharding
+    (shard_index_by_key*) still replicates the genome on every tp shard
+    because extension needs random access; here shard t instead owns the
+    genome block [t*G/tp, (t+1)*G/tp):
+
+      * gview block covers the shard's rows plus a read-length halo on
+        both sides (window offsets reach below a block boundary and
+        extension reaches past it) — per-device genome residency is
+        O(G/tp + L), not O(G);
+      * the clean suffix array is PARTITIONED BY POSITION: shard t keeps
+        the sa entries pointing into its block (global positions, key
+        order preserved by the stable filter), with a full-key-space
+        local (lo, cnt) pair table over its own entries;
+      * every shard evaluates the full read batch against its block.
+        Each genome locus belongs to exactly one shard and the
+        first-exact-window canonical test is a global property computed
+        identically everywhere (halo provides full extension context),
+        so cross-shard emission is exactly-once and the merge is a plain
+        all_gather — the same argument as the key-range sharding, now
+        with O(G/tp) residency.
+
+    Returns (gview_blocks [tp, Gvb, 2*nw2] uint32, base [tp] int32
+    16-aligned global row-0 positions, sa_shards [tp, Mpad] int32 GLOBAL
+    positions, lut2_shards [tp, n_keys, 2] int32). Matches the
+    reference's >4 Gbp capacity class (libkit4b/SfxArray.cpp:906-909
+    5-byte suffix elements) with int32 local indices."""
+    from ..ops.extend_packed import pack_genome
+    from ..ops.seed_extend_fast import make_gview
+    g = index.genome
+    G = len(g.seq)
+    L = read_len
+    nw2 = (L + 15) // 16 + 1
+    k = index.lut_k
+    n_keys = len(index.lut) - 1
+    sa = index.sa_clean.astype(np.int64)
+    # recompute each clean suffix's key to histogram per-shard luts
+    dm = np.arange(4, dtype=np.int64)
+    keys = np.zeros(len(sa), np.int64)
+    for j in range(k):
+        keys = keys * 4 + dm[g.seq[sa + j]]
+    per = -(-G // tp)
+    halo = ((L + 15) // 16 + nw2) * 16
+    gv_list, base_list, sa_list, lut2_list = [], [], [], []
+    for t in range(tp):
+        blo, bhi = t * per, min((t + 1) * per, G)
+        base = max(0, (blo - halo) & ~15)
+        gend = min(G, bhi + halo)
+        gpack, gbad = pack_genome(g.seq[base:gend], nw2 + 1)
+        gv_list.append(make_gview(gpack, gbad, nw2))
+        base_list.append(base)
+        inb = (sa >= blo) & (sa < bhi)
+        sa_t = sa[inb]
+        keys_t = keys[inb]
+        lut_t = np.searchsorted(keys_t, np.arange(n_keys + 1))
+        lo = lut_t[:-1]
+        cnt = lut_t[1:] - lo
+        sa_list.append(sa_t.astype(np.int32))
+        lut2_list.append(np.stack([lo, cnt], axis=1).astype(np.int32))
+    gvb = max(x.shape[0] for x in gv_list)
+    mpad = max(len(x) for x in sa_list)
+    gview_blocks = np.zeros((tp, gvb, 2 * nw2), np.uint32)
+    sa_shards = np.zeros((tp, mpad), np.int32)
+    for t in range(tp):
+        gview_blocks[t, :gv_list[t].shape[0]] = gv_list[t]
+        # pad rows mark every base invalid so they can never match
+        gview_blocks[t, gv_list[t].shape[0]:, nw2:] = 0xFFFFFFFF
+        sa_shards[t, :len(sa_list[t])] = sa_list[t]
+    return (gview_blocks, np.asarray(base_list, np.int32), sa_shards,
+            np.stack(lut2_list))
+
+
+def make_sharded_align_pass_pos(mesh: Mesh, *, genome_len: int,
+                                offsets: tuple, lut_k: int, read_len: int,
+                                n_compact: int, n_extend: int,
+                                max_ml: int):
+    """dp x tp sharded pass over POSITION-sharded genome blocks
+    (shard_index_by_position): per-device residency O(G/tp). Sharded
+    args: gview_blocks [tp, Gvb, 2nw2], base [tp], sa_shards [tp, Mpad],
+    lut2_shards [tp, n_keys, 2] over "tp"; reads2b/nlist over "dp"."""
+    from ..ops import seed_extend_v4
+    from ..ops.seed_extend_fast import finalize_fast
+
+    def _local(gview_b, base_s, sa_s, lut2_s, reads2b, nlist):
+        planes = seed_extend_v4.words_from_2bit(reads2b, nlist, read_len)
+        ids, mm, ovf = seed_extend_v4._cands_core_v4(
+            gview_b[0], sa_s[0], lut2_s[0], jnp.int32(0), planes,
+            genome_len=genome_len, offsets=offsets, lut_k=lut_k,
+            read_len=read_len, n_compact=n_compact, n_extend=n_extend,
+            gview_base=base_s[0])
+        ids_all = jax.lax.all_gather(ids, "tp", axis=0, tiled=True)
+        mm_all = jax.lax.all_gather(mm, "tp", axis=0, tiled=True)
+        out = finalize_fast(ids_all.T, mm_all.T, max_ml=max_ml)
+        out["overflow"] = jax.lax.psum(ovf.astype(jnp.int32), "tp") > 0
+        return out
+
+    shmapped = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("tp", None, None), P("tp"), P("tp", None),
+                  P("tp", None, None), P("dp", None), P("dp", None)),
+        out_specs={"low_mm": P("dp"), "n_low": P("dp"), "nxt_mm": P("dp"),
+                   "hit_id": P("dp", None), "hit_mm": P("dp", None),
+                   "overflow": P("dp")},
+        check_vma=False)
+    return jax.jit(shmapped)
+
+
 def shard_index_by_key_v5(sa_clean: np.ndarray, lut: np.ndarray, tp: int):
     """shard_index_by_key for the v5 flattened kernel: per-shard lut4
     rows [tp, keys_per, 8] = [sa[lo..lo+6] (global positions), cnt].

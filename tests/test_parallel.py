@@ -263,3 +263,69 @@ def test_sharded_v5_matches_single(setup_repeat, dp, tp):
                 "overflow"):
         np.testing.assert_array_equal(np.asarray(out[key]),
                                       np.asarray(ref[key]), err_msg=key)
+
+
+def test_sharded_position_matches_single():
+    """POSITION-sharded genome pass (P3 completion, O(G/tp) residency):
+    bit-identical to the single-device production kernel on a repeat-dense
+    genome across mesh shapes (VERDICT r3 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    from kit4b_tpu.ops import seed_extend_fast, seed_extend_v3
+    from kit4b_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(41)
+    G = 400_000
+    seq = rng.integers(0, 4, G).astype(np.uint8)
+    unit = rng.integers(0, 4, 300).astype(np.uint8)
+    for i in range(30):
+        seq[4000 + i * 12000:4000 + i * 12000 + 300] = unit
+    seq = np.concatenate([seq, [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([G]), seq)
+    idx = SfxIndex.build(g)
+    recs = simreads.sim_reads(g, simreads.SimParams(
+        n_reads=64, read_len=100, seed=3, error_mode="uniform",
+        subs_rate=0.02))
+    reads = np.stack([r.codes for r in recs])
+    L = reads.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    # capacities ample for the repeat family so NEITHER side overflows:
+    # per-shard capacity semantics legitimately differ on overflow reads
+    # (a shard sees only its block's candidates)
+    kw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+              n_compact=512, n_extend=256, max_ml=5)
+
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut2 = seed_extend_v3.make_lut2_device(idx.lut)
+    ref = seed_extend_v3.fast_pass_v3(gview, sa_d, lut2,
+                                      jnp.asarray(reads), **kw)
+    for dp, tp in ((2, 4), (1, 8), (4, 2)):
+        m = pmesh.make_mesh(dp, tp)
+        gvb, base, sa_s, lut2_s = pmesh.shard_index_by_position(
+            idx, tp, L)
+        # O(G/tp) residency: each shard's gview block is ~1/tp of the
+        # full view plus the halo
+        full_rows = gview.shape[0]
+        assert gvb.shape[1] <= full_rows // tp + 4 * (L // 16 + nw2) + 2
+        reads2b, nlist = pmesh.pack_reads_sharded(reads, dp)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        args = (jax.device_put(jnp.asarray(gvb),
+                               NamedSharding(m, P("tp", None, None))),
+                jax.device_put(jnp.asarray(base),
+                               NamedSharding(m, P("tp"))),
+                jax.device_put(jnp.asarray(sa_s),
+                               NamedSharding(m, P("tp", None))),
+                jax.device_put(jnp.asarray(lut2_s),
+                               NamedSharding(m, P("tp", None, None))))
+        fn = pmesh.make_sharded_align_pass_pos(m, read_len=L, **kw)
+        out = fn(*args, reads2b, nlist)
+        for key_ in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm",
+                     "overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(out[key_]), np.asarray(ref[key_]),
+                err_msg=f"{key_} dp={dp} tp={tp}")
