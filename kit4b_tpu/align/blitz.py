@@ -118,6 +118,12 @@ def blitz_align(index: SfxIndex, records, *, stride: int = 4,
     replacing the ungapped score with the gapped alignment, its block
     structure, and gap accounting for PSL."""
     hits: list[BlitzHit] = []
+    # gapped mode defers the score threshold to the SW stage: an indel
+    # within the diagonal band makes the merged chain score poorly
+    # UNGAPPED (e.g. a 12 bp deletion in a 600 bp query nets -75), but
+    # HighScoreSW-style refinement recovers it — the reference scores
+    # paths with SW before thresholding (CBlitz.cpp:1560)
+    pre_score = -(1 << 30) if gapped else min_score
     for rec in records:
         per_q: list[BlitzHit] = []
         for strand, q in (("+", rec.codes),
@@ -125,7 +131,7 @@ def blitz_align(index: SfxIndex, records, *, stride: int = 4,
             qps, tps = _seed_hits(index, q, stride)
             per_q.extend(_chain_and_score(
                 index, q, qps, tps, strand=strand, qname=rec.name,
-                min_hits=min_hits, band=band, min_score=min_score))
+                min_hits=min_hits, band=band, min_score=pre_score))
         if gapped and per_q:
             per_q = _refine_gapped(index, rec, per_q, sw_band, min_score)
         per_q.sort(key=lambda h: -h.score)

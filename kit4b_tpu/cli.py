@@ -2373,8 +2373,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_maploci)
 
     p = sub.add_parser("blitz", help="local-align long queries vs index")
-    p.add_argument("-G", "--gapped", action="store_true",
-                   help="refine chained blocks with banded affine SW")
+    p.add_argument("-G", "--gapped", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="refine chained blocks with banded affine SW — "
+                        "the reference's path polish always runs "
+                        "HighScoreSW (CBlitz.cpp:1560), so gapped is the "
+                        "default; --no-gapped keeps ungapped chains")
     p.add_argument("-i", "--in", dest="infile", nargs="+", required=True)
     p.add_argument("-I", "--sfx", dest="sfxfile", required=True)
     p.add_argument("-o", "--out", dest="outfile", required=True,

@@ -101,3 +101,55 @@ def test_psl_gapped_blocks(tmp_path, index):
     # tNumInsert/tBaseInsert columns populated, blockCount >= 2
     assert int(row[6]) >= 1 and int(row[7]) >= 20
     assert int(row[17]) >= 2
+
+
+import os as _os
+import subprocess as _sp
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_REFBIN = _os.path.join(_REPO, ".refbin", "ngskit4b")
+
+
+@pytest.mark.golden
+@pytest.mark.skipif(not _os.path.exists(_REFBIN),
+                    reason="reference binary not built (.refbin)")
+def test_golden_blitz_indel_query(tmp_path, index):
+    """Gapped blitz vs the reference binary on an indel-dense query: both
+    must span the deletion as one high-scoring gapped alignment covering
+    the same target range (HighScoreSW parity, CBlitz.cpp:1560)."""
+    from kit4b_tpu.io.fasta import SeqRecord, write_fasta
+    g = index.genome
+    # query: 600 bp of target with a 12 bp deletion at 300
+    t0 = 5000
+    q = np.concatenate([g.seq[t0:t0 + 300], g.seq[t0 + 312:t0 + 612]])
+    write_fasta(tmp_path / "q.fa", [SeqRecord("q1", "", q)])
+    with open(tmp_path / "t.fa", "w") as f:
+        f.write(">c1\n")
+        s = "".join("ACGTN"[min(int(b), 4)] for b in g.seq[:-1])
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    _sp.run([_REFBIN, "index", "-i", str(tmp_path / "t.fa"),
+             "-o", str(tmp_path / "t.sfx"), "-r", "bz", "-T2"],
+            check=True, capture_output=True)
+    _sp.run([_REFBIN, "blitz", "-i", str(tmp_path / "q.fa"),
+             "-I", str(tmp_path / "t.sfx"),
+             "-o", str(tmp_path / "ref.psl"), "-T2"],
+            check=True, capture_output=True)
+    ref_rows = []
+    for line in open(tmp_path / "ref.psl"):
+        c = line.rstrip("\n").split("\t")
+        if len(c) > 16 and c[0].isdigit():
+            ref_rows.append(c)
+    assert ref_rows, "reference blitz produced no alignments"
+    best = max(ref_rows, key=lambda c: int(c[0]))
+    r_tstart, r_tend = int(best[15]), int(best[16])
+
+    hits = blitz.blitz_align(index, [SeqRecord("q1", "", q)], gapped=True)
+    assert hits
+    h = max(hits, key=lambda x: x.score)
+    # same spanned target range (within the SW band margin) and the
+    # deletion accounted as target gap bases
+    assert abs(h.t_start - r_tstart) <= 16
+    assert abs(h.t_end - r_tend) <= 16
+    assert h.t_gap_bases >= 10
+    assert h.q_end - h.q_start >= 590
