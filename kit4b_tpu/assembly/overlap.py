@@ -149,6 +149,36 @@ def _overlap_pass(gview, genome_u8, sa, lut, seq_starts, seq_ends,
     return pos, mm
 
 
+def _kmer_bucket_index(seq: np.ndarray, k: int):
+    """(positions int64 key-grouped, lut int64 [4^k + 1]): every clean
+    position of the corpus grouped by its k-mer key.
+
+    The overlap pass only resolves PREFIX k-mer buckets (lut[key] ranges
+    into a position list); lexicographic order WITHIN a bucket is never
+    used, so a stable argsort of keys + bincount replaces the full SA-IS
+    suffix build — ~4x cheaper on the per-pass corpus re-index, which
+    dominated the config-5 assembly wall-clock (VERDICT r3 item 5 /
+    reference GenRdsSfx per-pass re-index, ngskit4b/kit4bdna.cpp:6416)."""
+    n = len(seq)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(4 ** k + 1, np.int64)
+    isbase = seq < 4
+    bad = (~isbase).astype(np.int64)
+    cbad = np.concatenate([[0], np.cumsum(bad)])
+    ok = np.zeros(n, bool)
+    ok[: n - k + 1] = (cbad[k:] - cbad[:-k]) == 0
+    pos = np.nonzero(ok)[0]
+    w = seq[pos[:, None] + np.arange(k)].astype(np.int64)
+    pow4 = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    keys = w @ pow4
+    order = np.argsort(keys, kind="stable")
+    pos = pos[order]
+    counts = np.bincount(keys, minlength=4 ** k)
+    lut = np.zeros(4 ** k + 1, np.int64)
+    np.cumsum(counts, out=lut[1:])
+    return pos, lut
+
+
 def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
                   max_subs_per_100: int = 2, cand: int = 16,
                   win: int = 256, batch: int = 8192,
@@ -160,6 +190,7 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
       contained: set of corpus ids fully matched inside another sequence
     Corpus id j in [0, n): forward live seq; j in [n, 2n): its revcomp.
     """
+    from ..index.sfx_index import pick_lut_k
     from ..ops.extend_packed import pack_genome
     from ..ops.seed_extend_fast import make_gview
 
@@ -167,7 +198,15 @@ def find_overlaps(store: SeqStore, *, min_overlap: int = 30,
     n_corpus = len(g.names)
     if n_corpus == 0:
         return [], set()
-    idx = SfxIndex.build(g)
+    lut_k = pick_lut_k(len(g.seq))
+    kpos, klut = _kmer_bucket_index(g.seq, lut_k)
+
+    class _Idx:     # duck-typed SfxIndex view for the pass below
+        pass
+    idx = _Idx()
+    idx.lut_k = lut_k
+    idx.sa_clean = kpos
+    idx.lut = klut
     genome_d = jnp.asarray(g.seq)
     sa_d = jnp.asarray(idx.sa_clean.astype(np.int32))
     lut_d = jnp.asarray(idx.lut.astype(np.int32))
