@@ -203,7 +203,7 @@ def cmd_kalign(args) -> int:
                            pair_max_len=args.pairmaxlen,
                            pe_mode=args.pemode or 2)
         with t.phase("align"):
-            stats = pal.write_sam(
+            stats = pal.write_sam_fast(
                 args.outfile,
                 pal.align_pairs(list(stream(args.infile)),
                                 list(stream(args.pairfile))),

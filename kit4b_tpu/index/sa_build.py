@@ -54,6 +54,18 @@ def _load_native():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.format_sam_pe.restype = ctypes.c_int64
+        lib.format_sam_pe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
     except AttributeError:
         pass   # older .so without hostops
     lib.sais_u8_i32.restype = ctypes.c_int

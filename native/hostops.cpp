@@ -127,4 +127,68 @@ int64_t format_sam_se(const char* qname_cat, const int64_t* qname_ofs,
     return (int64_t)(p - out);
 }
 
+// Paired-end bulk SAM formatter (the PE analog of format_sam_se, used by
+// align/pe.py write_sam_fast): one record per array row with full mate
+// fields. Conventions:
+//   chrom_idx[i] <  0  -> unmapped record: "*\t0\t0\t*" for rname..cigar
+//   rnext[i]     == -1 -> "=" (mate on same chrom); == -2 -> "*";
+//                  else chromosome index
+//   tlen[i] signed; nm[i] < 0 omits the NM tag
+int64_t format_sam_pe(const char* qname_cat, const int64_t* qname_ofs,
+                      const char* chrom_cat, const int64_t* chrom_ofs,
+                      const int32_t* flag, const int32_t* chrom_idx,
+                      const int64_t* pos1, const int32_t* mapq,
+                      const int32_t* rnext, const int64_t* pnext,
+                      const int64_t* tlen, const int32_t* nm,
+                      const uint8_t* seq, const uint8_t* qual,
+                      int64_t N, int64_t L, char* out, int64_t cap) {
+    char* p = out;
+    char* end = out + cap - 1;
+    for (int64_t i = 0; i < N; ++i) {
+        int64_t qlen = qname_ofs[i + 1] - qname_ofs[i];
+        if (p + qlen + 2 * L + 160 > end) return -1;
+        memcpy(p, qname_cat + qname_ofs[i], (size_t)qlen); p += qlen;
+        *p++ = '\t';
+        p = put_u64(p, (uint64_t)flag[i]); *p++ = '\t';
+        if (chrom_idx[i] < 0) {
+            memcpy(p, "*\t0\t0\t*\t", 8); p += 8;
+        } else {
+            int64_t c = chrom_idx[i];
+            int64_t clen = chrom_ofs[c + 1] - chrom_ofs[c];
+            memcpy(p, chrom_cat + chrom_ofs[c], (size_t)clen); p += clen;
+            *p++ = '\t';
+            p = put_u64(p, (uint64_t)pos1[i]); *p++ = '\t';
+            p = put_u64(p, (uint64_t)mapq[i]); *p++ = '\t';
+            p = put_u64(p, (uint64_t)L); *p++ = 'M'; *p++ = '\t';
+        }
+        if (rnext[i] == -1) {
+            *p++ = '='; *p++ = '\t';
+        } else if (rnext[i] == -2) {
+            *p++ = '*'; *p++ = '\t';
+        } else {
+            int64_t c = rnext[i];
+            int64_t clen = chrom_ofs[c + 1] - chrom_ofs[c];
+            memcpy(p, chrom_cat + chrom_ofs[c], (size_t)clen); p += clen;
+            *p++ = '\t';
+        }
+        p = put_u64(p, (uint64_t)pnext[i]); *p++ = '\t';
+        if (tlen[i] < 0) { *p++ = '-'; p = put_u64(p, (uint64_t)(-tlen[i])); }
+        else             { p = put_u64(p, (uint64_t)tlen[i]); }
+        *p++ = '\t';
+        memcpy(p, seq + i * L, (size_t)L); p += L;
+        *p++ = '\t';
+        if (qual[i * L] == 0) {
+            *p++ = '*';
+        } else {
+            memcpy(p, qual + i * L, (size_t)L); p += L;
+        }
+        if (nm[i] >= 0) {
+            memcpy(p, "\tNM:i:", 6); p += 6;
+            p = put_u64(p, (uint64_t)nm[i]);
+        }
+        *p++ = '\n';
+    }
+    return (int64_t)(p - out);
+}
+
 }  // extern "C"

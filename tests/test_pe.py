@@ -193,3 +193,18 @@ def test_deep_stats_matches_full(setup_repeats):
     for key in ("low_mm", "n_low", "nxt_mm", "hit_id", "hit_mm"):
         np.testing.assert_array_equal(np.asarray(deep[key]),
                                       np.asarray(ref[key]), err_msg=key)
+
+
+def test_pe_write_sam_fast_matches_slow(tmp_path, setup):
+    """write_sam_fast (native bulk PE formatter) produces byte-identical
+    records to the per-record write_sam path."""
+    g, idx, r1, r2 = setup
+    al = kalign.KAligner(idx, batch_size=512)
+    pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=500, pe_mode=1)
+    pairs = list(pal.align_pairs(r1, r2))
+    s1 = pal.write_sam(tmp_path / "slow.sam", iter(pairs))
+    s2 = pal.write_sam_fast(tmp_path / "fast.sam", iter(pairs))
+    assert s1 == s2
+    slow = (tmp_path / "slow.sam").read_text().splitlines()
+    fast = (tmp_path / "fast.sam").read_text().splitlines()
+    assert slow == fast

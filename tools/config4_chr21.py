@@ -109,7 +109,7 @@ def main():
 
     t0 = time.time()
     sam_path = os.path.join(args.workdir, "out.sam")
-    stats = pal.write_sam(sam_path, pal.align_pairs(r1, r2),
+    stats = pal.write_sam_fast(sam_path, pal.align_pairs(r1, r2),
                           snp_caller=caller)
     dt = time.time() - t0
     n_reads = 2 * len(r1)
