@@ -85,8 +85,9 @@ def main():
         if acc >= half:
             n50 = ln
             break
-    log(f"assemb: {len(lens)} contigs, longest {lens[0]}, N50 {n50}, "
-        f"total {total} ({t_assemb:.1f}s)")
+    n_big = sum(1 for ln in lens if ln >= 300)
+    log(f"assemb: {len(lens)} live seqs ({n_big} contigs >= 300 bp), "
+        f"longest {lens[0]}, N50 {n50}, total {total} ({t_assemb:.1f}s)")
 
     # contig accuracy: exact containment of the largest contigs
     gseq = "".join("ACGT"[b] for b in seq)
@@ -123,7 +124,7 @@ def main():
     reads_total = 2 * len(r1)
     print(f"RESULT filter_s={t_filter:.1f} assemb_s={t_assemb:.1f} "
           f"scaffold_s={t_scaf:.1f} "
-          f"n_contigs={len(lens)} longest={lens[0]} n50={n50} "
+          f"n_contigs={len(lens)} n_contigs300={n_big} longest={lens[0]} n50={n50} "
           f"n_scaffolds={len(scaf_recs)} "
           f"longest_scaffold={slens[0] if slens else 0} "
           f"exact_top={n_exact}/{checked} "
