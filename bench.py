@@ -105,7 +105,8 @@ def main():
         marks = []
         for r in range(n_batches):
             pending.append(al._submit(reads[:BATCH]))
-            if len(pending) > 1:
+            if len(pending) >= 4:   # depth-4 probed best on this tunnel
+                #                     (.verify_scratch/depth_probe.py)
                 raw = al._collect_compact(pending.popleft(), reads[:BATCH])
                 n_acc = int((raw["nar"] == 0).sum())
                 out.append(raw)
