@@ -288,9 +288,9 @@ class PeAligner:
                                jnp.asarray(r2b2), jnp.asarray(nl2))
                     dev = pe_packed.pe_pass_packed(
                         gview, sa, lut2, starts_d, *handles, **pkw)
-                    return ("packed", dev, handles)
+                    return ("packed", dev, handles, (a1, a2))
             return ("old", pe_pass(gview, sa, lut, starts_d, a1, a2, **kw),
-                    None)
+                    None, (a1, a2))
 
         pending = []
         starts_idx = list(range(0, len(recs1), B))
@@ -378,7 +378,7 @@ class PeAligner:
 
     def _drain_device(self, i0, sub, recs1, recs2, max_tot):
         import jax
-        kind, dev, handles = sub
+        kind, dev, handles, arrs = sub
         out = np.array(jax.device_get(dev))
         B = self.al.batch_size
         n = min(B, len(recs1) - i0)
@@ -419,7 +419,8 @@ class PeAligner:
             a2 = self._align_all(sub2)
             for j, i in enumerate(ovf):
                 esc[int(i)] = self._pair(sub1[j], sub2[j], a1[j], a2[j])
-        rescues = self._batch_rescue(out, n, i0, recs1, recs2, max_tot) \
+        rescues = self._batch_rescue(out, n, i0, recs1, recs2, max_tot,
+                                     arrs=arrs) \
             if self.pe_mode in (1, 3) else {}
         for i in range(n):
             r1, r2 = recs1[i0 + i], recs2[i0 + i]
@@ -429,76 +430,86 @@ class PeAligner:
             yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot,
                                               rescue=rescues.get(i))
 
-    def _batch_rescue(self, out, n, i0, recs1, recs2, max_tot) -> dict:
+    def _batch_rescue(self, out, n, i0, recs1, recs2, max_tot,
+                      arrs=None) -> dict:
         """Device orphan rescue: one window_scan batch over every
         PAIR_NONE row with exactly one uniquely-aligned mate
         (AlignPartnerRead, KAligner.cpp:3333 — here a dense on-device
-        mismatch scan of the insert window)."""
+        mismatch scan of the insert window). Row selection and probe
+        construction are vectorized when the batch code arrays are
+        available (arrs = (a1, a2) from the submit step)."""
         import jax
         import jax.numpy as jnp
 
         from ..ops import seed_extend_fast as F
-        rows = []
-        for i in range(n):
-            if int(out[i, 5]) != PAIR_NONE:
-                continue
-            code1, code2 = int(out[i, 6]), int(out[i, 7])
-            if code1 >= 0 and code2 == -1:
-                rows.append((i, 1, code1))   # rescue mate 2 from anchor 1
-            elif code2 >= 0 and code1 == -1:
-                rows.append((i, 2, code2))
-        if not rows:
+        c1 = out[:n, 6].astype(np.int64)
+        c2 = out[:n, 7].astype(np.int64)
+        is_none = out[:n, 5] == PAIR_NONE
+        m2 = is_none & (c1 >= 0) & (c2 == -1)   # anchor 1, rescue mate 2
+        m1 = is_none & (c2 >= 0) & (c1 == -1)   # anchor 2, rescue mate 1
+        ridx = np.concatenate([np.nonzero(m2)[0], np.nonzero(m1)[0]])
+        if len(ridx) == 0:
             return {}
+        anchor_who = np.concatenate(
+            [np.ones(int(m2.sum()), np.int64),
+             np.full(int(m1.sum()), 2, np.int64)])
+        code = np.where(anchor_who == 1, c1[ridx], c2[ridx])
+        apos = code >> 1
+        astrand = code & 1
         g = self.al.index.genome
         L1 = len(recs1[i0].codes)
         L2 = len(recs2[i0].codes)
         gview, _, _, _ = self.al._device_for(max(L1, L2))
         scan_len = self.max_len - self.min_len + 1
+
+        La = np.where(anchor_who == 1, L1, L2)
+        Lo = np.where(anchor_who == 1, L2, L1)
+        want_strand = np.where(astrand == 0, 1, 0)
+        lo_all = np.where(astrand == 0, apos + self.min_len - Lo,
+                          apos + La - self.max_len).astype(np.int32)
+        if arrs is not None and L1 == L2:
+            a1, a2 = arrs
+            orphan = np.where((anchor_who == 1)[:, None],
+                              a2[ridx], a1[ridx])
+        else:
+            orphan = np.stack(
+                [(recs2[i0 + int(i)] if w == 1
+                  else recs1[i0 + int(i)]).codes
+                 for i, w in zip(ridx, anchor_who)])
+        rc = dna._COMPLEMENT[orphan][:, ::-1]
+        probes_all = np.where((want_strand == 0)[:, None], orphan, rc)
+
         out_map: dict[int, PePair | None] = {}
         RB = 4096
-        for s in range(0, len(rows), RB):
-            chunk = rows[s:s + RB]
-            probes = np.zeros((RB, L2 if chunk[0][1] == 1 else L1),
-                              np.uint8)
+        devs = []
+        for s in range(0, len(ridx), RB):
+            e = min(s + RB, len(ridx))
+            probes = np.zeros((RB, probes_all.shape[1]), np.uint8)
+            probes[:e - s] = probes_all[s:e]
             starts = np.zeros(RB, np.int32)
-            metas = []
-            for j, (i, anchor_who, code) in enumerate(chunk):
-                apos, astrand = code >> 1, code & 1
-                orphan = recs2[i0 + i] if anchor_who == 1 \
-                    else recs1[i0 + i]
-                Lo = len(orphan.codes)
-                La = L1 if anchor_who == 1 else L2
-                if astrand == 0:
-                    lo = apos + self.min_len - Lo
-                    want_strand = 1
-                else:
-                    lo = apos + La - self.max_len
-                    want_strand = 0
-                probe = orphan.codes if want_strand == 0 \
-                    else dna.revcomp(orphan.codes)
-                probes[j, :Lo] = probe
-                starts[j] = lo
-                metas.append((i, anchor_who, apos, astrand, Lo,
-                              want_strand))
-            best, bpos, n_best = (np.array(x) for x in jax.device_get(
-                F.window_scan(gview, jnp.asarray(probes),
-                              jnp.asarray(starts),
-                              genome_len=len(g.seq), scan_len=scan_len)))
-            for j, (i, anchor_who, apos, astrand, Lo, want_strand) \
-                    in enumerate(metas):
-                mtm = max_tot
-                if best[j] > mtm or n_best[j] != 1:
+            starts[:e - s] = lo_all[s:e]
+            devs.append((s, e, F.window_scan(
+                gview, jnp.asarray(probes), jnp.asarray(starts),
+                genome_len=len(g.seq), scan_len=scan_len)))
+        for s, e, dev in devs:
+            best, bpos, n_best = (np.array(x)[:e - s]
+                                  for x in jax.device_get(dev))
+            for j in range(e - s):
+                t = s + j
+                i = int(ridx[t])
+                if best[j] > max_tot or n_best[j] != 1:
                     out_map[i] = None
                     continue
                 o_res = _k.AlignResult(_k.NAR_ACCEPTED,
-                                       strand=want_strand,
+                                       strand=int(want_strand[t]),
                                        pos=int(bpos[j]), mm=int(best[j]),
                                        n_low=1)
-                a_res = _k.AlignResult(_k.NAR_ACCEPTED, strand=astrand,
-                                       pos=apos,
-                                       mm=int(out[i, 8 if anchor_who == 1
-                                               else 9]), n_low=1)
-                if anchor_who == 1:
+                a_res = _k.AlignResult(
+                    _k.NAR_ACCEPTED, strand=int(astrand[t]),
+                    pos=int(apos[t]),
+                    mm=int(out[i, 8 if anchor_who[t] == 1 else 9]),
+                    n_low=1)
+                if anchor_who[t] == 1:
                     r1, r2 = a_res, o_res
                     who = 2
                 else:
