@@ -1192,7 +1192,8 @@ def write_sam_fast(path, index: SfxIndex, aligner: "KAligner", records,
         # +16: the native guard checks against out+cap-1 with the full
         # per-record worst case, so an exact-fit cap is 1 byte short
         # (visible on single-read batches with short names)
-        cap = int(qn_ofs[-1]) + len(sel) * (2 * L + 128) + 16
+        max_cn = max((len(n) for n in g.names), default=1)
+        cap = int(qn_ofs[-1]) + len(sel) * (2 * L + max_cn + 128) + 16
         out = ctypes.create_string_buffer(cap)
         nb = lib.format_sam_se(
             qn_cat, qn_ofs.ctypes.data_as(

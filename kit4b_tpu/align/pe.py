@@ -467,35 +467,46 @@ class PeAligner:
         want_strand = np.where(astrand == 0, 1, 0)
         lo_all = np.where(astrand == 0, apos + self.min_len - Lo,
                           apos + La - self.max_len).astype(np.int32)
+        # group rescues by ORPHAN length: a mate-2 orphan (anchor 1) has
+        # length L2, a mate-1 orphan L1 — window_scan scores every probe
+        # column, so unequal-length orphans cannot share one padded
+        # stack; each group scans at its own probe width
         if arrs is not None and L1 == L2:
             a1, a2 = arrs
-            orphan = np.where((anchor_who == 1)[:, None],
-                              a2[ridx], a1[ridx])
+            orphan_all = np.where((anchor_who == 1)[:, None],
+                                  a2[ridx], a1[ridx])
+            groups = [(np.arange(len(ridx)), orphan_all)]
         else:
-            orphan = np.stack(
-                [(recs2[i0 + int(i)] if w == 1
-                  else recs1[i0 + int(i)]).codes
-                 for i, w in zip(ridx, anchor_who)])
-        rc = dna._COMPLEMENT[orphan][:, ::-1]
-        probes_all = np.where((want_strand == 0)[:, None], orphan, rc)
+            groups = []
+            for who in (1, 2):
+                sel_t = np.nonzero(anchor_who == who)[0]
+                if not len(sel_t):
+                    continue
+                src = recs2 if who == 1 else recs1
+                groups.append((sel_t, np.stack(
+                    [src[i0 + int(ridx[t])].codes for t in sel_t])))
 
         out_map: dict[int, PePair | None] = {}
         RB = 4096
         devs = []
-        for s in range(0, len(ridx), RB):
-            e = min(s + RB, len(ridx))
-            probes = np.zeros((RB, probes_all.shape[1]), np.uint8)
-            probes[:e - s] = probes_all[s:e]
-            starts = np.zeros(RB, np.int32)
-            starts[:e - s] = lo_all[s:e]
-            devs.append((s, e, F.window_scan(
-                gview, jnp.asarray(probes), jnp.asarray(starts),
-                genome_len=len(g.seq), scan_len=scan_len)))
-        for s, e, dev in devs:
-            best, bpos, n_best = (np.array(x)[:e - s]
+        for sel_t, orphan in groups:
+            rc = dna._COMPLEMENT[orphan][:, ::-1]
+            probes_all = np.where((want_strand[sel_t] == 0)[:, None],
+                                  orphan, rc)
+            for s in range(0, len(sel_t), RB):
+                e = min(s + RB, len(sel_t))
+                probes = np.zeros((RB, probes_all.shape[1]), np.uint8)
+                probes[:e - s] = probes_all[s:e]
+                starts = np.zeros(RB, np.int32)
+                starts[:e - s] = lo_all[sel_t[s:e]]
+                devs.append((sel_t[s:e], F.window_scan(
+                    gview, jnp.asarray(probes), jnp.asarray(starts),
+                    genome_len=len(g.seq), scan_len=scan_len)))
+        for tsel, dev in devs:
+            best, bpos, n_best = (np.array(x)[:len(tsel)]
                                   for x in jax.device_get(dev))
-            for j in range(e - s):
-                t = s + j
+            for j in range(len(tsel)):
+                t = int(tsel[j])
                 i = int(ridx[t])
                 if best[j] > max_tot or n_best[j] != 1:
                     out_map[i] = None
@@ -846,7 +857,9 @@ class PeAligner:
             qn_cat = b"".join(sel_names)
             qn_ofs = np.zeros(len(sel) + 1, np.int64)
             qn_ofs[1:] = np.cumsum([len(x) for x in sel_names])
-            cap = int(qn_ofs[-1]) + len(sel) * (2 * L + 160) + 16
+            max_cn = max((len(n) for n in g.names), default=1)
+            cap = (int(qn_ofs[-1])
+                   + len(sel) * (2 * L + 2 * max_cn + 160) + 16)
             out = ctypes.create_string_buffer(cap)
             # keep every array referenced until the native call returns
             a_flag = np.ascontiguousarray(flag[sel])

@@ -13,7 +13,9 @@ candidate machinery (ops/seed_extend_v4) end to end:
      in ONE compiled graph — the pass is TOTAL (nothing escalates to the
      host; the capped tier is the reference MaxIter sensitivity floor,
      ngskit4b/KAligner.h:53-56);
-  *  one [B, 10] int32 row per pair returns over the link (40 B/pair).
+  *  one [B, 12] int32 row per pair returns over the link (48 B/pair):
+     cols 0-9 are the align/pe.py pe_pass layout; cols 10/11 are the
+     per-mate overflow bits the host escalation groups on.
 
 Pairing semantics are identical to align/pe.py pe_pass (itself mirroring
 the reference's AcceptProvPE cross-product, ngskit4b/KAligner.cpp:
@@ -56,7 +58,8 @@ def _side_code(f, ovf, max_tot, mm_delta):
 def _pair_rows(f1, f2, ovf1, ovf2, starts, *, L1, L2, max_tot, mm_delta,
                min_ins, max_ins):
     """AcceptProvPE cross-product over both mates' top-max_ml hits ->
-    [B, 10] rows (same layout as align/pe.py pe_pass)."""
+    [B, 12] rows: cols 0-9 follow the align/pe.py pe_pass layout; cols
+    10/11 carry the per-mate overflow bits (see module docstring)."""
     code1 = _side_code(f1, ovf1, max_tot, mm_delta)
     code2 = _side_code(f2, ovf2, max_tot, mm_delta)
     h1, m1 = f1["hit_id"], f1["hit_mm"]            # [B, ML]
@@ -136,7 +139,8 @@ def pe_pass_packed(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, *,
                    min_ins: int, max_ins: int,
                    tier2: tuple = (512, 192, 96),
                    tier3: tuple = (64, 2048)):
-    """TOTAL paired-end pass: 2-bit packed mates in, [B, 10] int32 out.
+    """TOTAL paired-end pass: 2-bit packed mates in, [B, 12] int32 out
+    (cols 0-9 pe_pass layout + cols 10/11 per-mate overflow bits).
 
     tier2 = (E2, NC2, NS2): pairs whose tier-1 candidate compaction
     overflowed on either mate re-run both mates at the deeper capacities.

@@ -199,8 +199,8 @@ def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
     """Deep capped PE pass over the pair subset idxs [E] (device-side
     gather from the batch's already-uploaded 2-bit reads): deep
     exploration for the OVERFLOWED mate(s) + AcceptProvPE pairing ->
-    [E, 10] rows (align/pe.py pe_pass layout). TOTAL: rows never come
-    back PAIR_OVERFLOW.
+    [E, 12] rows (cols 0-9 align/pe.py pe_pass layout, cols 10/11
+    per-mate overflow bits). TOTAL: rows never come back PAIR_OVERFLOW.
 
     deep1/deep2 select which mate takes the deep exploration; a mate
     whose tier-1 compaction did NOT overflow is re-scored with the cheap

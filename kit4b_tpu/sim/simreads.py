@@ -160,10 +160,13 @@ def _apply_errors(reads: np.ndarray, params: SimParams,
             fresh = ~used[need, p]
             used[need[fresh], p[fresh]] = True
             need = need[~fresh]
-    ridx, pidx = np.nonzero(used & (reads < 4))
+    # count only positions actually substituted: a drawn position that
+    # landed on an N base gets no edit, so it must not inflate numsubs
+    applied = used & (reads < 4)
+    ridx, pidx = np.nonzero(applied)
     delta = rng.integers(1, 4, len(ridx), dtype=np.uint8)
     reads[ridx, pidx] = (reads[ridx, pidx] + delta) % 4
-    return (used & True).sum(axis=1).astype(np.int32)
+    return applied.sum(axis=1).astype(np.int32)
 
 
 def _apply_artefacts(reads: np.ndarray, params: SimParams,

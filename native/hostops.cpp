@@ -93,9 +93,12 @@ int64_t format_sam_se(const char* qname_cat, const int64_t* qname_ofs,
     char* p = out;
     char* end = out + cap - 1;
     for (int64_t i = 0; i < N; ++i) {
-        // worst case: qname + 2*L + chrom + ~80 digits/tabs
+        // worst case: qname + 2*L + the record's actual chrom name
+        // + ~80 digits/tabs
         int64_t qlen = qname_ofs[i + 1] - qname_ofs[i];
-        if (p + qlen + 2 * L + 128 > end) return -1;
+        int64_t clen_r = (flag[i] != 4 && chrom_idx[i] >= 0)
+            ? chrom_ofs[chrom_idx[i] + 1] - chrom_ofs[chrom_idx[i]] : 1;
+        if (p + qlen + clen_r + 2 * L + 128 > end) return -1;
         memcpy(p, qname_cat + qname_ofs[i], (size_t)qlen); p += qlen;
         *p++ = '\t';
         if (flag[i] == 4) {
@@ -146,7 +149,14 @@ int64_t format_sam_pe(const char* qname_cat, const int64_t* qname_ofs,
     char* end = out + cap - 1;
     for (int64_t i = 0; i < N; ++i) {
         int64_t qlen = qname_ofs[i + 1] - qname_ofs[i];
-        if (p + qlen + 2 * L + 160 > end) return -1;
+        // bound with the record's ACTUAL chromosome-name lengths (RNAME
+        // and RNEXT can each be long draft-assembly contig names; a fixed
+        // reservation would pass the check yet overrun the buffer)
+        int64_t clen_r = chrom_idx[i] >= 0
+            ? chrom_ofs[chrom_idx[i] + 1] - chrom_ofs[chrom_idx[i]] : 1;
+        int64_t clen_n = rnext[i] >= 0
+            ? chrom_ofs[rnext[i] + 1] - chrom_ofs[rnext[i]] : 1;
+        if (p + qlen + clen_r + clen_n + 2 * L + 128 > end) return -1;
         memcpy(p, qname_cat + qname_ofs[i], (size_t)qlen); p += qlen;
         *p++ = '\t';
         p = put_u64(p, (uint64_t)flag[i]); *p++ = '\t';
