@@ -303,8 +303,10 @@ class PeAligner:
             yield from self._drain_device(*item, recs1, recs2, max_tot)
 
     # deep-tier E quanta: escalated-pair subsets pad to these static
-    # shapes so only a couple of deep executables ever compile
-    _DEEP_QUANTA = (256, 4096)
+    # shapes so only a few deep executables ever compile (rescue-first
+    # shrinks the deep residue, so the mid quantum earns its compile:
+    # a 300-row residue pays E=1024, not 4096)
+    _DEEP_QUANTA = (256, 1024, 4096)
     # deep candidate budget (n_blocks, block_size) by sensitivity mode.
     # Measured on the config-4 Alu workload: budget 512 vs 2048 costs only
     # ~0.7% pair acceptance at identical 100% true-locus precision —
@@ -313,8 +315,28 @@ class PeAligner:
     # exploration, so the deeper lottery buys little (.verify_scratch
     # deep_quality protocol, 2026-08-20). The reference MaxIter skip
     # applies on top (ops/seed_extend_deep).
-    _DEEP_BLOCKS_BY_SENS = {"less": (2, 128), "default": (4, 128),
-                            "more": (16, 128), "ultra": (64, 128)}
+    # Round-5 re-measurement with rarest-K selection (_DEEP_N_SEL): deep
+    # cost is linear in C and rarest-4 at C=128 (cap 32/bucket on the 4
+    # least-populated buckets) ACCEPTS MORE pairs than uniform C=512
+    # (cap 28 over 18 buckets) at equal 100% true-locus — 31,805 vs
+    # 31,756 on 32K config-4 pairs — at ~4x less device cost.
+    _DEEP_BLOCKS_BY_SENS = {"less": (1, 64), "default": (1, 128),
+                            "more": (4, 128), "ultra": (16, 128)}
+    # rarest-K window selection for the deep tier (None = all windows):
+    # explore only the K least-populated seed buckets per read at cap
+    # C//K — highest true-locus odds per gathered candidate
+    _DEEP_N_SEL_BY_SENS = {"less": 4, "default": 4, "more": 6,
+                           "ultra": None}
+
+    @property
+    def _DEEP_N_SEL(self):
+        if "_deep_n_sel" in self.__dict__:
+            return self.__dict__["_deep_n_sel"]
+        return self._DEEP_N_SEL_BY_SENS.get(self.al.sens, 4)
+
+    @_DEEP_N_SEL.setter
+    def _DEEP_N_SEL(self, v):
+        self.__dict__["_deep_n_sel"] = v
 
     @property
     def _DEEP_BLOCKS(self):
@@ -326,13 +348,21 @@ class PeAligner:
     def _DEEP_BLOCKS(self, v):
         self.__dict__["_deep_blocks"] = v
 
-    def _deep_escalate(self, out, ovf, handles):
+    def _deep_escalate(self, out, ovf, handles, i0=None, recs1=None,
+                       recs2=None, max_tot=None, arrs=None):
         """Resolve PAIR_OVERFLOW rows with the deep capped kernel
         (ops/seed_extend_deep.deep_pe_pass) — one device submission per
         E-quantum chunk, mates gathered on device from the batch's
         already-uploaded 2-bit reads. Pairs are grouped by WHICH mate
         overflowed (rows cols 10/11): single-overflow pairs pay one deep
-        mate plus a cheap tier-1 rescore of the clean mate."""
+        mate plus a cheap tier-1 rescore of the clean mate.
+
+        Dual-overflow pairs are STAGED (round 5): deep mate 1 only; if
+        that yields a unique anchor, the partner resolves through the
+        exhaustive insert-window rescue (the reference's
+        AlignPartnerRead flow) instead of a second deep exploration —
+        only rows whose mate-1 deep was non-unique pay the full
+        two-mate deep. Returns {row: PePair} for rescue-resolved rows."""
         import jax
         import jax.numpy as jnp
 
@@ -346,7 +376,7 @@ class PeAligner:
                   max_ml=al.max_ml, max_tot=ctx["max_tot"],
                   mm_delta=al.mm_delta, min_ins=self.min_len,
                   max_ins=self.max_len, n_compact=al.n_compact,
-                  n_extend=al.n_extend)
+                  n_extend=al.n_extend, n_sel=self._DEEP_N_SEL)
         def wave(groups):
             devs = []
             step = self._DEEP_QUANTA[-1]
@@ -366,15 +396,63 @@ class PeAligner:
 
         o1 = out[ovf, 10] != 0
         o2 = out[ovf, 11] != 0
+        resolved: dict[int, PePair] = {}
+        can_rescue = self.pe_mode in (1, 3) and recs1 is not None
+        if not can_rescue:
+            # no-rescue modes (-U2/-U4) cannot stage through the window
+            # scan: dual rows need both mates' stats in one cross-product
+            # call, at the wider round-4 budget (uniform windows)
+            NBb, NCbb = {"less": (2, 128), "more": (16, 128),
+                         "ultra": (64, 128)}.get(self.al.sens, (4, 128))
+            kw.update(n_blocks=NBb, block_size=NCbb, n_sel=None)
+            wave(((ovf[o1 & ~o2], True, False),
+                  (ovf[~o1 & o2], False, True),
+                  (ovf[o1 & o2], True, True)))
+            left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+            if len(left):
+                wave(((left, True, True),))
+            return resolved
+        # stage 1: dual-overflow rows deep ONLY mate 1 (the partner's
+        # cheap rescore re-overflows, re-flagging the row with mate 1's
+        # deep side code in col 6 for the rescue stage below)
         wave(((ovf[o1 & ~o2], True, False),
               (ovf[~o1 & o2], False, True),
-              (ovf[o1 & o2], True, True)))
-        # a clean-mate rescore at tier-1 capacity can re-overflow for
-        # rows that had resolved through the in-graph tier-2 (NC 192):
-        # finish those with both mates deep — deep never overflows
+              (ovf[o1 & o2], True, False)))
+
+        def rescue_left():
+            left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+            if can_rescue and len(left):
+                # rows whose deep mate came back unique resolve via the
+                # exhaustive insert-window scan (AlignPartnerRead,
+                # KAligner.cpp:3333) — strictly stronger in-window
+                # coverage than a second capped bucket exploration, at
+                # ~2 orders less cost. No dead-marking: a capped deep's
+                # -1 is not proof of absence.
+                resolved.update(self._rescue_overflow(
+                    out, left, i0, recs1, recs2, max_tot, arrs,
+                    dead_mark=False))
+
+        rescue_left()
+        # stage 2b: rows whose mate-1 deep found NOTHING in budget
+        # (code -1 — the cap can miss loci the exhaustive scan finds):
+        # deep mate 2 instead, then rescue mate 1 from its anchor. With
+        # mate-1 deep empty, the dual cross-product is empty too, so
+        # rows that still fail are unpairable: PAIR_NONE.
+        left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+        d2 = left[(out[left, 10] == 0) & (out[left, 6] == -1)]
+        if len(d2):
+            wave(((d2, False, True),))
+            rescue_left()
+            dead = d2[out[d2, 5] == PAIR_OVERFLOW]
+            out[dead, 5] = PAIR_NONE
+        # stage 3 residue (non-unique deep anchors — PE disambiguation
+        # may still resolve them through the dual cross-product — or a
+        # clean-mate rescore that re-overflowed after resolving through
+        # the in-graph tier-2): both mates deep — deep never overflows
         left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         if len(left):
             wave(((left, True, True),))
+        return resolved
 
     def _drain_device(self, i0, sub, recs1, recs2, max_tot):
         import jax
@@ -389,8 +467,24 @@ class PeAligner:
         # in-graph (tier-2); repeat-dense residues take the deep capped
         # kernel; the fallback pe_pass path keeps the host ladder.
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
+        pre_rescued: dict[int, PePair] = {}
         if kind == "packed" and len(ovf):
-            self._deep_escalate(out, ovf, handles)
+            # RESCUE BEFORE DEEP (the reference's own flow): a mate whose
+            # core buckets overflow is, under MaxIter semantics, "too
+            # many matches" = unaligned (SfxArray.cpp:6592) — the
+            # reference then rescues it from the uniquely aligned anchor
+            # (AlignPartnerRead, KAligner.cpp:3333), never deep-exploring
+            # the repeat. The exhaustive insert-window scan both beats
+            # the capped bucket lottery on quality (it cannot miss an
+            # in-window locus) and costs ~2 orders less than the deep
+            # kernel, which now only sees the residue.
+            pre_rescued = self._rescue_overflow(out, ovf, i0, recs1,
+                                                recs2, max_tot, arrs)
+            ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+        if kind == "packed" and len(ovf):
+            pre_rescued.update(self._deep_escalate(
+                out, ovf, handles, i0=i0, recs1=recs1, recs2=recs2,
+                max_tot=max_tot, arrs=arrs))
             ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         for ti, (bt, nct) in enumerate(self.escalation):
             if len(ovf) == 0:
@@ -427,8 +521,9 @@ class PeAligner:
             if int(out[i, 5]) == PAIR_OVERFLOW:
                 yield r1, r2, esc[i]
                 continue
-            yield r1, r2, self._pair_from_row(r1, r2, out[i], max_tot,
-                                              rescue=rescues.get(i))
+            yield r1, r2, self._pair_from_row(
+                r1, r2, out[i], max_tot,
+                rescue=pre_rescued.get(i) or rescues.get(i))
 
     def _batch_rescue(self, out, n, i0, recs1, recs2, max_tot,
                       arrs=None) -> dict:
@@ -438,10 +533,6 @@ class PeAligner:
         mismatch scan of the insert window). Row selection and probe
         construction are vectorized when the batch code arrays are
         available (arrs = (a1, a2) from the submit step)."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops import seed_extend_fast as F
         c1 = out[:n, 6].astype(np.int64)
         c2 = out[:n, 7].astype(np.int64)
         is_none = out[:n, 5] == PAIR_NONE
@@ -453,6 +544,73 @@ class PeAligner:
         anchor_who = np.concatenate(
             [np.ones(int(m2.sum()), np.int64),
              np.full(int(m1.sum()), 2, np.int64)])
+        return self._window_rescue(out, ridx, anchor_who, i0, recs1,
+                                   recs2, max_tot, arrs)
+
+    def _rescue_overflow(self, out, ovf, i0, recs1, recs2, max_tot,
+                         arrs=None, dead_mark: bool = True) -> dict:
+        """Rescue-before-deep for PAIR_OVERFLOW rows (pemode 1/3).
+
+        A pair where exactly ONE mate overflowed its candidate tier while
+        the other aligned uniquely is resolved by the exhaustive
+        insert-window scan anchored on the clean mate — the reference's
+        AlignPartnerRead flow for a partner with too many matches
+        (KAligner.cpp:3333; MaxIter skip SfxArray.cpp:6592). The scan
+        enumerates every in-window locus, a strict superset of what any
+        capped bucket exploration could pair against, so acceptance
+        decisions dominate the deep tier's. Resolved rows (accepted or
+        proven unpairable) leave PAIR_OVERFLOW; the deep kernel only
+        sees the residue (dual overflow / non-unique anchors).
+
+        Additionally (dead_mark=True, valid only when the clean side
+        carries COMPLETE tier stats — not a capped deep that can miss
+        loci), pemode 1/2 rows whose CLEAN mate found nothing (code -1)
+        can never pair — marked PAIR_NONE without any deep work."""
+        o1 = out[ovf, 10] != 0
+        o2 = out[ovf, 11] != 0
+        c1 = out[ovf, 6].astype(np.int64)
+        c2 = out[ovf, 7].astype(np.int64)
+        if dead_mark and self.pe_mode in (1, 2):
+            dead = ovf[(o1 & ~o2 & (c2 == -1)) | (o2 & ~o1 & (c1 == -1))]
+            out[dead, 5] = PAIR_NONE
+        if self.pe_mode not in (1, 3):
+            return {}
+        r_m2 = ovf[o2 & ~o1 & (c1 >= 0)]   # anchor mate1, rescue mate 2
+        r_m1 = ovf[o1 & ~o2 & (c2 >= 0)]   # anchor mate2, rescue mate 1
+        ridx = np.concatenate([r_m2, r_m1])
+        if len(ridx) == 0:
+            return {}
+        anchor_who = np.concatenate(
+            [np.ones(len(r_m2), np.int64), np.full(len(r_m1), 2,
+                                                   np.int64)])
+        res = self._window_rescue(out, ridx, anchor_who, i0, recs1,
+                                  recs2, max_tot, arrs)
+        resolved = {}
+        for i, pp in res.items():
+            # success -> accepted pair; failure -> partner absent from
+            # the insert window: the pair is NONE (the overflowed mate
+            # is 'too many matches' under reference semantics). Either
+            # way the row leaves PAIR_OVERFLOW; the overflowed mate's
+            # side code becomes -2 so the PAIR_NONE orphan-rescue pass
+            # does not re-scan the same window.
+            out[i, 5] = PAIR_NONE
+            out[i, 7 if int(out[i, 10]) == 0 else 6] = -2
+            if pp is not None:
+                resolved[i] = pp
+        return resolved
+
+    def _window_rescue(self, out, ridx, anchor_who, i0, recs1, recs2,
+                       max_tot, arrs=None) -> dict:
+        """Batched insert-window scans: for each row i in ridx, rescue
+        the orphan mate (mate 2 when anchor_who==1 else mate 1) around
+        the anchor mate's unique locus (row col 6/7). Returns
+        {row: PePair | None} covering every selected row."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import seed_extend_fast as F
+        c1 = out[:, 6].astype(np.int64)
+        c2 = out[:, 7].astype(np.int64)
         code = np.where(anchor_who == 1, c1[ridx], c2[ridx])
         apos = code >> 1
         astrand = code & 1
@@ -489,48 +647,72 @@ class PeAligner:
         out_map: dict[int, PePair | None] = {}
         RB = 4096
         devs = []
+        from .kalign import pack_reads_2bit
         for sel_t, orphan in groups:
             rc = dna._COMPLEMENT[orphan][:, ::-1]
             probes_all = np.where((want_strand[sel_t] == 0)[:, None],
                                   orphan, rc)
+            Lg = probes_all.shape[1]
             for s in range(0, len(sel_t), RB):
                 e = min(s + RB, len(sel_t))
-                probes = np.zeros((RB, probes_all.shape[1]), np.uint8)
+                probes = np.zeros((RB, Lg), np.uint8)
                 probes[:e - s] = probes_all[s:e]
                 starts = np.zeros(RB, np.int32)
                 starts[:e - s] = lo_all[sel_t[s:e]]
-                devs.append((sel_t[s:e], F.window_scan(
-                    gview, jnp.asarray(probes), jnp.asarray(starts),
-                    genome_len=len(g.seq), scan_len=scan_len)))
+                # 2-bit packed probes + the gather-free phase-sliced scan
+                # (h2d 4x smaller, compute ~12x cheaper than the
+                # row-gather scan)
+                r2b, nl, pok = pack_reads_2bit(probes)
+                if pok:
+                    devs.append((sel_t[s:e], F.window_scan_packed(
+                        gview, jnp.asarray(r2b), jnp.asarray(nl),
+                        jnp.asarray(starts), genome_len=len(g.seq),
+                        scan_len=scan_len, read_len=Lg)))
+                else:
+                    devs.append((sel_t[s:e], F.window_scan(
+                        gview, jnp.asarray(probes), jnp.asarray(starts),
+                        genome_len=len(g.seq), scan_len=scan_len)))
+        starts_g = g.starts
         for tsel, dev in devs:
             best, bpos, n_best = (np.array(x)[:len(tsel)]
                                   for x in jax.device_get(dev))
-            for j in range(len(tsel)):
+            # vectorized acceptance: unique in-window best within budget
+            # + the _valid_pair orientation/insert/same-chrom checks
+            ap = apos[tsel]
+            ast = astrand[tsel]
+            lo_t = Lo[tsel]
+            la_t = La[tsel]
+            opos = bpos.astype(np.int64)
+            fwd_anchor = ast == 0
+            left_p = np.where(fwd_anchor, ap, opos)
+            right_end = np.where(fwd_anchor, opos + lo_t, ap + la_t)
+            ins = right_end - left_p
+            order_ok = np.where(fwd_anchor, opos >= ap, ap >= opos)
+            ci_a = np.searchsorted(starts_g, ap, side="right")
+            ci_o = np.searchsorted(starts_g, opos, side="right")
+            t_ok = ((best <= max_tot) & (n_best == 1) & order_ok
+                    & (ci_a == ci_o) & (ins >= self.min_len)
+                    & (ins <= self.max_len))
+            for j in np.nonzero(~t_ok)[0]:
+                out_map[int(ridx[tsel[j]])] = None
+            amm = np.where(anchor_who[tsel] == 1,
+                           out[ridx[tsel], 8], out[ridx[tsel], 9])
+            for j in np.nonzero(t_ok)[0]:
                 t = int(tsel[j])
-                i = int(ridx[t])
-                if best[j] > max_tot or n_best[j] != 1:
-                    out_map[i] = None
-                    continue
                 o_res = _k.AlignResult(_k.NAR_ACCEPTED,
                                        strand=int(want_strand[t]),
                                        pos=int(bpos[j]), mm=int(best[j]),
                                        n_low=1)
-                a_res = _k.AlignResult(
-                    _k.NAR_ACCEPTED, strand=int(astrand[t]),
-                    pos=int(apos[t]),
-                    mm=int(out[i, 8 if anchor_who[t] == 1 else 9]),
-                    n_low=1)
+                a_res = _k.AlignResult(_k.NAR_ACCEPTED,
+                                       strand=int(astrand[t]),
+                                       pos=int(apos[t]), mm=int(amm[j]),
+                                       n_low=1)
                 if anchor_who[t] == 1:
-                    r1, r2 = a_res, o_res
-                    who = 2
+                    r1, r2, who = a_res, o_res, 2
                 else:
-                    r1, r2 = o_res, a_res
-                    who = 1
-                ins = self._valid_pair((r1.pos, r1.strand, r1.mm),
-                                       (r2.pos, r2.strand, r2.mm),
-                                       L1, L2)
-                out_map[i] = None if ins is None else PePair(
-                    NAR_PE_ACCEPTED, r1, r2, tlen=ins, rescued=who)
+                    r1, r2, who = o_res, a_res, 1
+                out_map[int(ridx[t])] = PePair(
+                    NAR_PE_ACCEPTED, r1, r2, tlen=int(ins[j]), rescued=who)
         return out_map
 
     def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int,

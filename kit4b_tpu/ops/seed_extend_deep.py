@@ -42,11 +42,29 @@ DFLT_SKIP_BUCKET = 5000
 def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
                       offsets: tuple, lut_k: int, read_len: int,
                       n_blocks: int, block_size: int, max_ml: int,
-                      skip_bucket: int = DFLT_SKIP_BUCKET):
+                      skip_bucket: int = DFLT_SKIP_BUCKET,
+                      n_sel: int | None = None):
     """Capped deep exploration of one mate's candidates from packed word
     planes ([nw, E] lane-major). Returns the finalize_fast stats dict
     (low_mm/n_low/nxt_mm [E], hit_id/hit_mm [E, max_ml]) — complete under
-    the cap semantics, never overflowing."""
+    the cap semantics, never overflowing.
+
+    Round-5 restructure: ONE flat [C, E] pass (C = n_blocks*block_size)
+    instead of fori_loop rank blocks — the block formulation paid a
+    two-key [E, ML+NCb] sort-merge per block, flat pays one finalize
+    sort. Chip measurement showed the pass is bound by PER-INDEX gather
+    cost (sa gather 57 ms + row gather 87 ms for 2.1M candidate indices
+    at E=4096/C=512; sorts 24 ms), so the budget knob that matters is
+    the number of candidates, not how they are blocked.
+
+    n_sel (rarest-K selection): explore only the K least-populated seed
+    buckets per read — per-bucket cap rises to C//K, and the rarest
+    buckets give the highest probability that the true locus sits below
+    the cap (the standard rarest-seed heuristic; the reference's
+    MaxIter skip is the degenerate form of it, SfxArray.cpp:6592).
+    Canonicalisation is gated to EXPLORED windows: a candidate is kept
+    iff its discovery window is the first exact window among the
+    explored set, preserving exactly-once emission under subsetting."""
     rw, rb, rcw, rcb = planes
     nw, E = rw.shape
     L = read_len
@@ -57,8 +75,9 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     n_keys = lut2.shape[0]
     Gv = gview.shape[0]
     D = 2 * W
-    NB, NCb = n_blocks, block_size
-    cap = max(1, (NB * NCb) // D)     # uniform per-bucket budget
+    C = n_blocks * block_size         # flat candidate budget
+    K = n_sel if n_sel is not None else D
+    cap = max(1, C // K)              # per explored bucket
 
     kf, okf = _keys_be(rw, rb, offsets, k)
     kr, okr = _keys_be(rcw, rcb, offsets, k)
@@ -69,118 +88,95 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     lo = pair[..., 0]
     cnt = jnp.where(key_ok, pair[..., 1], 0)
     cnt = jnp.where(cnt > skip_bucket, 0, cnt)   # reference MaxIter skip
-    cnt = jnp.minimum(cnt, cap)
     lo_d = lo.reshape(D, E)
     cnt_d = cnt.reshape(D, E)
+    if K < D:
+        # rarest-K: keep the K smallest non-empty buckets per read
+        BIG = jnp.int32(2 ** 30)
+        cwork = jnp.where(cnt_d > 0, cnt_d, BIG)
+        explored = jnp.zeros((D, E), bool)
+        for _ in range(K):
+            m = jnp.min(cwork, axis=0)
+            pick = (cwork == m[None]) & (m[None] < BIG)
+            first = (jnp.cumsum(pick.astype(jnp.int32), axis=0) == 1) \
+                & pick
+            explored = explored | first
+            cwork = jnp.where(first, BIG, cwork)
+        cnt_d = jnp.where(explored, cnt_d, 0)
+    else:
+        explored = cnt_d > 0
+    cnt_d = jnp.minimum(cnt_d, cap)
     cum = jnp.cumsum(cnt_d, axis=0)                         # [D, E]
     cum0 = jnp.concatenate([jnp.zeros((1, E), jnp.int32), cum[:-1]], axis=0)
-    total = cum[-1]                                         # <= NB*NCb
+    total = cum[-1]                                         # <= C
 
     off_arr = jnp.asarray(np.asarray(offsets, np.int32))
     tmask = jnp.asarray(_tail_mask(L, nw))[None, :, None]
     wmask = _window_masks(offsets, k, nw)                   # np [W, nw]
     M = sa.shape[0]
 
-    def block_stats(j):
-        """(ids, mm) [NCb, E] for candidate ranks [j*NCb, (j+1)*NCb)."""
-        ranks = j * NCb + jnp.arange(NCb, dtype=jnp.int32)  # [NCb]
-        le = (cum[None, :, :] <= ranks[:, None, None]).astype(jnp.int32)
-        b = jnp.clip(jnp.sum(le, axis=1), 0, D - 1)         # [NCb, E]
-        prev = jnp.take_along_axis(cum0, b, axis=0)
-        lo_b = jnp.take_along_axis(lo_d, b, axis=0)
-        rank_in = ranks[:, None] - prev
-        sa_idx = lo_b + rank_in
-        slot_ok = ranks[:, None] < total[None, :]
-        w_d = b % W
-        strand = b // W
-        off_b = off_arr[w_d]
-        sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
-        pos = sa_pos - off_b
-        valid = slot_ok & (pos >= 0) & (pos + L <= G)
+    # rank -> owning bucket: #{d: cum[d] <= rank} via the one-hot le
+    # matrix (a vmapped searchsorted measured 131 ms here; this is ~free)
+    ranks = jnp.arange(C, dtype=jnp.int32)
+    le = (cum[None, :, :] <= ranks[:, None, None]).astype(jnp.int32)
+    b = jnp.clip(jnp.sum(le, axis=1), 0, D - 1)             # [C, E]
+    prev = jnp.take_along_axis(cum0, b, axis=0)
+    lo_b = jnp.take_along_axis(lo_d, b, axis=0)
+    sa_idx = lo_b + (ranks[:, None] - prev)
+    slot_ok = ranks[:, None] < total[None, :]
+    w_d = b % W
+    strand = b // W
+    off_b = off_arr[w_d]
+    sa_pos = sa[jnp.clip(sa_idx, 0, M - 1)].astype(jnp.int32)
+    pos = sa_pos - off_b
+    valid = slot_ok & (pos >= 0) & (pos + L <= G)
 
-        posc = jnp.where(valid, pos, 0)
-        w0 = jnp.clip(posc >> 4, 0, Gv - 1)
-        rows = gview[w0]                                    # [NCb, E, 2nw2]
-        rows = jnp.transpose(rows, (0, 2, 1))
-        gw = rows[:, :nw2]
-        gb = rows[:, nw2:]
-        sh = (2 * (posc & 15)).astype(jnp.uint32)[:, None, :]
-        hi_sh = jnp.uint32(32) - sh
+    posc = jnp.where(valid, pos, 0)
+    w0 = jnp.clip(posc >> 4, 0, Gv - 1)
+    rows = gview[w0]                                        # [C, E, 2nw2]
+    rows = jnp.transpose(rows, (0, 2, 1))
+    gw = rows[:, :nw2]
+    gb = rows[:, nw2:]
+    sh = (2 * (posc & 15)).astype(jnp.uint32)[:, None, :]
+    hi_sh = jnp.uint32(32) - sh
 
-        def shift_align(words):
-            lo_w = words[:, :nw] >> sh
-            hi_w = jnp.where(sh == 0, jnp.uint32(0), words[:, 1:] << hi_sh)
-            return lo_w | hi_w
+    def shift_align(words):
+        lo_w = words[:, :nw] >> sh
+        hi_w = jnp.where(sh == 0, jnp.uint32(0), words[:, 1:] << hi_sh)
+        return lo_w | hi_w
 
-        ga = shift_align(gw)
-        gba = shift_align(gb)
-        st = strand[:, None, :]
-        rp = jnp.where(st == 0, rw[None], rcw[None])
-        rbad = jnp.where(st == 0, rb[None], rcb[None])
-        x = ga ^ rp
-        mism = (x | (x >> 1)) & MISM_BITS
-        badb = (gba | rbad) & MISM_BITS
-        bits = (mism | badb) & tmask
-        mm = jnp.sum(jax.lax.population_count(bits), axis=1,
-                     dtype=jnp.int32)
+    ga = shift_align(gw)
+    gba = shift_align(gb)
+    st = strand[:, None, :]
+    rp = jnp.where(st == 0, rw[None], rcw[None])
+    rbad = jnp.where(st == 0, rb[None], rcb[None])
+    x = ga ^ rp
+    mism = (x | (x >> 1)) & MISM_BITS
+    badb = (gba | rbad) & MISM_BITS
+    bits = (mism | badb) & tmask
+    mm = jnp.sum(jax.lax.population_count(bits), axis=1,
+                 dtype=jnp.int32)
 
-        fw = jnp.full((NCb, E), W, dtype=jnp.int32)
-        any_exact = jnp.zeros((NCb, E), dtype=bool)
-        for w in range(W - 1, -1, -1):
-            ne = jnp.zeros((NCb, E), dtype=bool)
-            for wi in range(nw):
-                if wmask[w, wi]:
-                    ne = ne | ((bits[:, wi] & jnp.uint32(wmask[w, wi]))
-                               != 0)
-            ex = ~ne
-            fw = jnp.where(ex, w, fw)
-            any_exact = any_exact | ex
-        canonical = valid & any_exact & (fw == w_d)
-        ids = jnp.where(canonical, pos * 2 + strand, INT32_MAX)
-        mm = jnp.where(canonical, mm, INT32_MAX)
-        return ids, mm
-
-    ML = max_ml
-
-    def body(j, carry):
-        hit_id, hit_mm, low, n_low, nxt = carry
-        ids, mm = block_stats(j)                            # [NCb, E]
-        ok = ids != INT32_MAX
-        b_low = jnp.min(mm, axis=0)
-        b_n = jnp.sum((mm == b_low[None, :]) & ok, axis=0,
-                      dtype=jnp.int32)
-        b_nxt = jnp.min(jnp.where(mm > b_low[None, :], mm, INT32_MAX),
-                        axis=0)
-        # merge scalar stats
-        new_low = jnp.minimum(low, b_low)
-        new_n = (jnp.where(low == new_low, n_low, 0)
-                 + jnp.where(b_low == new_low, b_n, 0))
-
-        def gt_or_max(v):
-            return jnp.where(v > new_low, v, INT32_MAX)
-        new_nxt = jnp.minimum(
-            jnp.minimum(gt_or_max(low), gt_or_max(nxt)),
-            jnp.minimum(gt_or_max(b_low), gt_or_max(b_nxt)))
-        # merge top-ML hit lists: carry [E, ML] ++ block [E, NCb] -> sort
-        cat_mm = jnp.concatenate([hit_mm, mm.T], axis=1)    # [E, ML+NCb]
-        cat_id = jnp.concatenate([hit_id, ids.T], axis=1)
-        mm_s, id_s = jax.lax.sort((cat_mm, cat_id), dimension=1,
-                                  num_keys=2)
-        new_mm = mm_s[:, :ML]
-        new_id = jnp.where(new_mm == INT32_MAX, INT32_MAX, id_s[:, :ML])
-        return (new_id, new_mm, new_low, new_n, new_nxt)
-
-    init = (jnp.full((E, ML), INT32_MAX, jnp.int32),
-            jnp.full((E, ML), INT32_MAX, jnp.int32),
-            jnp.full((E,), INT32_MAX, jnp.int32),
-            jnp.zeros((E,), jnp.int32),
-            jnp.full((E,), INT32_MAX, jnp.int32))
-    # measured on chip: statically unrolling the blocks is ~15% SLOWER
-    # than the fori_loop (459 vs 384 ms at NB=4, E=4096) — the block cost
-    # is VPU/HBM-traffic-bound, not loop-serialisation-bound
-    hit_id, hit_mm, low, n_low, nxt = jax.lax.fori_loop(0, NB, body, init)
-    return {"low_mm": low, "n_low": n_low, "nxt_mm": nxt,
-            "hit_id": hit_id, "hit_mm": hit_mm}
+    # first-exact-window canonicalisation over the EXPLORED windows of
+    # the candidate's strand
+    exp_s = explored.reshape(2, W, E)
+    fw = jnp.full((C, E), W, dtype=jnp.int32)
+    any_exact = jnp.zeros((C, E), dtype=bool)
+    for w in range(W - 1, -1, -1):
+        ne = jnp.zeros((C, E), dtype=bool)
+        for wi in range(nw):
+            if wmask[w, wi]:
+                ne = ne | ((bits[:, wi] & jnp.uint32(wmask[w, wi])) != 0)
+        expw = jnp.where(strand == 0, exp_s[0, w][None, :],
+                         exp_s[1, w][None, :])
+        ex = ~ne & expw
+        fw = jnp.where(ex, w, fw)
+        any_exact = any_exact | ex
+    canonical = valid & any_exact & (fw == w_d)
+    ids = jnp.where(canonical, pos * 2 + strand, INT32_MAX)
+    mm = jnp.where(canonical, mm, INT32_MAX)
+    from .seed_extend_fast import finalize_fast
+    return finalize_fast(ids.T, mm.T, max_ml=max_ml)
 
 
 @functools.partial(
@@ -188,14 +184,15 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
                               "n_blocks", "block_size", "max_ml",
                               "skip_bucket", "max_tot", "mm_delta",
                               "min_ins", "max_ins", "deep1", "deep2",
-                              "n_compact", "n_extend"))
+                              "n_compact", "n_extend", "n_sel"))
 def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
                  genome_len: int, offsets: tuple, lut_k: int,
                  read_len: int, n_blocks: int, block_size: int,
                  max_ml: int, max_tot: int, mm_delta: int, min_ins: int,
                  max_ins: int, skip_bucket: int = DFLT_SKIP_BUCKET,
                  deep1: bool = True, deep2: bool = True,
-                 n_compact: int = 24, n_extend: int = 12):
+                 n_compact: int = 24, n_extend: int = 12,
+                 n_sel: int | None = None):
     """Deep capped PE pass over the pair subset idxs [E] (device-side
     gather from the batch's already-uploaded 2-bit reads): deep
     exploration for the OVERFLOWED mate(s) + AcceptProvPE pairing ->
@@ -210,7 +207,7 @@ def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
     from .pe_packed import _pair_rows
     kw = dict(genome_len=genome_len, offsets=offsets, lut_k=lut_k,
               read_len=read_len, n_blocks=n_blocks, block_size=block_size,
-              max_ml=max_ml, skip_bucket=skip_bucket)
+              max_ml=max_ml, skip_bucket=skip_bucket, n_sel=n_sel)
     no_ovf = jnp.zeros(idxs.shape[0], bool)
 
     def mate_stats(r2b, nl, deep):

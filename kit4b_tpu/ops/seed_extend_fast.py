@@ -398,3 +398,76 @@ def window_scan(gview: jnp.ndarray,   # [Gv, 2*nw2] genome context rows
     bi = jnp.argmin(mm, axis=1).astype(jnp.int32)
     best_pos = jnp.take_along_axis(safe, bi[:, None], axis=1)[:, 0]
     return best, best_pos, n_best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "scan_len", "read_len"))
+def window_scan_packed(gview: jnp.ndarray, r2b: jnp.ndarray,
+                       nlist: jnp.ndarray, starts: jnp.ndarray,
+                       *, genome_len: int, scan_len: int, read_len: int):
+    """Gather-free window scan (round 5): same contract as window_scan
+    — (best_mm, best_pos, n_best) over [start, start+scan_len) — but the
+    probe arrives 2-bit packed and the genome is touched via ONE
+    contiguous block gather per probe instead of scan_len overlapping
+    row gathers. The block is pre-aligned to `start` with a per-probe
+    funnel shift, then 16 static phase-shifted word streams turn every
+    scan position into pure slicing: position p = 16t + s reads words
+    [t, t+nw) of phase s. Chip measurement: 129 -> ~11 ms per
+    [4096 x 501] scan (the row-gather formulation paid ~2M per-index
+    gathers; this pays ~176K plus VPU work)."""
+    from .seed_extend_v4 import words_from_2bit
+    R, _ = r2b.shape
+    L = read_len
+    P = scan_len
+    nw = (L + 15) // 16
+    nw2g = gview.shape[1] // 2
+    Gv = gview.shape[0]
+    T = (P + 15) // 16
+    nwblk = T + nw + 1
+
+    rw, rb, _, _ = words_from_2bit(r2b, nlist, L)        # [nw, R]
+    pw = rw.T                                            # [R, nw]
+    pb = rb.T
+
+    base_w = starts >> 4
+    idx = jnp.clip(base_w[:, None]
+                   + jnp.arange(nwblk + 1, dtype=jnp.int32)[None, :],
+                   0, Gv - 1)
+    blk = gview[idx]                                     # [R, nwblk+1, 2nw2g]
+    gw = blk[..., 0]                                     # [R, nwblk+1]
+    gb = blk[..., nw2g]
+    # pre-align the streams to `starts` (sub-word funnel, per probe)
+    sh0 = (2 * (starts & 15)).astype(jnp.uint32)[:, None]
+    aw = jnp.where(sh0 == 0, gw[:, :-1],
+                   (gw[:, :-1] >> sh0) | (gw[:, 1:] << (32 - sh0)))
+    ab = jnp.where(sh0 == 0, gb[:, :-1],
+                   (gb[:, :-1] >> sh0) | (gb[:, 1:] << (32 - sh0)))
+    tmask = jnp.asarray(_tail_mask(L, nw))
+    # phase s: bases starting at start + 16t + s live in words [t, t+nw)
+    mm_st = []
+    for s in range(16):
+        shs = jnp.uint32(2 * s)
+        if s == 0:
+            ws, bs = aw, ab
+        else:
+            ws = (aw[:, :-1] >> shs) | (aw[:, 1:] << (32 - shs))
+            bs = (ab[:, :-1] >> shs) | (ab[:, 1:] << (32 - shs))
+        acc = jnp.zeros((R, T), jnp.int32)
+        for j in range(nw):
+            x = ws[:, j:j + T] ^ pw[:, j:j + 1]
+            mism = (x | (x >> 1)) & MISM_BITS
+            badb = (bs[:, j:j + T] | pb[:, j:j + 1]) & MISM_BITS
+            acc = acc + jax.lax.population_count(
+                (mism | badb) & tmask[j]).astype(jnp.int32)
+        mm_st.append(acc)
+    mm = jnp.stack(mm_st, axis=2).reshape(R, T * 16)     # p = 16t + s
+    p = jnp.arange(T * 16, dtype=jnp.int32)[None, :]
+    pos = starts[:, None] + p
+    valid = (p < P) & (pos >= 0) & (pos + L <= genome_len)
+    mm = jnp.where(valid, mm, INT32_MAX)
+    best = jnp.min(mm, axis=1)
+    n_best = jnp.sum(mm == best[:, None], axis=1, dtype=jnp.int32)
+    prel = jnp.min(jnp.where(mm == best[:, None], p, jnp.int32(2 ** 30)),
+                   axis=1)
+    best_pos = jnp.clip(starts + prel, 0, genome_len - L)
+    return best, best_pos, n_best

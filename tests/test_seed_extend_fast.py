@@ -159,3 +159,48 @@ def test_fast_pass_n_handling():
         assert out["low_mm"][i] == low, i
         assert out["n_low"][i] == len(
             {(p, s) for p, s, m in hits if m == low}), i
+
+
+def test_window_scan_packed_matches_byte():
+    """The phase-sliced packed window scan (round 5) returns the same
+    (best, pos, n_best) as the row-gather byte scan, incl. N bases,
+    window edges and genome boundaries."""
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    from kit4b_tpu.ops.extend_packed import pack_genome
+    rng = np.random.default_rng(11)
+    G = 50_000
+    seq = np.concatenate([rng.integers(0, 4, G).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    L = 73                       # non-multiple of 16 tail
+    R = 64
+    probes = np.zeros((R, L), np.uint8)
+    starts = np.zeros(R, np.int32)
+    for i in range(R):
+        p = int(rng.integers(0, G - L))
+        probes[i] = seq[p:p + L]
+        if i % 3 == 0:           # plant mismatches
+            q = rng.integers(0, L, 2)
+            probes[i, q] = (probes[i, q] + 1) % 4
+        if i % 5 == 0:           # plant an N
+            probes[i, rng.integers(0, L)] = dna.BASE_N
+        starts[i] = p - int(rng.integers(0, 300))
+    starts[0] = -40              # pre-genome window edge
+    starts[1] = G - 100          # tail-of-genome window edge
+    nw2 = (L + 15) // 16 + 1
+    gpack, gbad = pack_genome(seq, 65)
+    gview = jnp.asarray(seed_extend_fast.make_gview(gpack, gbad, nw2))
+    for scan_len in (171, 512):
+        b0, p0, n0 = (np.array(x) for x in seed_extend_fast.window_scan(
+            gview, jnp.asarray(probes), jnp.asarray(starts),
+            genome_len=len(seq), scan_len=scan_len))
+        r2b, nl, ok = pack_reads_2bit(probes)
+        assert ok
+        b1, p1, n1 = (np.array(x) for x in
+                      seed_extend_fast.window_scan_packed(
+                          gview, jnp.asarray(r2b), jnp.asarray(nl),
+                          jnp.asarray(starts), genome_len=len(seq),
+                          scan_len=scan_len, read_len=L))
+        np.testing.assert_array_equal(b0, b1)
+        np.testing.assert_array_equal(n0, n1)
+        usable = b0 != INT32_MAX
+        np.testing.assert_array_equal(p0[usable], p1[usable])
