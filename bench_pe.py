@@ -90,22 +90,17 @@ def _build_workload():
 def run_pe_bench(n_rounds: int = N_ROUNDS):
     """Returns (reads_per_sec_median, vs_baseline, details dict)."""
     from kit4b_tpu.align import kalign, pe
-    from kit4b_tpu.io.fasta import SeqRecord
     from kit4b_tpu.sim import simreads
 
     g, idx, codes1, codes2, names1 = _build_workload()
-    recs1 = [SeqRecord(names1[i], "", codes1[i])
-             for i in range(len(codes1))]
-    recs2 = [SeqRecord(f"m2_{i}", "", codes2[i])
-             for i in range(len(codes2))]
     al = kalign.KAligner(idx, batch_size=BATCH)
     pal = pe.PeAligner(al, pair_min_len=200, pair_max_len=700, pe_mode=1)
-    n_reads = 2 * len(recs1)
+    n_reads = 2 * len(codes1)
 
     def one_round():
         n_acc = 0
-        pairs = None
-        for _, _, pp in pal.align_pairs(recs1, recs2):
+        for _, _, pp in pal.align_pairs_arrays(codes1, codes2,
+                                               names1=list(names1)):
             if pp.nar == pe.NAR_PE_ACCEPTED:
                 n_acc += 1
         return n_acc
@@ -113,7 +108,7 @@ def run_pe_bench(n_rounds: int = N_ROUNDS):
     t0 = time.time()
     n_acc = one_round()
     log(f"warmup (compile + first full round): {time.time()-t0:.1f}s, "
-        f"accepted {n_acc}/{len(recs1)} pairs")
+        f"accepted {n_acc}/{len(codes1)} pairs")
 
     times = []
     for r in range(n_rounds):
@@ -131,7 +126,8 @@ def run_pe_bench(n_rounds: int = N_ROUNDS):
 
     # truth spot check (outside the timed region): mate1 loci
     n_true = n_chk = 0
-    for rec1, _, pp in pal.align_pairs(recs1[:BATCH], recs2[:BATCH]):
+    for rec1, _, pp in pal.align_pairs_arrays(
+            codes1[:BATCH], codes2[:BATCH], names1=list(names1)[:BATCH]):
         if pp.nar != pe.NAR_PE_ACCEPTED:
             continue
         t = simreads.parse_truth(rec1.name)
@@ -142,7 +138,7 @@ def run_pe_bench(n_rounds: int = N_ROUNDS):
     log(f"true-locus (mate1, first batch): {n_true}/{n_chk} = "
         f"{100*n_true/max(n_chk,1):.2f}%")
     vs = rps / BASELINE_PE_READS_PER_SEC
-    return rps, vs, {"accepted_pairs": n_acc, "n_pairs": len(recs1),
+    return rps, vs, {"accepted_pairs": n_acc, "n_pairs": len(codes1),
                      "true_pct": round(100*n_true/max(n_chk, 1), 2)}
 
 

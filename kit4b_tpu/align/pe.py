@@ -165,6 +165,25 @@ def _hits_of(res: _k.AlignResult, hit_ids, hit_mms, max_tot_mm):
     return out
 
 
+class _LazyRecs:
+    """Sequence view over an [N, L] code matrix that materialises
+    SeqRecord objects only where individually indexed (escalation
+    residues, rescue anchors) — the batch paths slice the matrix."""
+
+    def __init__(self, codes, names):
+        self.codes_matrix = np.ascontiguousarray(codes, dtype=np.uint8)
+        self._names = names if isinstance(names, list) else list(names)
+
+    def __len__(self):
+        return len(self.codes_matrix)
+
+    def __getitem__(self, i):
+        from ..io.fasta import SeqRecord
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return SeqRecord(self._names[i], "", self.codes_matrix[i])
+
+
 class PeAligner:
     """Paired-end driver over a base KAligner."""
 
@@ -181,6 +200,9 @@ class PeAligner:
         # (batch, candidate-capacity) device escalation tiers for pairs
         # whose tier-1 candidate compaction overflowed
         self.escalation = escalation
+        # in-graph tier-2 of the packed pass (E slots, NC, NS); None
+        # disables it (escalation handles everything host-side)
+        self.tier2 = (1024, 192, 96)
         g = aligner.index.genome
         self._chrom_of = g  # for same-chrom checks via locate
 
@@ -214,6 +236,18 @@ class PeAligner:
         if not (self.min_len <= insert <= self.max_len):
             return None
         return insert
+
+    def align_pairs_arrays(self, codes1: np.ndarray, codes2: np.ndarray,
+                           names1=None, names2=None):
+        """Array-native align_pairs: [N, L] uint8 code matrices in,
+        (rec1, rec2, PePair) stream out — the per-record Python
+        marshaling (np.stack over N SeqRecord objects per pass) is
+        skipped; records are materialised lazily from matrix rows."""
+        from ..io.fasta import SeqRecord
+        n = len(codes1)
+        recs1 = _LazyRecs(codes1, names1 or (f"r1_{i}" for i in range(n)))
+        recs2 = _LazyRecs(codes2, names2 or (f"r2_{i}" for i in range(n)))
+        yield from self._align_pairs_device(recs1, recs2)
 
     def align_pairs(self, recs1, recs2):
         """Align paired record lists; yields (rec1, rec2, PePair).
@@ -261,7 +295,9 @@ class PeAligner:
                    max_ml=al.max_ml, max_tot=max_tot,
                    mm_delta=al.mm_delta, min_ins=self.min_len,
                    max_ins=self.max_len,
-                   tier2=(min(B, 1024), 192, 96), tier3=None)
+                   tier2=self.tier2 if self.tier2 is None
+                   else (min(B, self.tier2[0]),) + tuple(self.tier2[1:]),
+                   tier3=None)
         # context for the deep escalation tier (repeat-dense pairs past
         # the in-graph tier-2 slots run ops/seed_extend_deep.deep_pe_pass)
         self._pctx = dict(gview=gview, sa=sa, lut2=lut2, starts_d=starts_d,
@@ -271,15 +307,17 @@ class PeAligner:
         def submit(i0):
             from ..ops import pe_packed
             from .kalign import pack_reads_2bit
-            c1 = recs1[i0:i0 + B]
-            c2 = recs2[i0:i0 + B]
-            a1 = np.stack([r.codes for r in c1])
-            a2 = np.stack([r.codes for r in c2])
-            if len(c1) < B:
+            if isinstance(recs1, _LazyRecs):
+                a1 = recs1.codes_matrix[i0:i0 + B]
+                a2 = recs2.codes_matrix[i0:i0 + B]
+            else:
+                a1 = np.stack([r.codes for r in recs1[i0:i0 + B]])
+                a2 = np.stack([r.codes for r in recs2[i0:i0 + B]])
+            if len(a1) < B:
                 a1 = np.concatenate(
-                    [a1, np.repeat(a1[:1], B - len(c1), axis=0)])
+                    [a1, np.repeat(a1[:1], B - len(a1), axis=0)])
                 a2 = np.concatenate(
-                    [a2, np.repeat(a2[:1], B - len(c2), axis=0)])
+                    [a2, np.repeat(a2[:1], B - len(a2), axis=0)])
             if use_packed:
                 r2b1, nl1, ok1 = pack_reads_2bit(a1)
                 r2b2, nl2, ok2 = pack_reads_2bit(a2)
@@ -292,21 +330,67 @@ class PeAligner:
             return ("old", pe_pass(gview, sa, lut, starts_d, a1, a2, **kw),
                     None, (a1, a2))
 
-        pending = []
+        # SUPERBATCH grouping (round 5): submit SB batches' tier-1/2
+        # passes together, then resolve their escalation POOLED — every
+        # stage (overflow rescue scans, deep waves, orphan rescue) runs
+        # once per group with all segments' device calls submitted
+        # before any collection, instead of once per batch. On a
+        # WAN-tunneled chip the per-phase dispatch+sync latency is the
+        # tax; pooling cuts sync points ~SBx. The next group's tier-1/2
+        # is submitted before the current group's escalation so the
+        # device queue never drains.
+        SB = getattr(self, "superbatch", 4)
         starts_idx = list(range(0, len(recs1), B))
-        for i0 in starts_idx:
-            pending.append((i0, submit(i0)))
-            if len(pending) >= 2:
-                yield from self._drain_device(*pending.pop(0), recs1, recs2,
+        groups = [starts_idx[i:i + SB]
+                  for i in range(0, len(starts_idx), SB)]
+        pending_group = None
+        for grp in groups:
+            subs = [(i0, submit(i0)) for i0 in grp]
+            if pending_group is not None:
+                yield from self._drain_group(pending_group, recs1, recs2,
+                                             max_tot)
+            pending_group = subs
+        if pending_group is not None:
+            yield from self._drain_group(pending_group, recs1, recs2,
+                                         max_tot)
+
+    def _drain_group(self, subs, recs1, recs2, max_tot):
+        """Resolve one superbatch group. Consecutive 'packed' batches
+        concatenate into one pooled escalation (global rows r map to
+        segment r // batch_size); any 'old'-kind fallback batch drains
+        through the per-batch path."""
+        import jax
+        B = self.al.batch_size
+        if any(sub[0] != "packed" for _, sub in subs):
+            for i0, sub in subs:
+                yield from self._drain_device(i0, sub, recs1, recs2,
                                               max_tot)
-        for item in pending:
-            yield from self._drain_device(*item, recs1, recs2, max_tot)
+            return
+        from ..ops.pe_packed import unpack_rows12
+        import jax.numpy as jnp
+        i0g = subs[0][0]
+        # one concatenated fetch for the whole group's tier-1/2 rows
+        # (one tunnel sync instead of SB)
+        allout = unpack_rows12(np.array(jax.device_get(
+            jnp.concatenate([sub[1] for _, sub in subs], axis=0))))
+        outs, handles_list, a1s, a2s = [], [], [], []
+        for si, (i0, (kind, dev, handles, arrs)) in enumerate(subs):
+            n = min(B, len(recs1) - i0)
+            outs.append(allout[si * B:si * B + n])
+            handles_list.append(handles)
+            a1s.append(arrs[0][:n])
+            a2s.append(arrs[1][:n])
+        out = np.concatenate(outs)
+        arrs = (np.concatenate(a1s), np.concatenate(a2s))
+        yield from self._resolve_rows(out, len(out), i0g, handles_list,
+                                      arrs, recs1, recs2, max_tot)
 
     # deep-tier E quanta: escalated-pair subsets pad to these static
     # shapes so only a few deep executables ever compile (rescue-first
     # shrinks the deep residue, so the mid quantum earns its compile:
-    # a 300-row residue pays E=1024, not 4096)
-    _DEEP_QUANTA = (256, 1024, 4096)
+    # a 300-row residue pays E=1024, not 4096; the 16384 quantum lets a
+    # whole superbatch group's dual rows run as ONE device call)
+    _DEEP_QUANTA = (256, 1024, 4096, 16384)
     # deep candidate budget (n_blocks, block_size) by sensitivity mode.
     # Measured on the config-4 Alu workload: budget 512 vs 2048 costs only
     # ~0.7% pair acceptance at identical 100% true-locus precision —
@@ -320,7 +404,10 @@ class PeAligner:
     # least-populated buckets) ACCEPTS MORE pairs than uniform C=512
     # (cap 28 over 18 buckets) at equal 100% true-locus — 31,805 vs
     # 31,756 on 32K config-4 pairs — at ~4x less device cost.
-    _DEEP_BLOCKS_BY_SENS = {"less": (1, 64), "default": (1, 128),
+    # chip A/B (config 4): (1,64)K4 = 75.3K reads/s at 63,578 accepted
+    # vs (1,128)K4 = 68.6K at 63,581 — 10% throughput for 3 pairs in
+    # 65,536; the ladder keeps the wider budgets for -m more/ultra
+    _DEEP_BLOCKS_BY_SENS = {"less": (1, 32), "default": (1, 64),
                             "more": (4, 128), "ultra": (16, 128)}
     # rarest-K window selection for the deep tier (None = all windows):
     # explore only the K least-populated seed buckets per read at cap
@@ -349,7 +436,7 @@ class PeAligner:
         self.__dict__["_deep_blocks"] = v
 
     def _deep_escalate(self, out, ovf, handles, i0=None, recs1=None,
-                       recs2=None, max_tot=None, arrs=None):
+                       recs2=None, max_tot=None, arrs=None, pre=None):
         """Resolve PAIR_OVERFLOW rows with the deep capped kernel
         (ops/seed_extend_deep.deep_pe_pass) — one device submission per
         E-quantum chunk, mates gathered on device from the batch's
@@ -362,41 +449,22 @@ class PeAligner:
         exhaustive insert-window rescue (the reference's
         AlignPartnerRead flow) instead of a second deep exploration —
         only rows whose mate-1 deep was non-unique pay the full
-        two-mate deep. Returns {row: PePair} for rescue-resolved rows."""
-        import jax
-        import jax.numpy as jnp
+        two-mate deep. Returns {row: PePair} for rescue-resolved rows.
 
-        from ..ops.seed_extend_deep import deep_pe_pass
-        ctx = self._pctx
-        al = self.al
-        NB, NCb = self._DEEP_BLOCKS
-        kw = dict(genome_len=len(al.index.genome.seq),
-                  offsets=ctx["offsets"], lut_k=al.index.lut_k,
-                  read_len=ctx["L"], n_blocks=NB, block_size=NCb,
-                  max_ml=al.max_ml, max_tot=ctx["max_tot"],
-                  mm_delta=al.mm_delta, min_ins=self.min_len,
-                  max_ins=self.max_len, n_compact=al.n_compact,
-                  n_extend=al.n_extend, n_sel=self._DEEP_N_SEL)
+        Probe words come from the group-resident planes (built by
+        _resolve_rows), so chunks address GLOBAL group rows and every
+        wave submits all its chunks before collecting any. `pre` is an
+        already-submitted stage-1 devs list (from _deep_submit_stage1):
+        the caller submitted deep work before running the rescue scans
+        so deep computes while the host processes rescue rows."""
+        resolved: dict[int, PePair] = {}
+        kw = self._deep_kw()
+
         def wave(groups):
-            devs = []
-            step = self._DEEP_QUANTA[-1]
-            for rows, d1, d2 in groups:
-                for s in range(0, len(rows), step):
-                    chunk = rows[s:s + step]
-                    E = next(q for q in self._DEEP_QUANTA
-                             if q >= len(chunk))
-                    idxs = np.full(E, chunk[0], np.int32)
-                    idxs[:len(chunk)] = chunk
-                    devs.append((chunk, deep_pe_pass(
-                        ctx["gview"], ctx["sa"], ctx["lut2"],
-                        ctx["starts_d"], *handles, jnp.asarray(idxs),
-                        deep1=d1, deep2=d2, **kw)))
-            for chunk, dev in devs:
-                out[chunk] = np.array(jax.device_get(dev))[:len(chunk)]
+            self._deep_collect(out, self._deep_submit(out, groups, kw))
 
         o1 = out[ovf, 10] != 0
         o2 = out[ovf, 11] != 0
-        resolved: dict[int, PePair] = {}
         can_rescue = self.pe_mode in (1, 3) and recs1 is not None
         if not can_rescue:
             # no-rescue modes (-U2/-U4) cannot stage through the window
@@ -412,16 +480,20 @@ class PeAligner:
             if len(left):
                 wave(((left, True, True),))
             return resolved
-        # stage 1: dual-overflow rows deep ONLY mate 1 (the partner's
-        # cheap rescore re-overflows, re-flagging the row with mate 1's
-        # deep side code in col 6 for the rescue stage below)
-        wave(((ovf[o1 & ~o2], True, False),
-              (ovf[~o1 & o2], False, True),
-              (ovf[o1 & o2], True, False)))
+        if pre is not None:
+            self._deep_collect(out, pre)
+        else:
+            # stage 1: dual-overflow rows deep ONLY mate 1 (the
+            # partner's cheap rescore re-overflows, re-flagging the row
+            # with mate 1's deep side code in col 6 for the rescue
+            # stage below)
+            wave(((ovf[o1 & ~o2], True, False),
+                  (ovf[~o1 & o2], False, True),
+                  (ovf[o1 & o2], True, False)))
 
         def rescue_left():
             left = ovf[out[ovf, 5] == PAIR_OVERFLOW]
-            if can_rescue and len(left):
+            if len(left):
                 # rows whose deep mate came back unique resolve via the
                 # exhaustive insert-window scan (AlignPartnerRead,
                 # KAligner.cpp:3333) — strictly stronger in-window
@@ -432,6 +504,68 @@ class PeAligner:
                     out, left, i0, recs1, recs2, max_tot, arrs,
                     dead_mark=False))
 
+        return self._deep_finish(out, ovf, i0, recs1, recs2, max_tot,
+                                 arrs, wave, resolved, rescue_left)
+
+    def _deep_kw(self):
+        ctx = self._pctx
+        al = self.al
+        NB, NCb = self._DEEP_BLOCKS
+        return dict(genome_len=len(al.index.genome.seq),
+                    offsets=ctx["offsets"], lut_k=al.index.lut_k,
+                    read_len=ctx["L"], n_blocks=NB, block_size=NCb,
+                    max_ml=al.max_ml, max_tot=ctx["max_tot"],
+                    mm_delta=al.mm_delta, min_ins=self.min_len,
+                    max_ins=self.max_len, n_compact=al.n_compact,
+                    n_extend=al.n_extend, n_sel=self._DEEP_N_SEL)
+
+    def _deep_submit(self, out, groups, kw):
+        """Submit deep_pe_pass_planes calls for every E-quantum chunk of
+        every (rows, deep1, deep2) group; returns [(chunk, dev), ...]
+        without collecting."""
+        import jax.numpy as jnp
+
+        from ..ops.seed_extend_deep import deep_pe_pass_planes
+        ctx = self._pctx
+        P1, P2 = ctx["planes"]
+        devs = []
+        step = self._DEEP_QUANTA[-1]
+        for rows, d1, d2 in groups:
+            if len(rows) == 0:
+                continue
+            for s in range(0, len(rows), step):
+                chunk = rows[s:s + step]
+                E = next(q for q in self._DEEP_QUANTA if q >= len(chunk))
+                idxs = np.full(E, chunk[0], np.int32)
+                idxs[:len(chunk)] = chunk
+                devs.append((chunk, deep_pe_pass_planes(
+                    ctx["gview"], ctx["sa"], ctx["lut2"],
+                    ctx["starts_d"], P1, P2, jnp.asarray(idxs),
+                    deep1=d1, deep2=d2, **kw)))
+        return devs
+
+    def _deep_collect(self, out, devs):
+        import jax
+
+        from ..ops.pe_packed import unpack_rows12
+        for chunk, dev in devs:
+            out[chunk] = unpack_rows12(
+                np.array(jax.device_get(dev)))[:len(chunk)]
+
+    def _deep_submit_stage1(self, out, ovf):
+        """Submit stage-1 deep waves (no collection) for rows known to
+        need deep work — callers run the rescue scans and their host
+        processing while these compute, then pass the devs back via
+        _deep_escalate(pre=...)."""
+        o1 = out[ovf, 10] != 0
+        o2 = out[ovf, 11] != 0
+        return self._deep_submit(out, ((ovf[o1 & ~o2], True, False),
+                                       (ovf[~o1 & o2], False, True),
+                                       (ovf[o1 & o2], True, False)),
+                                 self._deep_kw())
+
+    def _deep_finish(self, out, ovf, i0, recs1, recs2, max_tot, arrs,
+                     wave, resolved, rescue_left):
         rescue_left()
         # stage 2b: rows whose mate-1 deep found NOTHING in budget
         # (code -1 — the cap can miss loci the exhaustive scan finds):
@@ -458,8 +592,37 @@ class PeAligner:
         import jax
         kind, dev, handles, arrs = sub
         out = np.array(jax.device_get(dev))
+        if kind == "packed":
+            from ..ops.pe_packed import unpack_rows12
+            out = unpack_rows12(out)
         B = self.al.batch_size
         n = min(B, len(recs1) - i0)
+        yield from self._resolve_rows(out, n, i0, handles, arrs, recs1,
+                                      recs2, max_tot,
+                                      packed=kind == "packed")
+
+    def _resolve_rows(self, out, n, i0, handles, arrs, recs1, recs2,
+                      max_tot, packed=True):
+        import jax
+        import jax.numpy as jnp
+        if hasattr(self, "_pctx"):
+            # build the group-resident word planes ONCE: every deep wave
+            # and rescue scan gathers probe words from them with global
+            # row indices, so no per-segment device calls and no probe
+            # bytes re-cross the link
+            if packed:
+                from ..ops.seed_extend_v4 import planes_2bit
+                L = self._pctx["L"]
+                hlist = handles if isinstance(handles, list) \
+                    else [handles]
+                c1 = [planes_2bit(h[0], h[1], read_len=L) for h in hlist]
+                c2 = [planes_2bit(h[2], h[3], read_len=L) for h in hlist]
+                cat = (lambda cs: tuple(
+                    jnp.concatenate([c[k] for c in cs], axis=1)
+                    if len(cs) > 1 else cs[0][k] for k in range(4)))
+                self._pctx["planes"] = (cat(c1), cat(c2))
+            else:
+                self._pctx["planes"] = None
         # escalate overflowed pairs through DEVICE pe_pass tiers with
         # larger candidate capacities (the PE analog of the SE
         # escalation ladder / reference MaxIter sensitivity tiers,
@@ -468,7 +631,7 @@ class PeAligner:
         # kernel; the fallback pe_pass path keeps the host ladder.
         ovf = np.nonzero(out[:n, 5] == PAIR_OVERFLOW)[0]
         pre_rescued: dict[int, PePair] = {}
-        if kind == "packed" and len(ovf):
+        if packed and len(ovf) and self.pe_mode in (1, 3):
             # RESCUE BEFORE DEEP (the reference's own flow): a mate whose
             # core buckets overflow is, under MaxIter semantics, "too
             # many matches" = unaligned (SfxArray.cpp:6592) — the
@@ -477,15 +640,39 @@ class PeAligner:
             # the repeat. The exhaustive insert-window scan both beats
             # the capped bucket lottery on quality (it cannot miss an
             # in-window locus) and costs ~2 orders less than the deep
-            # kernel, which now only sees the residue.
+            # kernel, which now only sees the residue — and that residue
+            # is classified up front so its stage-1 deep waves are
+            # SUBMITTED before the rescue scans collect: deep computes
+            # while the host processes rescue rows.
+            o1 = out[ovf, 10] != 0
+            o2 = out[ovf, 11] != 0
+            c1 = out[ovf, 6]
+            c2 = out[ovf, 7]
+            if self.pe_mode in (1, 2):
+                dead = ovf[(o1 & ~o2 & (c2 == -1))
+                           | (o2 & ~o1 & (c1 == -1))]
+                out[dead, 5] = PAIR_NONE
+            resc = (o2 & ~o1 & (c1 >= 0)) | (o1 & ~o2 & (c2 >= 0))
+            deep_rows = ovf[~resc & (out[ovf, 5] == PAIR_OVERFLOW)]
+            pre = self._deep_submit_stage1(out, deep_rows) \
+                if len(deep_rows) else None
+            pre_rescued = self._rescue_overflow(
+                out, ovf[resc], i0, recs1, recs2, max_tot, arrs,
+                dead_mark=False)
+            if pre is not None:
+                pre_rescued.update(self._deep_escalate(
+                    out, deep_rows, handles, i0=i0, recs1=recs1,
+                    recs2=recs2, max_tot=max_tot, arrs=arrs, pre=pre))
+            ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+        elif packed and len(ovf):
             pre_rescued = self._rescue_overflow(out, ovf, i0, recs1,
                                                 recs2, max_tot, arrs)
             ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
-        if kind == "packed" and len(ovf):
-            pre_rescued.update(self._deep_escalate(
-                out, ovf, handles, i0=i0, recs1=recs1, recs2=recs2,
-                max_tot=max_tot, arrs=arrs))
-            ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
+            if len(ovf):
+                pre_rescued.update(self._deep_escalate(
+                    out, ovf, handles, i0=i0, recs1=recs1, recs2=recs2,
+                    max_tot=max_tot, arrs=arrs))
+                ovf = ovf[out[ovf, 5] == PAIR_OVERFLOW]
         for ti, (bt, nct) in enumerate(self.escalation):
             if len(ovf) == 0:
                 break
@@ -516,13 +703,16 @@ class PeAligner:
         rescues = self._batch_rescue(out, n, i0, recs1, recs2, max_tot,
                                      arrs=arrs) \
             if self.pe_mode in (1, 3) else {}
+        rows_l = out[:n].tolist()   # one bulk convert: the per-row loop
+        #                             then touches only Python ints
         for i in range(n):
             r1, r2 = recs1[i0 + i], recs2[i0 + i]
-            if int(out[i, 5]) == PAIR_OVERFLOW:
+            row = rows_l[i]
+            if row[5] == PAIR_OVERFLOW:
                 yield r1, r2, esc[i]
                 continue
             yield r1, r2, self._pair_from_row(
-                r1, r2, out[i], max_tot,
+                r1, r2, row, max_tot,
                 rescue=pre_rescued.get(i) or rescues.get(i))
 
     def _batch_rescue(self, out, n, i0, recs1, recs2, max_tot,
@@ -625,11 +815,20 @@ class PeAligner:
         want_strand = np.where(astrand == 0, 1, 0)
         lo_all = np.where(astrand == 0, apos + self.min_len - Lo,
                           apos + La - self.max_len).astype(np.int32)
+        out_map: dict[int, PePair | None] = {}
+        RB = 4096
+        QUANTA = (512, 1024, 2048, RB)
+        devs = []
+        hl = getattr(self, "_pctx", {}).get("planes") \
+            if arrs is not None else None
         # group rescues by ORPHAN length: a mate-2 orphan (anchor 1) has
-        # length L2, a mate-1 orphan L1 — window_scan scores every probe
+        # length L2, a mate-1 orphan L1 — the scans score every probe
         # column, so unequal-length orphans cannot share one padded
-        # stack; each group scans at its own probe width
-        if arrs is not None and L1 == L2:
+        # stack; each group scans at its own probe width. Skipped when
+        # the device-gather path below serves all rows.
+        if hl is not None and L1 == L2:
+            groups = []
+        elif arrs is not None and L1 == L2:
             a1, a2 = arrs
             orphan_all = np.where((anchor_who == 1)[:, None],
                                   a2[ridx], a1[ridx])
@@ -643,10 +842,32 @@ class PeAligner:
                 src = recs2 if who == 1 else recs1
                 groups.append((sel_t, np.stack(
                     [src[i0 + int(ridx[t])].codes for t in sel_t])))
-
-        out_map: dict[int, PePair | None] = {}
-        RB = 4096
-        devs = []
+        if hl is not None and L1 == L2:
+            # DEVICE probe gather (round 5): the orphan mates' words sit
+            # in the group-resident planes — ship only row indices and
+            # window starts (~16 B/row), gather + revcomp-select on
+            # device (F.window_scan_pe). One call per quantum chunk over
+            # the WHOLE group.
+            P1, P2 = hl
+            orphan_who = np.where(anchor_who == 1, 2, 1)
+            RBW = 16384
+            QW = QUANTA + (RBW,)
+            for s in range(0, len(ridx), RBW):
+                tsel = np.arange(s, min(s + RBW, len(ridx)))
+                q = next(x for x in QW if x >= len(tsel))
+                li = np.zeros(q, np.int32)
+                li[:len(tsel)] = ridx[tsel]
+                wh = np.full(q, 1, np.int32)
+                wh[:len(tsel)] = orphan_who[tsel]
+                ws_ = np.zeros(q, np.int32)
+                ws_[:len(tsel)] = want_strand[tsel]
+                st_ = np.zeros(q, np.int32)
+                st_[:len(tsel)] = lo_all[tsel]
+                devs.append((tsel, F.window_scan_pe(
+                    gview, P1, P2, jnp.asarray(li),
+                    jnp.asarray(wh), jnp.asarray(ws_),
+                    jnp.asarray(st_), genome_len=len(g.seq),
+                    scan_len=scan_len, read_len=L1)))
         from .kalign import pack_reads_2bit
         for sel_t, orphan in groups:
             rc = dna._COMPLEMENT[orphan][:, ::-1]
@@ -655,9 +876,12 @@ class PeAligner:
             Lg = probes_all.shape[1]
             for s in range(0, len(sel_t), RB):
                 e = min(s + RB, len(sel_t))
-                probes = np.zeros((RB, Lg), np.uint8)
+                # pad to the smallest quantum (fewer compiled shapes,
+                # no full-RB padding waste for small residues)
+                q = next(x for x in QUANTA if x >= e - s)
+                probes = np.zeros((q, Lg), np.uint8)
                 probes[:e - s] = probes_all[s:e]
-                starts = np.zeros(RB, np.int32)
+                starts = np.zeros(q, np.int32)
                 starts[:e - s] = lo_all[sel_t[s:e]]
                 # 2-bit packed probes + the gather-free phase-sliced scan
                 # (h2d 4x smaller, compute ~12x cheaper than the
@@ -693,26 +917,28 @@ class PeAligner:
             t_ok = ((best <= max_tot) & (n_best == 1) & order_ok
                     & (ci_a == ci_o) & (ins >= self.min_len)
                     & (ins <= self.max_len))
-            for j in np.nonzero(~t_ok)[0]:
-                out_map[int(ridx[tsel[j]])] = None
+            for i in ridx[tsel[~t_ok]].tolist():
+                out_map[i] = None
             amm = np.where(anchor_who[tsel] == 1,
                            out[ridx[tsel], 8], out[ridx[tsel], 9])
-            for j in np.nonzero(t_ok)[0]:
-                t = int(tsel[j])
-                o_res = _k.AlignResult(_k.NAR_ACCEPTED,
-                                       strand=int(want_strand[t]),
-                                       pos=int(bpos[j]), mm=int(best[j]),
-                                       n_low=1)
-                a_res = _k.AlignResult(_k.NAR_ACCEPTED,
-                                       strand=int(astrand[t]),
-                                       pos=int(apos[t]), mm=int(amm[j]),
-                                       n_low=1)
-                if anchor_who[t] == 1:
+            # bulk-convert the accepted rows' fields to Python ints once
+            ok_j = np.nonzero(t_ok)[0]
+            cols = np.stack([ridx[tsel[ok_j]], anchor_who[tsel[ok_j]],
+                             want_strand[tsel[ok_j]], bpos[ok_j],
+                             best[ok_j], astrand[tsel[ok_j]],
+                             apos[tsel[ok_j]], amm[ok_j],
+                             ins[ok_j]]).T.tolist()
+            for (i, who_a, wstr, op, bm, astr, apv, am, insv) in cols:
+                o_res = _k.AlignResult(_k.NAR_ACCEPTED, strand=wstr,
+                                       pos=op, mm=bm, n_low=1)
+                a_res = _k.AlignResult(_k.NAR_ACCEPTED, strand=astr,
+                                       pos=apv, mm=am, n_low=1)
+                if who_a == 1:
                     r1, r2, who = a_res, o_res, 2
                 else:
                     r1, r2, who = o_res, a_res, 1
-                out_map[int(ridx[t])] = PePair(
-                    NAR_PE_ACCEPTED, r1, r2, tlen=int(ins[j]), rescued=who)
+                out_map[i] = PePair(NAR_PE_ACCEPTED, r1, r2, tlen=insv,
+                                    rescued=who)
         return out_map
 
     def _pe_pass_subset(self, sub1, sub2, bt: int, nct: int,

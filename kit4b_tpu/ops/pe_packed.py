@@ -119,6 +119,51 @@ def _pair_rows(f1, f2, ovf1, ovf2, starts, *, L1, L2, max_tot, mm_delta,
                      axis=1)
 
 
+def pack_rows6(rows):
+    """[B, 12] int32 pair rows -> [B, 6] wire words (device side).
+
+    The [B, 12] layout costs 48 B/pair over the host link; the packed
+    form is 24 B: words 0/1 = ids, word 2 = mm1 | mm2<<8 | tlen<<16,
+    word 3 = pcode | ovf1<<2 | ovf2<<3 | low1<<8 | low2<<16, words
+    4/5 = side codes. mm/low clamp to 255 and tlen to 65535 — all are
+    only consumed when the row is ACCEPT/side-aligned, where they are
+    far below the clamps."""
+    mm1 = jnp.clip(rows[:, 2], 0, 255)
+    mm2 = jnp.clip(rows[:, 3], 0, 255)
+    tlen = jnp.clip(rows[:, 4], 0, 65535)
+    low1 = jnp.clip(rows[:, 8], 0, 255)
+    low2 = jnp.clip(rows[:, 9], 0, 255)
+    w2 = mm1 | (mm2 << 8) | (tlen << 16)
+    w3 = (rows[:, 5] | (rows[:, 10] << 2) | (rows[:, 11] << 3)
+          | (low1 << 8) | (low2 << 16))
+    return jnp.stack([rows[:, 0], rows[:, 1], w2, w3,
+                      rows[:, 6], rows[:, 7]], axis=1)
+
+
+def unpack_rows12(a: np.ndarray) -> np.ndarray:
+    """Host-side inverse of pack_rows6: [N, 6] wire words -> [N, 12].
+    Passes [N, 12] arrays through (kernels skip packing when the insert
+    ceiling exceeds the 16-bit tlen field)."""
+    if a.shape[1] == 12:
+        return a
+    out = np.empty((len(a), 12), np.int32)
+    out[:, 0] = a[:, 0]
+    out[:, 1] = a[:, 1]
+    w2 = a[:, 2].astype(np.uint32)
+    out[:, 2] = w2 & 255
+    out[:, 3] = (w2 >> 8) & 255
+    out[:, 4] = (w2 >> 16) & 0xFFFF
+    w3 = a[:, 3].astype(np.uint32)
+    out[:, 5] = w3 & 3
+    out[:, 10] = (w3 >> 2) & 1
+    out[:, 11] = (w3 >> 3) & 1
+    out[:, 8] = (w3 >> 8) & 255
+    out[:, 9] = (w3 >> 16) & 255
+    out[:, 6] = a[:, 4]
+    out[:, 7] = a[:, 5]
+    return out
+
+
 def _mate_stats(gview, sa, lut2, planes, *, kw, n_compact, n_extend,
                 max_ml, max_per_bucket=None):
     ids, mm, ovf = _cands_core_v4(gview, sa, lut2, jnp.int32(0), planes,
@@ -139,8 +184,10 @@ def pe_pass_packed(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, *,
                    min_ins: int, max_ins: int,
                    tier2: tuple = (512, 192, 96),
                    tier3: tuple = (64, 2048)):
-    """TOTAL paired-end pass: 2-bit packed mates in, [B, 12] int32 out
-    (cols 0-9 pe_pass layout + cols 10/11 per-mate overflow bits).
+    """TOTAL paired-end pass: 2-bit packed mates in, [B, 6] packed wire
+    words out (pack_rows6 of the [B, 12] rows: cols 0-9 pe_pass layout
+    + cols 10/11 per-mate overflow bits; hosts unpack with
+    unpack_rows12).
 
     tier2 = (E2, NC2, NS2): pairs whose tier-1 candidate compaction
     overflowed on either mate re-run both mates at the deeper capacities.
@@ -198,4 +245,4 @@ def pe_pass_packed(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, *,
         out = escalate(out, tier2, capped=False)
     if tier3 is not None:
         out = escalate(out, tier3, capped=True)
-    return out
+    return pack_rows6(out) if max_ins <= 65535 else out

@@ -185,19 +185,23 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
                               "skip_bucket", "max_tot", "mm_delta",
                               "min_ins", "max_ins", "deep1", "deep2",
                               "n_compact", "n_extend", "n_sel"))
-def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
-                 genome_len: int, offsets: tuple, lut_k: int,
-                 read_len: int, n_blocks: int, block_size: int,
-                 max_ml: int, max_tot: int, mm_delta: int, min_ins: int,
-                 max_ins: int, skip_bucket: int = DFLT_SKIP_BUCKET,
-                 deep1: bool = True, deep2: bool = True,
-                 n_compact: int = 24, n_extend: int = 12,
-                 n_sel: int | None = None):
+def deep_pe_pass_planes(gview, sa, lut2, starts, planes1, planes2, idxs,
+                        *, genome_len: int, offsets: tuple, lut_k: int,
+                        read_len: int, n_blocks: int, block_size: int,
+                        max_ml: int, max_tot: int, mm_delta: int,
+                        min_ins: int, max_ins: int,
+                        skip_bucket: int = DFLT_SKIP_BUCKET,
+                        deep1: bool = True, deep2: bool = True,
+                        n_compact: int = 24, n_extend: int = 12,
+                        n_sel: int | None = None):
     """Deep capped PE pass over the pair subset idxs [E] (device-side
-    gather from the batch's already-uploaded 2-bit reads): deep
-    exploration for the OVERFLOWED mate(s) + AcceptProvPE pairing ->
-    [E, 12] rows (cols 0-9 align/pe.py pe_pass layout, cols 10/11
-    per-mate overflow bits). TOTAL: rows never come back PAIR_OVERFLOW.
+    gather from group-resident word planes — planes1/planes2 are the
+    (rw, rb, rcw, rcb) [nw, N] tuples from words_from_2bit, shared by
+    every escalation call of a superbatch group): deep exploration for
+    the OVERFLOWED mate(s) + AcceptProvPE pairing -> [E, 6] pack_rows6
+    wire words (cols 0-9 align/pe.py pe_pass layout, cols 10/11
+    per-mate overflow bits after pe_packed.unpack_rows12). TOTAL: rows
+    never come back PAIR_OVERFLOW.
 
     deep1/deep2 select which mate takes the deep exploration; a mate
     whose tier-1 compaction did NOT overflow is re-scored with the cheap
@@ -210,9 +214,8 @@ def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
               max_ml=max_ml, skip_bucket=skip_bucket, n_sel=n_sel)
     no_ovf = jnp.zeros(idxs.shape[0], bool)
 
-    def mate_stats(r2b, nl, deep):
-        planes = tuple(p[:, idxs]
-                       for p in words_from_2bit(r2b, nl, read_len))
+    def mate_stats(planes_full, deep):
+        planes = tuple(p[:, idxs] for p in planes_full)
         if deep:
             return deep_stats_planes(gview, sa, lut2, planes, **kw), no_ovf
         from .seed_extend_fast import finalize_fast
@@ -223,8 +226,10 @@ def deep_pe_pass(gview, sa, lut2, starts, r2b1, nl1, r2b2, nl2, idxs, *,
             n_compact=n_compact, n_extend=n_extend)
         return finalize_fast(ids.T, mm.T, max_ml=max_ml), ovf
 
-    f1, o1 = mate_stats(r2b1, nl1, deep1)
-    f2, o2 = mate_stats(r2b2, nl2, deep2)
-    return _pair_rows(f1, f2, o1, o2, starts, L1=read_len,
-                      L2=read_len, max_tot=max_tot, mm_delta=mm_delta,
-                      min_ins=min_ins, max_ins=max_ins)
+    f1, o1 = mate_stats(planes1, deep1)
+    f2, o2 = mate_stats(planes2, deep2)
+    from .pe_packed import pack_rows6
+    rows = _pair_rows(f1, f2, o1, o2, starts, L1=read_len, L2=read_len,
+                      max_tot=max_tot, mm_delta=mm_delta, min_ins=min_ins,
+                      max_ins=max_ins)
+    return pack_rows6(rows) if max_ins <= 65535 else rows

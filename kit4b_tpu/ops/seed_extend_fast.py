@@ -416,7 +416,42 @@ def window_scan_packed(gview: jnp.ndarray, r2b: jnp.ndarray,
     [4096 x 501] scan (the row-gather formulation paid ~2M per-index
     gathers; this pays ~176K plus VPU work)."""
     from .seed_extend_v4 import words_from_2bit
-    R, _ = r2b.shape
+    rw, rb, _, _ = words_from_2bit(r2b, nlist, read_len)   # [nw, R]
+    return _phase_scan(gview, rw.T, rb.T, starts,
+                       genome_len=genome_len, scan_len=scan_len,
+                       read_len=read_len)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("genome_len", "scan_len", "read_len"))
+def window_scan_pe(gview: jnp.ndarray, planes1, planes2,
+                   idxs: jnp.ndarray, which: jnp.ndarray,
+                   want_strand: jnp.ndarray, starts: jnp.ndarray,
+                   *, genome_len: int, scan_len: int, read_len: int):
+    """PE orphan rescue scan with DEVICE-side probe gather: the orphan
+    mate's words come from the group-resident word planes (the
+    (rw, rb, rcw, rcb) [nw, N] tuples shared by the whole superbatch),
+    so only idxs/which/strand/starts cross the host link (~16 B/row vs
+    ~40+ B of probe bytes). which[r] = 1 rescues mate 1, 2 rescues
+    mate 2; want_strand selects forward/revcomp words."""
+    p1, p2 = planes1, planes2
+    sel = lambda a, b: jnp.where((which == 2)[None, :], a[:, idxs],
+                                 b[:, idxs])
+    rw = sel(p2[0], p1[0])         # [nw, R] forward words of the orphan
+    rb = sel(p2[1], p1[1])
+    rcw = sel(p2[2], p1[2])
+    rcb = sel(p2[3], p1[3])
+    fwd = (want_strand == 0)[None, :]
+    pw = jnp.where(fwd, rw, rcw).T
+    pb = jnp.where(fwd, rb, rcb).T
+    return _phase_scan(gview, pw, pb, starts, genome_len=genome_len,
+                       scan_len=scan_len, read_len=read_len)
+
+
+def _phase_scan(gview, pw, pb, starts, *, genome_len: int, scan_len: int,
+                read_len: int):
+    """Shared phase-sliced scan body: probe words pw/pb [R, nw]."""
+    R = pw.shape[0]
     L = read_len
     P = scan_len
     nw = (L + 15) // 16
@@ -424,10 +459,6 @@ def window_scan_packed(gview: jnp.ndarray, r2b: jnp.ndarray,
     Gv = gview.shape[0]
     T = (P + 15) // 16
     nwblk = T + nw + 1
-
-    rw, rb, _, _ = words_from_2bit(r2b, nlist, L)        # [nw, R]
-    pw = rw.T                                            # [R, nw]
-    pb = rb.T
 
     base_w = starts >> 4
     idx = jnp.clip(base_w[:, None]

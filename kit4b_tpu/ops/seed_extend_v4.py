@@ -97,6 +97,16 @@ def words_from_2bit(reads2b: jnp.ndarray, nlist: jnp.ndarray,
     return rw, rb, rcw, rcb
 
 
+planes_2bit = functools.partial(
+    jax.jit, static_argnames=("read_len",))(
+        lambda reads2b, nlist, read_len: words_from_2bit(
+            reads2b, nlist, read_len))
+planes_2bit.__doc__ = ("jitted words_from_2bit: 2-bit packed reads -> "
+                       "(rw, rb, rcw, rcb) [nw, B] device planes, "
+                       "computed once per batch and shared by every "
+                       "escalation kernel of a superbatch group")
+
+
 def _extract24(words: jnp.ndarray, off: int, k: int) -> jnp.ndarray:
     """Static-offset 2k-bit window from lane-major word planes [nw, B]:
     returns the k bases starting at read position `off`, first base in
