@@ -1,17 +1,23 @@
 """Benchmark driver: kalign seed-and-extend throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Config #1 of BASELINE.md: E. coli-scale genome (4.6 Mbp), 100K x 100 bp SE
 simulated reads with Illumina-skewed errors -> aligned (unique-accept) on the
 default sensitivity schedule.
 
-Measurement protocol (round 3): the full readset is aligned N_ROUNDS >= 10
-times; each round's wall-clock (h2d + device pass + d2h + escalation) is
-logged to stderr and the MEDIAN round throughput is reported. The axon
-tunnel's per-call dispatch and fetch latencies vary run to run (observed
-0.23s..0.62s for identical work in rounds 1-2), so single-shot timings are
-not reproducible; the median over 10 rounds is.
+TUNNEL-ROBUST PROTOCOL (round 5; VERDICT r4 weak #1): the axon WAN tunnel's
+throughput and sync latency drift within a session (observed 10-35 MB/s and
+2x round-time swings for identical work), so
+  1. a fixed-size transfer PROBE runs before and after each section and its
+     MB/s is logged + reported (tunnel_mbps_* fields) — a degraded capture
+     is visible in the JSON instead of silently halving the headline;
+  2. compute-only is measured with a CONSUMING REDUCTION (8-byte fetch), not
+     a full-result fetch — BENCH_r04's "compute-only 114.5 ms" was actually
+     39 ms compute + a 786 KB d2h on a degraded tunnel;
+  3. serial rounds AND depth-2/depth-4 streaming are all measured; the
+     headline is the best protocol's median, and every per-round time is
+     logged so variance is auditable.
 
 vs_baseline: ratio vs the reference ngskit4b binary's 64-core linear
 extrapolation from the 2-vCPU measurement on this host (BASELINE.md).
@@ -44,6 +50,25 @@ N_READS = 100_000
 READ_LEN = 100
 BATCH = 98304
 N_ROUNDS = 12
+
+
+def tunnel_probe(tag=""):
+    """Measure tunnel h2d and d2h MB/s with a fixed 2 MB transfer."""
+    import jax
+    import jax.numpy as jnp
+    # a trivial op first so the one-time axon session establishment
+    # (can be minutes) never lands inside the probe timing
+    jax.device_get(jnp.zeros(8) + 1)
+    buf = np.zeros(2 * 1024 * 1024, np.uint8)
+    t0 = time.time()
+    d = jnp.asarray(buf)
+    jax.device_get(d[:1])          # force completion
+    h2d = 2.0 / max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    jax.device_get(d)
+    d2h = 2.0 / max(time.time() - t0, 1e-9)
+    log(f"tunnel probe{tag}: h2d {h2d:.1f} MB/s, d2h {d2h:.1f} MB/s")
+    return round(h2d, 1), round(d2h, 1)
 
 
 def main():
@@ -89,24 +114,16 @@ def main():
             out.append(raw)
         return out, n_acc
 
-    def stream(n_batches):
-        """STEADY-STATE STREAMING: n_batches full-size batches through a
-        depth-2 double-buffered queue — batch k+1's 2-bit upload rides
-        the tunnel while batch k computes. Measured on this tunnel
-        (tools/profile_overlap.py, 2026-08-20): depth-2 reaches
-        max(h2d, compute) ~= 88 ms/batch, whereas one-at-a-time
-        upload->compute->fetch serialises at ~125-155 ms. This is the
-        production pipeline shape (reads stream continuously), so the
-        headline metric is the streaming throughput; per-round serial
-        times are logged alongside."""
+    def stream(n_batches, depth):
+        """Steady-state streaming at the given pipeline depth: batch
+        k+depth's 2-bit upload rides the tunnel while batch k computes."""
         out, n_acc = [], 0
         pending = deque()
         t0 = time.time()
         marks = []
         for r in range(n_batches):
             pending.append(al._submit(reads[:BATCH]))
-            if len(pending) >= 4:   # depth-4 probed best on this tunnel
-                #                     (.verify_scratch/depth_probe.py)
+            if len(pending) >= depth:
                 raw = al._collect_compact(pending.popleft(), reads[:BATCH])
                 n_acc = int((raw["nar"] == 0).sum())
                 out.append(raw)
@@ -117,45 +134,62 @@ def main():
             out.append(raw)
             marks.append(time.time())
         total = time.time() - t0
-        deltas = np.diff(np.asarray([t0] + marks))
-        for i, d in enumerate(deltas):
-            log(f"stream batch {i:2d}: {d*1000:7.1f} ms")
         return out, n_acc, total
+
+    mbps0 = tunnel_probe(" (pre)")
 
     # warmup: compiles every pass shape incl. escalation tiers (the first
     # full round exercises overflow escalation exactly as the timed ones do)
     t0 = time.time()
     raws, n_acc = one_round()
     log(f"warmup (compile + first full round): {time.time()-t0:.1f}s")
+    for depth in (2, 4):
+        stream(depth + 1, depth)   # compile/warm the stream paths
 
-    times = []
+    # CALIBRATION: short probes of each protocol, then the full measurement
+    # runs every protocol interleaved so a mid-session tunnel shift cannot
+    # silently bias one of them; the headline is the best median.
+    times_serial = []
+    stream_runs = {2: [], 4: []}
     for r in range(N_ROUNDS):
         t0 = time.time()
         raws, n_acc = one_round()
         dt = time.time() - t0
-        times.append(dt)
-        log(f"round {r:2d}: {dt*1000:7.1f} ms  "
+        times_serial.append(dt)
+        log(f"serial round {r:2d}: {dt*1000:7.1f} ms  "
             f"{n_done/dt:9.0f} reads/s  accepted {n_acc}")
-    med = statistics.median(times)
+        if r % 4 == 3:     # interleave a 6-batch stream probe per protocol
+            for depth in (2, 4):
+                _, _, tot = stream(6, depth)
+                rps_s = 6 * BATCH / tot
+                stream_runs[depth].append(rps_s)
+                log(f"stream depth-{depth} probe: {tot:.2f}s = "
+                    f"{rps_s:9.0f} reads/s")
+    med = statistics.median(times_serial)
     rps_serial = n_done / med
-    log(f"median of {N_ROUNDS} serial rounds: {med*1000:.1f} ms = "
-        f"{rps_serial:.0f} reads/s"
-        f"  (min {min(times)*1000:.1f}, max {max(times)*1000:.1f})")
+    iqr = (np.percentile(times_serial, 75)
+           - np.percentile(times_serial, 25)) * 1000
+    log(f"serial: median {med*1000:.1f} ms = {rps_serial:.0f} reads/s "
+        f"(min {min(times_serial)*1000:.1f}, max {max(times_serial)*1000:.1f},"
+        f" IQR {iqr:.1f} ms)")
+    best_stream = 0.0
+    best_depth = 0
+    for depth, runs in stream_runs.items():
+        if runs:
+            m = statistics.median(runs)
+            log(f"stream depth-{depth}: median of {len(runs)} probes = "
+                f"{m:.0f} reads/s")
+            if m > best_stream:
+                best_stream, best_depth = m, depth
+    rps = max(rps_serial, best_stream)
+    proto = "serial" if rps == rps_serial else f"stream-depth{best_depth}"
+    log(f"headline protocol: {proto} = {rps:.0f} reads/s")
 
-    # headline: steady-state streaming throughput (depth-2 pipeline)
-    _sraws, _sacc, total = stream(N_ROUNDS)
-    rps = N_ROUNDS * BATCH / total
-    log(f"stream of {N_ROUNDS} batches: {total:.2f}s = {rps:.0f} reads/s "
-        f"steady-state ({1000*total/N_ROUNDS:.1f} ms/batch)")
-    rps = max(rps, rps_serial)
+    mbps1 = tunnel_probe(" (post)")
 
-    # cost split (the roadmap evidence): time the pure h2d of one batch's
-    # 2-bit reads and the compute with device-resident reads. The tunnel
-    # serialises transfers and compute (tools/profile_pipeline.py and the
-    # round-4 tools/profile_overlap.py experiment measure the overlap
-    # attained), so round ~= h2d + compute; on production TPU hosts
-    # (PCIe DMA, not a ~20 MB/s tunnel) the round collapses to compute.
-    import jax
+    # cost split (roadmap evidence): pure h2d of one batch's 2-bit reads,
+    # and compute with device-resident reads consumed by an 8-byte
+    # reduction (NOT a full-result fetch — that conflates d2h with compute)
     import jax.numpy as jnp
     b0 = reads[:BATCH]
     reads2b, nlist, _ = kalign.pack_reads_2bit(b0)
@@ -169,7 +203,8 @@ def main():
     _, mtm = al.schedule_for(READ_LEN)
     offs = al._offsets_for(READ_LEN, mtm)
     lut4 = al._lut4_for(READ_LEN, sa)   # production: v5 on clean indexes
-    log(f"tier-1 kernel: {'v5 (flattened lut4)' if lut4 is not None else 'v4'}")
+    log(f"tier-1 kernel: "
+        f"{'v5 (flattened lut4)' if lut4 is not None else 'v4'}")
     def compute():
         if lut4 is not None:
             out = seed_extend_v5.fast_pass_packed_v5(
@@ -183,13 +218,16 @@ def main():
                 genome_len=len(seq), offsets=offs, lut_k=idx.lut_k,
                 n_compact=al.n_compact, n_extend=al.n_extend,
                 max_tot_mm=mtm, mm_delta=al.mm_delta)
-        jax.device_get(out)
+        jax.device_get(jnp.sum(out))    # 8-byte consuming fetch
     compute()  # warm (compiled already by the rounds)
+    comp_ms = 0.0
     for name, fn in (("h2d 2-bit reads", h2d), ("compute-only", compute)):
         ts = []
         for _ in range(6):
             t0 = time.time(); fn(); ts.append(time.time() - t0)
         t = statistics.median(ts)
+        if name == "compute-only":
+            comp_ms = t * 1000
         log(f"cost split - {name}: {t*1000:7.1f} ms"
             + (f"  ({BATCH/t:,.0f} reads/s/chip compute ceiling)"
                if name == "compute-only" else ""))
@@ -209,14 +247,20 @@ def main():
     log(f"accepted {n_acc} ({100*n_acc/n_done:.1f}%), "
         f"truth-correct {100*n_ok/max(n_acc,1):.2f}% of accepted")
 
-    vs = 0.0
-    if BASELINE_CPU_READS_PER_SEC:
-        vs = rps / BASELINE_CPU_READS_PER_SEC
+    vs = rps / BASELINE_CPU_READS_PER_SEC if BASELINE_CPU_READS_PER_SEC \
+        else 0.0
 
-    # --- secondary driver-visible metrics (VERDICT r3 weak #4): the PE
-    # config-#4 bench and a hammings sweep ride the same JSON line as
-    # extra fields so the driver capture includes them
-    extras = {}
+    # --- secondary driver-visible metrics: PE config-#4 and the config-#2
+    # hammings sweep ride the same JSON line as extra fields
+    extras = {
+        "se_serial_reads_per_sec": round(rps_serial, 1),
+        "se_stream_reads_per_sec": round(best_stream, 1),
+        "se_protocol": proto,
+        "se_round_iqr_ms": round(float(iqr), 1),
+        "se_compute_only_ms": round(comp_ms, 1),
+        "tunnel_mbps_pre": mbps0,
+        "tunnel_mbps_post": mbps1,
+    }
     try:
         from bench_pe import run_pe_bench
         rps_pe, vs_pe, det = run_pe_bench(n_rounds=6)
@@ -227,20 +271,31 @@ def main():
         log(f"PE bench section failed: {type(e).__name__}: {e}")
     try:
         from kit4b_tpu.kmer.hammings_mxu import hammings_exhaustive_mxu
-        HG = 4_000_000
+        # calibrate on 2 Mbp, then run the full yeast scale (config #2,
+        # 12.1 Mbp) if the O(G^2) extrapolation fits the time budget
+        HG_CAL, HG_FULL = 2_000_000, 12_100_000
         gh = np.random.default_rng(4242).integers(
-            0, 4, HG).astype(np.uint8)
+            0, 4, HG_FULL).astype(np.uint8)
         hammings_exhaustive_mxu(gh[:500_000], 25, antisense=True)  # warm
+        hammings_exhaustive_mxu(gh[:HG_CAL], 25, antisense=True)  # compile
         t0 = time.time()
-        hammings_exhaustive_mxu(gh, 25, antisense=True)
+        hammings_exhaustive_mxu(gh[:HG_CAL], 25, antisense=True)
+        dt_cal = time.time() - t0
+        est_full = dt_cal * (HG_FULL / HG_CAL) ** 2
+        log(f"hammings calibration {HG_CAL/1e6:.0f} Mbp: {dt_cal:.1f}s "
+            f"-> est {est_full:.0f}s at {HG_FULL/1e6:.1f} Mbp")
+        HG = HG_FULL if est_full < 420 else 4_000_000
+        t0 = time.time()
+        hammings_exhaustive_mxu(gh[:HG], 25, antisense=True)
         dt = time.time() - t0
         hk = (HG - 24) / dt
         # reference: 67 s / 200 Kbp sense-only on 2 cores; O(G^2) sweep,
         # both strands x2, 64-core /32 (bench_hammings.py derivation)
         hbase = HG / (67.0 * (HG / 200_000.0) ** 2 * 2.0 / 32.0)
+        extras["hammings_genome_mbp"] = round(HG / 1e6, 1)
         extras["hammings_kmers_per_sec"] = round(hk, 1)
         extras["hammings_vs_baseline"] = round(hk / hbase, 1)
-        log(f"hammings {HG/1e6:.0f} Mbp K=25 both strands: {dt:.1f}s = "
+        log(f"hammings {HG/1e6:.1f} Mbp K=25 both strands: {dt:.1f}s = "
             f"{hk:,.0f} k-mers/s = {hk/hbase:.1f}x 64-core extrapolation")
     except Exception as e:
         log(f"hammings bench section failed: {type(e).__name__}: {e}")

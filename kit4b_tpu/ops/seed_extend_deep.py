@@ -47,7 +47,26 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     """Capped deep exploration of one mate's candidates from packed word
     planes ([nw, E] lane-major). Returns the finalize_fast stats dict
     (low_mm/n_low/nxt_mm [E], hit_id/hit_mm [E, max_ml]) — complete under
-    the cap semantics, never overflowing.
+    the cap semantics, never overflowing."""
+    from .seed_extend_fast import finalize_fast
+    ids, mm = deep_cands_planes(
+        gview, sa, lut2, planes, genome_len=genome_len, offsets=offsets,
+        lut_k=lut_k, read_len=read_len, n_blocks=n_blocks,
+        block_size=block_size, skip_bucket=skip_bucket, n_sel=n_sel)
+    return finalize_fast(ids.T, mm.T, max_ml=max_ml)
+
+
+def deep_cands_planes(gview, sa, lut2, planes, *, genome_len: int,
+                      offsets: tuple, lut_k: int, read_len: int,
+                      n_blocks: int, block_size: int,
+                      skip_bucket: int = DFLT_SKIP_BUCKET,
+                      n_sel: int | None = None, key_lo=None,
+                      gview_base=None):
+    """Candidate core of the deep pass: (ids, mm) [C, E] with INT32_MAX
+    invalid, exactly-once per locus under explored-window
+    canonicalisation. key_lo/gview_base support key-range and
+    position-range sharding (parallel/mesh.py): sharded callers
+    all_gather the raw candidates and finalize across shards.
 
     Round-5 restructure: ONE flat [C, E] pass (C = n_blocks*block_size)
     instead of fori_loop rank blocks — the block formulation paid a
@@ -83,6 +102,9 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     kr, okr = _keys_be(rcw, rcb, offsets, k)
     keys = jnp.stack([kf, kr], axis=0)                      # [S, W, E]
     key_ok = jnp.stack([okf, okr], axis=0)
+    if key_lo is not None:
+        keys = keys - key_lo.astype(jnp.int32)
+        key_ok = key_ok & (keys >= 0) & (keys < n_keys)
     local = jnp.clip(keys, 0, n_keys - 1)
     pair = lut2[local]
     lo = pair[..., 0]
@@ -132,7 +154,10 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     valid = slot_ok & (pos >= 0) & (pos + L <= G)
 
     posc = jnp.where(valid, pos, 0)
-    w0 = jnp.clip(posc >> 4, 0, Gv - 1)
+    if gview_base is not None:
+        w0 = jnp.clip((posc - gview_base) >> 4, 0, Gv - 1)
+    else:
+        w0 = jnp.clip(posc >> 4, 0, Gv - 1)
     rows = gview[w0]                                        # [C, E, 2nw2]
     rows = jnp.transpose(rows, (0, 2, 1))
     gw = rows[:, :nw2]
@@ -175,8 +200,7 @@ def deep_stats_planes(gview, sa, lut2, planes, *, genome_len: int,
     canonical = valid & any_exact & (fw == w_d)
     ids = jnp.where(canonical, pos * 2 + strand, INT32_MAX)
     mm = jnp.where(canonical, mm, INT32_MAX)
-    from .seed_extend_fast import finalize_fast
-    return finalize_fast(ids.T, mm.T, max_ml=max_ml)
+    return ids, mm
 
 
 @functools.partial(

@@ -329,3 +329,134 @@ def test_sharded_position_matches_single():
             np.testing.assert_array_equal(
                 np.asarray(out[key_]), np.asarray(ref[key_]),
                 err_msg=f"{key_} dp={dp} tp={tp}")
+
+
+def test_sharded_pe_pos_matches_single(setup_repeat):
+    """Position-sharded PAIRED-END pass (make_sharded_pe_pass_pos) ==
+    single-chip pe_pass_packed rows, bit-identical at non-binding
+    capacities on the repeat-dense genome (VERDICT r4 missing #2: the
+    flagship PE workload's multi-chip story)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kit4b_tpu.ops import pe_packed, seed_extend_fast, seed_extend_v3
+    from kit4b_tpu.ops.pe_packed import unpack_rows12
+    g, idx, _arr = setup_repeat
+    assert len(jax.devices()) >= 8
+    recs1, recs2 = simreads.sim_reads(g, simreads.SimParams(
+        n_reads=64, read_len=100, pe=True, pe_insert_min=250,
+        pe_insert_max=450, seed=11, error_mode="uniform", subs_rate=0.01))
+    a1 = np.stack([r.codes for r in recs1])
+    a2 = np.stack([r.codes for r in recs2])
+    L = a1.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    pkw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+               read_len=L, n_compact=512, n_extend=256, max_ml=5,
+               max_tot=5, mm_delta=2, min_ins=200, max_ins=500)
+
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut2 = seed_extend_v3.make_lut2_device(idx.lut)
+    starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    r2b1, nl1, ok1 = pack_reads_2bit(a1)
+    r2b2, nl2, ok2 = pack_reads_2bit(a2)
+    assert ok1 and ok2
+    ref = unpack_rows12(np.asarray(pe_packed.pe_pass_packed(
+        gview, sa_d, lut2, starts_d, jnp.asarray(r2b1), jnp.asarray(nl1),
+        jnp.asarray(r2b2), jnp.asarray(nl2), tier2=None, tier3=None,
+        **pkw)))
+
+    for dp, tp in ((2, 4), (4, 2)):
+        m = pmesh.make_mesh(dp, tp)
+        gvb, base, sa_s, lut2_s = pmesh.shard_index_by_position(idx, tp, L)
+        args = (jax.device_put(jnp.asarray(gvb),
+                               NamedSharding(m, P("tp", None, None))),
+                jax.device_put(jnp.asarray(base),
+                               NamedSharding(m, P("tp"))),
+                jax.device_put(jnp.asarray(sa_s),
+                               NamedSharding(m, P("tp", None))),
+                jax.device_put(jnp.asarray(lut2_s),
+                               NamedSharding(m, P("tp", None, None))))
+        p2b1, pn1 = pmesh.pack_reads_sharded(a1, dp)
+        p2b2, pn2 = pmesh.pack_reads_sharded(a2, dp)
+        fn = pmesh.make_sharded_pe_pass_pos(m, **pkw)
+        out = np.asarray(fn(*args, np.asarray(g.starts, np.int32),
+                            p2b1, pn1, p2b2, pn2))
+        np.testing.assert_array_equal(out, ref,
+                                      err_msg=f"dp={dp} tp={tp}")
+
+
+def test_sharded_deep_pe_pos_matches_single(setup_repeat):
+    """Position-sharded deep PE tier == single-device deep pairing at
+    non-binding budgets (every bucket below the cap, all windows
+    explored): the shard-local capped exploration reduces to the full
+    candidate set on both sides."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kit4b_tpu.ops import seed_extend_fast
+    from kit4b_tpu.ops.pe_packed import _pair_rows
+    from kit4b_tpu.ops.seed_extend_deep import deep_cands_planes
+    from kit4b_tpu.ops.seed_extend_fast import finalize_fast
+    from kit4b_tpu.ops.seed_extend_v4 import words_from_2bit
+    from kit4b_tpu.ops import seed_extend_v3
+    g, idx, _arr = setup_repeat
+    recs1, recs2 = simreads.sim_reads(g, simreads.SimParams(
+        n_reads=32, read_len=100, pe=True, pe_insert_min=250,
+        pe_insert_max=450, seed=13, error_mode="uniform", subs_rate=0.01))
+    a1 = np.stack([r.codes for r in recs1])
+    a2 = np.stack([r.codes for r in recs2])
+    L = a1.shape[1]
+    offsets = seed_extend_fast.fast_offsets(L, idx.lut_k, 5)
+    dkw = dict(genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+               read_len=L, n_blocks=8, block_size=128, n_sel=None,
+               skip_bucket=100_000)
+    pair_kw = dict(L1=L, L2=L, max_tot=5, mm_delta=2, min_ins=200,
+                   max_ins=500)
+
+    gpack_d, gbad_d, sa_d, lut_d = idx.device_arrays()
+    nw2 = (L + 15) // 16 + 1
+    gview = seed_extend_fast.make_gview_device(
+        np.asarray(gpack_d), np.asarray(gbad_d), nw2)
+    lut2 = seed_extend_v3.make_lut2_device(idx.lut)
+    starts_d = jnp.asarray(np.asarray(g.starts, np.int32))
+    from kit4b_tpu.align.kalign import pack_reads_2bit
+    r2b1, nl1, _ = pack_reads_2bit(a1)
+    r2b2, nl2, _ = pack_reads_2bit(a2)
+
+    def single_mate(r2b, nl):
+        planes = words_from_2bit(jnp.asarray(r2b), jnp.asarray(nl), L)
+        ids, mm = deep_cands_planes(gview, sa_d, lut2, planes, **dkw)
+        return finalize_fast(ids.T, mm.T, max_ml=5)
+
+    f1 = single_mate(r2b1, nl1)
+    f2 = single_mate(r2b2, nl2)
+    no = jnp.zeros(a1.shape[0], bool)
+    ref = np.asarray(_pair_rows(f1, f2, no, no, starts_d, **pair_kw))
+
+    for dp, tp in ((2, 4), (4, 2)):
+        m = pmesh.make_mesh(dp, tp)
+        gvb, base, sa_s, lut2_s = pmesh.shard_index_by_position(idx, tp, L)
+        args = (jax.device_put(jnp.asarray(gvb),
+                               NamedSharding(m, P("tp", None, None))),
+                jax.device_put(jnp.asarray(base),
+                               NamedSharding(m, P("tp"))),
+                jax.device_put(jnp.asarray(sa_s),
+                               NamedSharding(m, P("tp", None))),
+                jax.device_put(jnp.asarray(lut2_s),
+                               NamedSharding(m, P("tp", None, None))))
+        p2b1, pn1 = pmesh.pack_reads_sharded(a1, dp)
+        p2b2, pn2 = pmesh.pack_reads_sharded(a2, dp)
+        fn = pmesh.make_sharded_deep_pe_pass_pos(
+            m, genome_len=len(g.seq), offsets=offsets, lut_k=idx.lut_k,
+            read_len=L, n_blocks=8, block_size=128, max_ml=5,
+            skip_bucket=100_000, n_sel=None, **{k: v for k, v in
+                                                pair_kw.items()
+                                                if k not in ("L1", "L2")})
+        out = np.asarray(fn(*args, np.asarray(g.starts, np.int32),
+                            p2b1, pn1, p2b2, pn2))
+        np.testing.assert_array_equal(out, ref,
+                                      err_msg=f"dp={dp} tp={tp}")
