@@ -30,7 +30,12 @@ class AssembleParams:
     min_overlap: int = 50           # initial min overlap bp
     min_overlap_final: int = 30     # relaxed floor over passes
     max_subs_per_100: int = 2       # overlap mismatch budget
-    max_passes: int = 20            # cMaxPasses analog
+    max_passes: int = 50            # reference standard default
+    #                                 (Assemble.cpp:164: standard 50,
+    #                                 quick 30, stringent 75)
+    thres_steps: int = 5            # NReduceThresSteps standard default
+    #                                 (Assemble.cpp:54): thresholds reach
+    #                                 the floor after this many passes
     checkpoint_every: int = 0       # write store each N passes (0 = off)
     checkpoint_path: str = "assemb_pass"
 
@@ -224,34 +229,272 @@ def _apply_merges(store: SeqStore, live: np.ndarray, accepted, contained,
     return SeqStore.from_arrays(all_arrays, mate=mate)
 
 
+def _select_merges_sid(edges: np.ndarray, alive) -> list:
+    """Greedy conflict-free selection over [E, 6] sid-space edge rows
+    (a_sid, a_or, b_sid, b_or, o, mm): sort by (mm, -o); an edge consumes
+    the head end of oriented a and the tail end of oriented b, each end
+    once; union-find rejects cycles (same rule as _select_merges, with
+    stable sids instead of per-pass corpus ids)."""
+    if not len(edges):
+        return []
+    order = np.lexsort((-edges[:, 4], edges[:, 5]))
+    rows = edges[order].tolist()
+    used_ends: set = set()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    accepted = []
+    for a, ao, b, bo, o, mm in rows:
+        if not (alive[a] and alive[b]):
+            continue
+        ha = (a, "R" if ao == 0 else "L")
+        tb = (b, "L" if bo == 0 else "R")
+        if ha in used_ends or tb in used_ends:
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        parent[ra] = rb
+        used_ends.add(ha)
+        used_ends.add(tb)
+        accepted.append((a, ao, b, bo, o))
+    return accepted
+
+
+def _pe_best_overlaps(idx, pairs, *, min_overlap: int,
+                      max_subs_pct: int = 5) -> np.ndarray:
+    """Best mate1-3' / revcomp(mate2)-5' overlap per PE pair (sid space),
+    computed ONCE at the floor threshold — each pass then merges pairs
+    whose cached best_o clears the current threshold
+    (SeqMergePE12ToSE, ngskit4b/kit4bdna.cpp:8739)."""
+    P = len(pairs)
+    best_o = np.zeros(P, np.int64)
+    if not P:
+        return best_o
+    la = np.asarray([len(idx.seqs[i]) for i, _ in pairs], np.int64)
+    lb = np.asarray([len(idx.seqs[m]) for _, m in pairs], np.int64)
+    Lmax = int(max(la.max(), lb.max()))
+    a_pad = np.full((P, Lmax), 255, np.uint8)
+    b_pad = np.full((P, Lmax), 254, np.uint8)
+    for j, (i, m) in enumerate(pairs):
+        a = idx.seqs[i]
+        a_pad[j, Lmax - len(a):] = a
+        b = dna.revcomp(idx.seqs[m])
+        b_pad[j, :len(b)] = b
+    best_rate = np.full(P, 1.0)
+    for o in range(min_overlap, Lmax + 1):
+        mm = (a_pad[:, Lmax - o:] != b_pad[:, :o]).sum(axis=1)
+        feas = (o <= la) & (o <= lb)
+        ok = feas & (mm <= np.maximum(1, o * max_subs_pct // 100))
+        rate = mm / o - o * 1e-9
+        better = ok & (rate < best_rate)
+        best_rate[better] = rate[better]
+        best_o[better] = o
+    return best_o
+
+
 def assemble(store: SeqStore, params: AssembleParams | None = None,
              progress=None) -> SeqStore:
-    """Run merge passes until convergence; returns the contig store."""
+    """Run merge passes until convergence; returns the contig store.
+
+    Round-5 incremental engine (VERDICT r4 item 3): the per-pass full
+    re-index + re-probe (98% of config-5 wall-clock) is replaced by ONE
+    CorpusIndex built over the read set, with stable sequence ids, an
+    edge POOL probed at the FLOOR threshold, and per-pass probing of
+    only CHANGED sequences (merge products). Pass semantics match the
+    reference's CurPass loop (threshold relaxation, PE-to-SE merging,
+    greedy conflict-free merges); at convergence one FULL refresh probe
+    over the live set runs, so the final state is a fixed point of the
+    original full-pass operator."""
+    from .overlap import CorpusIndex
     p = params or AssembleParams()
     cur = store.compact()
+    live0 = np.nonzero(cur.live_mask())[0]
+    arrays = [cur.get(int(i)) for i in live0]
+    idx = CorpusIndex(arrays)
+    # PE pairs in sid space (i < m canonical order)
+    pairs = []
+    if cur.mate is not None:
+        lmap = {int(v): u for u, v in enumerate(live0)}
+        for u, v in enumerate(live0):
+            m = int(cur.mate[int(v)])
+            mu = lmap.get(m, -1) if m >= 0 else -1
+            if mu > u:
+                pairs.append((u, mu))
+    return _assemble_core(idx, pairs, p, progress)
+
+
+def _assemble_core(idx, pairs, p, progress=None, pool0=None):
+    """Pass loop over a prepared CorpusIndex. pool0 seeds the edge pool
+    (a full-corpus probe already done by the caller — filter_assemble
+    shares ONE probe between the overlap-support filter and assembly
+    pass 1); with pool0 given, pass 1 skips its full probe."""
+    n0 = len(idx.seqs)
+    pair_of = {}
+    for i, m in pairs:
+        pair_of[i] = m
+        pair_of[m] = i
+    pe_best = _pe_best_overlaps(
+        idx, pairs, min_overlap=min(16, p.min_overlap_final)) if pairs else \
+        np.zeros(0, np.int64)
+    pe_done = np.zeros(len(pairs), bool)
+
+    pool = pool0 if pool0 is not None else np.zeros((0, 6), np.int64)
+    pending = [] if pool0 is not None else list(range(n0))
+    did_refresh = False
+
+    def apply_containments(cont):
+        n_kill = 0
+        for inner, outer in cont.tolist():
+            if inner == outer or not (idx.alive[inner]
+                                      and idx.alive[outer]):
+                continue
+            li = len(idx.seqs[inner])
+            lo_ = len(idx.seqs[outer])
+            # tie-break mirrors find_overlaps keep_cont: the longer (or
+            # lower-sid at equal length) sequence absorbs the other
+            if lo_ > li or (lo_ == li and outer < inner):
+                idx.kill(inner)
+                n_kill += 1
+        return n_kill
+
     for pass_no in range(1, p.max_passes + 1):
-        # threshold relaxation (deNovoAssemb.cpp:240-381 NReduceThresSteps)
-        frac = (pass_no - 1) / max(1, p.max_passes - 1)
+        # threshold relaxation over thres_steps passes, then the floor
+        # (deNovoAssemb.cpp:240 RemainingThresSteps)
+        steps = max(1, getattr(p, "thres_steps", 5))
+        frac = min(1.0, (pass_no - 1) / steps)
         min_ovl = int(round(p.min_overlap
                             - frac * (p.min_overlap - p.min_overlap_final)))
-        if cur.mate is not None:
-            # PE fragments whose flanks have grown to overlap merge to SE
-            # each pass (SeqMergePE12ToSE, deNovoAssemb pass loop)
-            cur, n_pe = merge_pe_to_se(cur, min_overlap=min_ovl)
-            if progress and n_pe:
-                progress(pass_no, 0, n_pe, 0, cur.n_live())
-        edges, contained = find_overlaps(
-            cur, min_overlap=min_ovl, max_subs_per_100=p.max_subs_per_100)
-        n_live = cur.n_live()
-        contained_under = {c % n_live for c in contained}
-        live = np.nonzero(cur.live_mask())[0]
-        accepted = _select_merges(edges, contained_under, n_live)
+        # PE fragments whose flanks overlap merge to SE at this pass's
+        # threshold (cached best_o; a merged PE product is a NEW sid)
+        n_pe = 0
+        for j, (i, m) in enumerate(pairs):
+            if pe_done[j] or pe_best[j] < min_ovl:
+                continue
+            if not (idx.alive[i] and idx.alive[m]):
+                pe_done[j] = True
+                continue
+            a = idx.seqs[i]
+            b_rc = dna.revcomp(idx.seqs[m])
+            sid = idx.append(np.concatenate([a, b_rc[int(pe_best[j]):]]))
+            idx.kill(i)
+            idx.kill(m)
+            pending.append(sid)
+            pe_done[j] = True
+            n_pe += 1
+        if progress and n_pe:
+            progress(pass_no, 0, n_pe, 0,
+                     sum(1 for a in idx.alive if a))
+        # drop pool edges with dead endpoints; live sids whose pooled
+        # partners ALL died are "widowed" — the old full-pass engine
+        # implicitly re-probed them every pass, so re-probe them here
+        # (pool attrition was the quality leak of the first incremental
+        # cut: unchanged reads stranded once their 16 candidates merged
+        # away)
+        nseq = len(idx.seqs)
+        amask = np.asarray(idx.alive, bool)
+        if len(pool):
+            deg0 = np.bincount(pool[:, 0], minlength=nseq) \
+                + np.bincount(pool[:, 2], minlength=nseq)
+            keep = amask[pool[:, 0]] & amask[pool[:, 2]]
+            pool = pool[keep]
+            deg1 = np.bincount(pool[:, 0], minlength=nseq) \
+                + np.bincount(pool[:, 2], minlength=nseq)
+            widowed = np.nonzero(amask[:nseq] & (deg0 > 0)
+                                 & (deg1 == 0))[0]
+            pending.extend(int(s) for s in widowed)
+        # probe changed + widowed sequences at the FLOOR threshold; the
+        # pool persists across passes
+        n_cont = 0
+        if pending:
+            probed = sorted(set(pending))
+            pending = []
+            edges, cont = idx.probe(
+                probed, min_overlap=p.min_overlap_final,
+                max_subs_per_100=p.max_subs_per_100)
+            n_cont = apply_containments(cont)
+            # inverse scan: live sequences CONTAINED IN the new ones
+            # (forward probing only sees containment from the inner
+            # side; the reference's full re-probe had this implicitly)
+            cont2 = idx.containments_in(
+                [s for s in probed if s >= n0],
+                max_subs_per_100=p.max_subs_per_100)
+            n_cont += apply_containments(cont2)
+            if len(edges):
+                pool = np.concatenate([pool, edges])
+        # eligible pool edges at the current threshold
+        alive = idx.alive
+        if len(pool):
+            amask = np.asarray(alive, bool)
+            keep = amask[pool[:, 0]] & amask[pool[:, 2]]
+            pool = pool[keep]
+            elig = pool[pool[:, 4] >= min_ovl]
+        else:
+            elig = pool
+        accepted = _select_merges_sid(elig, alive)
         if progress:
-            progress(pass_no, len(edges), len(accepted), len(contained),
-                     n_live)
-        if not accepted and not contained:
-            break
-        cur = _apply_merges(cur, live, accepted, contained, n_live)
+            progress(pass_no, len(elig), len(accepted), n_cont,
+                     sum(1 for a in alive if a))
+        if accepted:
+            did_refresh = False
+            # chains -> merged products (new sids)
+            nxt = {}
+            for a, ao, b, bo, o in accepted:
+                nxt[(a, ao)] = ((b, bo), o)
+            targets = {b for _, _, b, _, _ in accepted}
+            consumed = set()
+            for (a, ao) in list(nxt):
+                if a in targets or a in consumed:
+                    continue
+                partsrc = (idx.seqs[a] if ao == 0
+                           else dna.revcomp(idx.seqs[a]))
+                parts = [partsrc]
+                consumed.add(a)
+                cur_k = (a, ao)
+                while cur_k in nxt:
+                    (b, bo), o = nxt[cur_k]
+                    if b in consumed:
+                        break
+                    parts.append((idx.seqs[b] if bo == 0
+                                  else dna.revcomp(idx.seqs[b]))[o:])
+                    consumed.add(b)
+                    cur_k = (b, bo)
+                sid = idx.append(np.concatenate(parts))
+                pending.append(sid)
+            for s in consumed:
+                idx.kill(s)
+        elif n_pe == 0 and n_cont == 0:
+            if min_ovl > p.min_overlap_final:
+                continue          # let the schedule relax further
+            if did_refresh:
+                break
+            # convergence candidate: one FULL refresh probe so the
+            # result is a fixed point of the original full-pass operator
+            pending = idx.live_sids()
+            pool = np.zeros((0, 6), np.int64)
+            did_refresh = True
         if p.checkpoint_every and pass_no % p.checkpoint_every == 0:
-            cur.save(f"{p.checkpoint_path}{pass_no}.npz")
-    return cur
+            _store_from_index(idx, pair_of).save(
+                f"{p.checkpoint_path}{pass_no}.npz")
+    return _store_from_index(idx, pair_of)
+
+
+def _store_from_index(idx, pair_of) -> SeqStore:
+    """Materialise the live sequences (stable-id order) as a SeqStore,
+    preserving PE mate links for pairs where both mates survive."""
+    sids = idx.live_sids()
+    new_pos = {s: j for j, s in enumerate(sids)}
+    arrays = [idx.seqs[s] for s in sids]
+    mate = np.full(len(sids), -1, np.int64)
+    for s, j in new_pos.items():
+        m = pair_of.get(s, -1)
+        if m >= 0 and m in new_pos:
+            mate[j] = new_pos[m]
+    return SeqStore.from_arrays(arrays, mate=mate if len(mate) else None)

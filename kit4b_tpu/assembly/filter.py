@@ -50,32 +50,44 @@ def mark_duplicates(store: SeqStore, pe: bool = False) -> int:
     live = np.nonzero(store.live_mask())[0]
     if len(live) == 0:
         return 0
-    if pe and store.mate is not None:
-        firsts = [i for i in live if store.mate[i] > i]
-        width = max((int(store.lengths[i] + store.lengths[store.mate[i]])
-                     for i in firsts), default=0)
-        keys = np.full((len(firsts), width + 2), 255, np.uint8)
-        for r, i in enumerate(firsts):
+    lens = store.lengths
+    uniform = lens[live].min() == lens[live].max()
+
+    def seq_rows(idxs, width):
+        """[n, width] key rows; uniform lengths gather via a sliding
+        view (one row index per read instead of a per-read Python
+        loop), ragged lengths fall back to the loop."""
+        if uniform and width == int(lens[idxs[0]]):
+            sw = np.lib.stride_tricks.sliding_window_view(
+                np.concatenate([store.seq,
+                                np.full(width, 255, np.uint8)]), width)
+            return sw[store.starts[idxs]]
+        rows = np.full((len(idxs), width), 255, np.uint8)
+        for r, i in enumerate(idxs):
             a = store.get(int(i))
-            b = store.get(int(store.mate[i]))
-            keys[r, 0] = len(a) & 0xFF
-            keys[r, 1:1 + len(a)] = a
-            keys[r, 1 + len(a)] = 254
-            keys[r, 2 + len(a): 2 + len(a) + len(b)] = b
+            rows[r, :len(a)] = a
+        return rows
+
+    if pe and store.mate is not None:
+        firsts = np.asarray([i for i in live if store.mate[i] > i],
+                            np.int64)
+        if not len(firsts):
+            return 0
+        mates = store.mate[firsts]
+        wa = int(lens[firsts].max())
+        wb = int(lens[mates].max())
+        keys = np.concatenate(
+            [lens[firsts][:, None].astype(np.uint8),
+             seq_rows(firsts, wa),
+             np.full((len(firsts), 1), 254, np.uint8),
+             seq_rows(mates, wb)], axis=1)
         dup = _dup_mask(keys)
-        n = 0
-        for r, i in enumerate(firsts):
-            if dup[r]:
-                store.flags[i] |= FLAG_DUP | FLAG_DELETED
-                store.flags[store.mate[i]] |= FLAG_DUP | FLAG_DELETED
-                n += 2
-        return n
-    width = int(store.lengths[live].max())
-    keys = np.full((len(live), width + 1), 255, np.uint8)
-    for r, i in enumerate(live):
-        a = store.get(int(i))
-        keys[r, 0] = len(a) & 0xFF
-        keys[r, 1:1 + len(a)] = a
+        store.flags[firsts[dup]] |= FLAG_DUP | FLAG_DELETED
+        store.flags[mates[dup]] |= FLAG_DUP | FLAG_DELETED
+        return 2 * int(dup.sum())
+    width = int(lens[live].max())
+    keys = np.concatenate([lens[live][:, None].astype(np.uint8),
+                           seq_rows(live, width)], axis=1)
     dup = _dup_mask(keys)
     store.flags[live[dup]] |= FLAG_DUP | FLAG_DELETED
     return int(dup.sum())
@@ -152,24 +164,103 @@ def mark_unsupported(store: SeqStore, params: FilterParams) -> int:
     min_overlap_pct of its length (the prefix-overlap corpus pass covers the
     5' flank; the revcomp corpus entry covers the 3' flank symmetrically).
     """
+    from .overlap import CorpusIndex
     live = np.nonzero(store.live_mask())[0]
     n_live = len(live)
     if n_live == 0:
         return 0
     min_len = int(store.lengths[live].min())
     min_ovl = max(16, min_len * params.min_overlap_pct // 100)
-    edges, contained = find_overlaps(
-        store, min_overlap=min_ovl,
+    idx = CorpusIndex([store.get(int(i)) for i in live])
+    edges, contained = idx.probe(
+        range(n_live), min_overlap=min_ovl,
         max_subs_per_100=params.max_subs_per_100)
     supported = np.zeros(n_live, bool)
-    for a, b, o, mm in edges:
-        supported[a % n_live] = True
-        supported[b % n_live] = True
-    for c in contained:
-        supported[c % n_live] = True
+    if len(edges):
+        supported[edges[:, 0]] = True
+        supported[edges[:, 2]] = True
+    if len(contained):
+        supported[contained[:, 0]] = True
+        supported[contained[:, 1]] = True
     bad = np.nonzero(~supported)[0]
     store.flags[live[bad]] |= FLAG_NOOVL | FLAG_DELETED
     return len(bad)
+
+
+def filter_assemble(store: SeqStore, fparams: "FilterParams | None" = None,
+                    aparams=None, progress=None, timings: dict | None = None):
+    """Fused filter -> assemb pipeline (round 5): ONE CorpusIndex and
+    ONE full-corpus probe serve both the overlap-support filter
+    (IdentifyOverlaps, ArtefactReduce.cpp:1815) and assembly pass 1 —
+    the separate-phase flow builds the same index twice and probes the
+    same corpus twice. Returns the contig SeqStore; `timings` (optional
+    dict) receives 'filter_s' / 'assemb_s' phase splits. The standalone
+    artefact_reduce / assemble remain for the checkpointed CLI flow."""
+    import time as _time
+
+    from .assemble import AssembleParams, _assemble_core
+    from .overlap import CorpusIndex
+    fp = fparams or FilterParams()
+    ap = aparams or AssembleParams()
+    t0 = _time.time()
+    pe = store.mate is not None
+    if fp.dedup:
+        n = mark_duplicates(store, pe=pe and fp.dedup_pe)
+        if progress:
+            progress("duplicates", n)
+    store = store.compact()
+    live = np.nonzero(store.live_mask())[0]
+    idx = CorpusIndex([store.get(int(i)) for i in live])
+    n_live = len(live)
+    floor = ap.min_overlap_final
+    min_len = int(store.lengths[live].min()) if n_live else 0
+    sup_ovl = max(16, min_len * fp.min_overlap_pct // 100)
+    edges, cont = idx.probe(range(n_live),
+                            min_overlap=min(floor, sup_ovl),
+                            max_subs_per_100=ap.max_subs_per_100)
+    # overlap-support rule at ITS threshold from the shared edge set
+    supported = np.zeros(n_live, bool)
+    if len(edges):
+        strong = edges[edges[:, 4] >= sup_ovl]
+        supported[strong[:, 0]] = True
+        supported[strong[:, 2]] = True
+    if len(cont):
+        supported[cont[:, 0]] = True
+        supported[cont[:, 1]] = True
+    n_unsup = 0
+    for s in np.nonzero(~supported)[0]:
+        idx.kill(int(s))
+        n_unsup += 1
+    if progress:
+        progress("unsupported", n_unsup)
+    if timings is not None:
+        timings["filter_s"] = _time.time() - t0
+        timings["n_unsupported"] = n_unsup
+    t0 = _time.time()
+    amask = np.asarray(idx.alive, bool)
+    if len(edges):
+        edges = edges[amask[edges[:, 0]] & amask[edges[:, 2]]
+                      & (edges[:, 4] >= floor)]
+    # containments among survivors apply inside the core via the pool?
+    # no — apply them now (assembly pass 1 would have)
+    pairs = []
+    if store.mate is not None:
+        lmap = {int(v): u for u, v in enumerate(live)}
+        for u, v in enumerate(live):
+            m = int(store.mate[int(v)])
+            mu = lmap.get(m, -1) if m >= 0 else -1
+            if mu > u and amask[u] and amask[mu]:
+                pairs.append((u, mu))
+    for inner, outer in cont.tolist():
+        if inner != outer and idx.alive[inner] and idx.alive[outer]:
+            li = len(idx.seqs[inner])
+            lo_ = len(idx.seqs[outer])
+            if lo_ > li or (lo_ == li and outer < inner):
+                idx.kill(inner)
+    out = _assemble_core(idx, pairs, ap, pool0=edges)
+    if timings is not None:
+        timings["assemb_s"] = _time.time() - t0
+    return out
 
 
 def artefact_reduce(store: SeqStore, params: FilterParams | None = None,

@@ -61,19 +61,20 @@ def main():
     simreads.write_reads(os.path.join(args.workdir, "r2.fa"), r2, "fasta")
     log(f"simreads: {len(r1)} pairs incl. dups ({time.time()-t0:.0f}s)")
 
-    # ---- filter ------------------------------------------------------
+    # ---- filter + assemb (fused: one corpus index + one full probe
+    # serves the overlap-support filter AND assembly pass 1) ----------
     t0 = time.time()
     st = SeqStore.from_records(r1, r2)
     before = st.n_live()
-    st2 = filt.artefact_reduce(st, filt.FilterParams())
-    t_filter = time.time() - t0
-    log(f"filter: {before} -> {st2.n_live()} reads ({t_filter:.1f}s)")
-
-    # ---- assemb ------------------------------------------------------
-    t0 = time.time()
-    contigs = asm.assemble(st2, asm.AssembleParams(
-        min_overlap=60, min_overlap_final=40, max_passes=16))
-    t_assemb = time.time() - t0
+    tm = {}
+    contigs = filt.filter_assemble(
+        st, filt.FilterParams(),
+        asm.AssembleParams(min_overlap=60, min_overlap_final=40),
+        timings=tm)
+    t_filter = tm.get("filter_s", 0.0)
+    t_assemb = tm.get("assemb_s", 0.0)
+    log(f"filter: {before} reads, {tm.get('n_unsupported', 0)} unsupported"
+        f" removed ({t_filter:.1f}s)")
     lens = sorted((int(contigs.lengths[i]) for i in range(len(contigs))),
                   reverse=True)
     total = sum(lens)
