@@ -90,6 +90,48 @@ class SfxIndex:
             np.int32 if n < 2**31 else np.int64), lut,
             lut_base=lut_base, digit_map=digit_map)
 
+    @classmethod
+    def build_buckets(cls, genome: Genome,
+                      lut_k: int | None = None) -> "SfxIndex":
+        """k-mer BUCKET index: clean positions grouped by lut_k-mer key
+        in arbitrary in-bucket order — no suffix sorting.
+
+        The seed-and-extend passes only resolve key buckets and verify
+        candidates by extension, so full lexicographic suffix order is
+        refinement they never read; a stable counting sort by key
+        replaces SA-IS at ~10x less build cost. Used by workloads whose
+        probes are pure bucket lookups (kmarkers/prekmarkers config #3;
+        the reference's LocKMers walks IterateExacts ranges the same
+        way, ngskit4b/LocKMers.cpp:525). kalign keeps the SA-IS build:
+        its capped tiers pick the FIRST entries of a bucket, and golden
+        equivalence fixes that order."""
+        seq = genome.seq
+        if lut_k is None:
+            lut_k = pick_lut_k(len(seq))
+        n = len(seq)
+        k = lut_k
+        if n < k:
+            return cls(genome, k, np.zeros(0, np.int32),
+                       np.zeros(4 ** k + 1, np.int64))
+        m = n - k + 1
+        clean = np.where(seq < dna.BASE_N, seq, 0).astype(np.int32)
+        keys = clean[:m].copy()
+        for j in range(1, k):
+            keys *= 4
+            keys += clean[j:j + m]
+        cb = np.concatenate(
+            [[0], np.cumsum((seq >= dna.BASE_N).astype(np.int32))])
+        good = (cb[k:] - cb[:-k]) == 0
+        pos = np.nonzero(good)[0]
+        keys = keys[good]
+        order = np.argsort(keys, kind="stable")
+        sa_clean = pos[order]
+        counts = np.bincount(keys, minlength=4 ** k)
+        lut = np.zeros(4 ** k + 1, np.int64)
+        np.cumsum(counts, out=lut[1:])
+        return cls(genome, k, sa_clean.astype(
+            np.int32 if n < 2**31 else np.int64), lut)
+
     # --- persistence (.kix) -------------------------------------------------
     def save(self, path: str | os.PathLike) -> None:
         np.savez_compressed(

@@ -97,6 +97,58 @@ def _fast_device_arrays(index: SfxIndex, read_len: int):
     return gview, sa, lut
 
 
+def _kmarkers_pass_factory():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import seed_extend_fast as F
+
+    @functools.partial(
+        jax.jit, static_argnames=("K", "genome_len", "offsets", "lut_k",
+                                  "n_compact", "max_ml", "min_hamming",
+                                  "target"))
+    def _pass(gview, sa, lut, genome_u8, starts_d, cult_d, qp, *,
+              K: int, genome_len: int, offsets: tuple, lut_k: int,
+              n_compact: int, max_ml: int, min_hamming: int,
+              target: int):
+        """Fully on-device kmarkers batch: K-mer windows gather from the
+        RESIDENT genome (nothing crosses the link in), acceptance
+        classifies on device, ONE int8 code per position returns
+        (0 reject / 1 accept / 2 saturated). Round 4 uploaded every
+        window as bytes and fetched the full [B, ML] hit matrices
+        (~7 MB/batch over the WAN tunnel) — that was most of config
+        #3's 112.9 s kmarkers wall-clock."""
+        qpc = jnp.clip(qp.astype(jnp.int32), 0, genome_len - K)
+        reads = genome_u8[qpc[:, None] + jnp.arange(K, dtype=jnp.int32)]
+        ids, mm, ovf = F.fast_candidates(
+            gview, sa, lut, jnp.int32(0), reads, genome_len=genome_len,
+            offsets=offsets, lut_k=lut_k, n_compact=n_compact)
+        out = F.finalize_fast(ids, mm, max_ml=max_ml)
+        hid = out["hit_id"]
+        hmm = out["hit_mm"]
+        I32M = jnp.int32(np.iinfo(np.int32).max)
+        valid = hid != I32M
+        hpos = jnp.where(valid, hid >> 1, 0)
+        ci = jnp.searchsorted(starts_d, hpos, side="right") - 1
+        cult = cult_d[jnp.clip(ci, 0, cult_d.shape[0] - 1)]
+        disq = jnp.any(valid & (hmm < min_hamming) & (cult != target),
+                       axis=1)
+        self_exact = valid & (hmm == 0) & (cult == target)
+        self_pos = jnp.where(self_exact, hpos, I32M)
+        min_self = jnp.min(self_pos, axis=1)
+        sat = ovf | (jnp.sum(valid, axis=1) >= max_ml)
+        ok = (~sat & ~disq & jnp.any(self_exact, axis=1)
+              & (min_self == qpc))
+        return (ok.astype(jnp.int8) + 2 * sat.astype(jnp.int8))
+
+    return _pass
+
+
+_KMARKERS_PASS = None
+
+
 def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           target_cultivar: int, *,
                           kmer_len: int = 50, min_hamming: int = 2,
@@ -130,10 +182,16 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
     import jax
     import jax.numpy as jnp
 
-    from ..ops import seed_extend_fast as F
+    global _KMARKERS_PASS
+    if _KMARKERS_PASS is None:
+        _KMARKERS_PASS = _kmarkers_pass_factory()
+    kpass = _KMARKERS_PASS
 
     g = index.genome
     gview_d, sa_d, lut_d = _fast_device_arrays(index, kmer_len)
+    genome_d = jnp.asarray(g.seq)
+    starts_d = jnp.asarray(g.starts.astype(np.int32))
+    cult_d = jnp.asarray(np.asarray(chrom_cult, np.int32))
     # pigeonhole cores: to guarantee finding every hit with
     # mm <= min_hamming - 1, use min_hamming equal slices of the K-mer
     ncores = max(1, min_hamming)
@@ -141,95 +199,82 @@ def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
     offsets = tuple(min(j * cl, kmer_len - index.lut_k)
                     for j in range(ncores))
 
-    pos_cult = np.repeat(chrom_cult,
-                         (g.lengths + 1).astype(np.int64))  # +EOS per chrom
     accepted_positions: list[int] = []
     escalate: list[int] = []
 
     K = kmer_len
     target_chroms = np.nonzero(chrom_cult == target_cultivar)[0]
-    INT32_MAX = np.iinfo(np.int32).max
-    I64_MAX = np.iinfo(np.int64).max
-
-    def classify(chunk, hid, hmm, ovf, ml):
-        """Returns (ok mask, saturated mask) for positions `chunk`."""
-        valid = hid != INT32_MAX
-        cult = pos_cult[np.where(valid, hid >> 1, 0)]
-        disq = (valid & (hmm < min_hamming)
-                & (cult != target_cultivar)).any(axis=1)
-        self_exact = valid & (hmm == 0) & (cult == target_cultivar)
-        # first-instance dedup: accept only at the minimal exact
-        # self-occurrence locus over both orientations
-        self_pos = np.where(self_exact, (hid >> 1).astype(np.int64),
-                            I64_MAX)
-        min_self = self_pos.min(axis=1)
-        ok = ~ovf & ~disq & self_exact.any(axis=1) & (min_self == chunk)
-        sat = ovf | (valid.sum(axis=1) >= ml)
-        return ok & ~sat, sat
+    kw = dict(K=K, genome_len=len(g.seq), offsets=offsets,
+              lut_k=index.lut_k, min_hamming=min_hamming,
+              target=int(target_cultivar))
 
     for ci in target_chroms:
         cstart = int(g.starts[ci])
         clen = int(g.lengths[ci])
         if clen < K:
             continue
-        starts_all = np.arange(cstart, cstart + clen - K + 1, dtype=np.int64)
+        starts_all = np.arange(cstart, cstart + clen - K + 1,
+                               dtype=np.int64)
 
         def submit(s):
             chunk = starts_all[s:s + batch]
-            nb = len(chunk)
             qp = chunk
-            if nb < batch:
-                qp = np.concatenate([qp, np.full(batch - nb, cstart,
-                                                 np.int64)])
-            reads = g.seq[qp[:, None] + np.arange(K)]
-            return chunk, nb, F.fast_pass(
-                gview_d, sa_d, lut_d, jnp.asarray(reads),
-                genome_len=len(g.seq), offsets=offsets,
-                lut_k=index.lut_k, n_compact=64, max_ml=max_ml)
+            if len(chunk) < batch:
+                qp = np.concatenate([qp, np.full(batch - len(chunk),
+                                                 cstart, np.int64)])
+            return chunk, len(chunk), kpass(
+                gview_d, sa_d, lut_d, genome_d, starts_d, cult_d,
+                jnp.asarray(qp.astype(np.int32)), n_compact=24,
+                max_ml=max_ml, **kw)
 
         def drain(chunk, nb, dev):
-            host = {k: np.asarray(v)
-                    for k, v in jax.device_get(dev).items()}
-            ok, sat = classify(chunk, host["hit_id"][:nb],
-                               host["hit_mm"][:nb],
-                               host["overflow"][:nb], max_ml)
-            accepted_positions.extend(chunk[ok].tolist())
-            escalate.extend(chunk[sat].tolist())
+            code = np.asarray(jax.device_get(dev))[:nb]
+            accepted_positions.extend(chunk[code == 1].tolist())
+            escalate.extend(chunk[code >= 2].tolist())
 
-        # double-buffered submit/drain keeps the device busy while the
-        # host classifies the previous batch
+        # deep submit-ahead pipeline: nothing crosses the link inbound
+        # (windows gather from the resident genome) and only one int8
+        # per position returns, so the queue stays full
         pending = []
         for s in range(0, len(starts_all), batch):
             pending.append(submit(s))
-            if len(pending) >= 2:
+            if len(pending) >= 4:
                 drain(*pending.pop(0))
         for item in pending:
             drain(*item)
 
-    # saturated positions re-run at a capacity where crowding by exact
-    # self-hits cannot hide a disqualifying other-cultivar hit
-    if escalate:
-        EB, ENC, EML = 1024, 2048, 512
+    # saturated positions re-run at capacities where crowding by exact
+    # self-hits cannot hide a disqualifying other-cultivar hit; the
+    # final tier's survivors sit in >512-copy repeat families — never
+    # cultivar-unique markers
+    for EB, ENC, EML in ((4096, 256, 128), (1024, 2048, 512)):
+        if not escalate:
+            break
         esc = np.asarray(escalate, np.int64)
-        for s in range(0, len(esc), EB):
-            chunk = esc[s:s + EB]
+        escalate = []
+        pend2 = []
+
+        def submit2(chunk):
             qp = chunk
             if len(chunk) < EB:
-                qp = np.concatenate([qp, np.full(EB - len(chunk), esc[0],
-                                                 np.int64)])
-            reads = g.seq[qp[:, None] + np.arange(K)]
-            host = {k: np.asarray(v) for k, v in jax.device_get(
-                F.fast_pass(gview_d, sa_d, lut_d, jnp.asarray(reads),
-                            genome_len=len(g.seq), offsets=offsets,
-                            lut_k=index.lut_k, n_compact=ENC,
-                            max_ml=EML)).items()}
-            nb = len(chunk)
-            ok, sat = classify(chunk, host["hit_id"][:nb],
-                               host["hit_mm"][:nb],
-                               host["overflow"][:nb], EML)
-            # a position saturating even this tier sits in a >512-copy
-            # repeat family — never a cultivar-unique marker
-            accepted_positions.extend(chunk[ok].tolist())
+                qp = np.concatenate([qp, np.full(EB - len(chunk),
+                                                 int(esc[0]), np.int64)])
+            return chunk, len(chunk), kpass(
+                gview_d, sa_d, lut_d, genome_d, starts_d, cult_d,
+                jnp.asarray(qp.astype(np.int32)), n_compact=ENC,
+                max_ml=EML, **kw)
+
+        for s in range(0, len(esc), EB):
+            pend2.append(submit2(esc[s:s + EB]))
+            if len(pend2) >= 4:
+                chunk, nb, dev = pend2.pop(0)
+                code = np.asarray(jax.device_get(dev))[:nb]
+                accepted_positions.extend(chunk[code == 1].tolist())
+                escalate.extend(chunk[code >= 2].tolist())
+        for chunk, nb, dev in pend2:
+            code = np.asarray(jax.device_get(dev))[:nb]
+            accepted_positions.extend(chunk[code == 1].tolist())
+            escalate.extend(chunk[code >= 2].tolist())
 
     # extend runs of consecutive accepted positions into maximal markers
     markers: list[Marker] = []

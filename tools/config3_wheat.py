@@ -69,7 +69,9 @@ def main():
         f"chroms ({t_pseudo:.0f}s)")
 
     t0 = time.time()
-    idx = SfxIndex.build(g)
+    # bucket counting-sort index: kmarkers only resolves key
+    # buckets + extension, never lexicographic in-bucket order
+    idx = SfxIndex.build_buckets(g)
     t_index = time.time() - t0
     log(f"index: lut_k={idx.lut_k} ({t_index:.0f}s)")
 

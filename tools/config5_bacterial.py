@@ -174,6 +174,62 @@ def main():
         print(f"REFRESULT filter_s={t_rf:.1f} assemb_s={t_ra:.1f} "
               f"n_contigs={n_ref_contigs} longest={longest_ref}")
 
+        # ---- aligned contig-vs-contig identity (VERDICT r4 item 3):
+        # blitz OUR >=300 bp contigs against the REFERENCE's contig set
+        # and vice versa; report the fraction aligning at >=95% identity
+        # over >=80% of their length
+        ref_fa = None
+        for suffix in (".SE.fasta", ".fasta", ".contigs.fasta"):
+            p = os.path.join(d, "ref_asm" + suffix)
+            if os.path.exists(p):
+                ref_fa = p
+                break
+        if ref_fa is not None:
+            from kit4b_tpu.align.blitz import blitz_align
+            from kit4b_tpu.index.sfx_index import SfxIndex
+            from kit4b_tpu.io.fasta import read_seqs
+
+            def xcmp(qrecs, tgt_recs, tag, cap=400):
+                qrecs = sorted(qrecs, key=lambda r: -len(r.codes))[:cap]
+                tg = Genome.from_records(list(tgt_recs))
+                tidx = SfxIndex.build(tg)
+                n_ok = 0
+                for rec in qrecs:
+                    hits = blitz_align(tidx, [rec], gapped=True,
+                                       max_hits_per_query=4)
+                    best_cov = 0.0
+                    for h in hits:
+                        span = h.q_end - h.q_start
+                        ident = h.matches / max(1, h.matches
+                                                + h.mismatches)
+                        if ident >= 0.95:
+                            best_cov = max(best_cov,
+                                           span / len(rec.codes))
+                    if best_cov >= 0.8:
+                        n_ok += 1
+                log(f"contig x-identity [{tag}]: {n_ok}/{len(qrecs)} "
+                    f"align at >=95% identity over >=80% length")
+                return n_ok, len(qrecs)
+
+            ours300 = [SeqRecord(f"c{int(i)}", "",
+                                 np.asarray(contigs.get(int(i))))
+                       for i in range(len(contigs))
+                       if int(contigs.lengths[i]) >= 300]
+            refrecs = [r for r in read_seqs(ref_fa)
+                       if len(r.codes) >= 300]
+            a_ok, a_n = xcmp(ours300, refrecs, "ours->ref")
+            b_ok, b_n = xcmp(refrecs, ours300, "ref->ours")
+            # both sets vs the TRUTH genome: the directional contig-set
+            # comparison penalises whichever set has LONGER contigs (no
+            # single shorter partner can cover 80% of a longer contig)
+            truth = [SeqRecord("truth", "", seq)]
+            c_ok, c_n = xcmp(ours300, truth, "ours->truth")
+            d_ok, d_n = xcmp(refrecs, truth, "ref->truth")
+            print(f"XIDENT ours_in_ref={a_ok}/{a_n} "
+                  f"ref_in_ours={b_ok}/{b_n} "
+                  f"ours_in_truth={c_ok}/{c_n} "
+                  f"ref_in_truth={d_ok}/{d_n}")
+
 
 if __name__ == "__main__":
     main()
