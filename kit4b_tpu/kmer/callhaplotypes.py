@@ -58,61 +58,89 @@ def call_haplotypes(progeny_pba_path, founder_paths: dict, *,
                     het_ratio: float = 0.25, smooth: bool = True,
                     ww_prox_window: int = 1_000_000,
                     return_raw: bool = False):
-    """Two-founder haplotype calling (Fa/Fb per the reference's F4 skim
-    use case). founder_paths: {name: pba path} with exactly two entries.
+    """F-founder haplotype calling (round 5 lifts the two-founder
+    restriction — the reference accepts up to cMaxFounderReadsets=2000
+    founder readsets, ngskit4b/CallHaplotypes.h:9). founder_paths:
+    {name: pba path}, two or more entries.
+
+    Per bin, each founder scores the loci where the progeny's alleles
+    are consistent with IT ALONE (exclusive support). A locus is
+    informative when >=2 founders carry alleles there and the founders
+    with alleles are pairwise allele-disjoint (at F=2 this reduces
+    exactly to the previous disjoint-allele-set rule); a progeny
+    matching >=2 founders at such a locus is genuine heterozygosity
+    evidence. The bin calls to the top founder, to the top PAIR when
+    shared evidence dominates or the runner-up holds >= het_ratio of
+    the exclusive support, or uncalled. Two-founder outputs are
+    bit-identical to the previous implementation.
+
     return_raw=True additionally returns the pre-smoothing calls (the
     reference's mode-1 'raw' matrix, CallHaplotypes.cpp:2218-2232)."""
-    if len(founder_paths) != 2:
-        raise ValueError("callhaplotypes expects exactly two founders")
-    (fa_name, fa_path), (fb_name, fb_path) = founder_paths.items()
+    names = list(founder_paths)
+    F = len(names)
+    if F < 2:
+        raise ValueError("callhaplotypes needs at least two founders")
     _, prog = load_pba_any(progeny_pba_path)
-    _, fa = load_pba_any(fa_path)
-    _, fb = load_pba_any(fb_path)
+    fmaps = [load_pba_any(p)[1] for p in founder_paths.values()]
 
     calls: list[BinCall] = []
     for chrom, p_pba in prog.items():
-        if chrom not in fa or chrom not in fb:
+        if any(chrom not in fm for fm in fmaps):
             continue
-        n = min(len(p_pba), len(fa[chrom]), len(fb[chrom]))
+        n = min(len(p_pba), *(len(fm[chrom]) for fm in fmaps))
         psc = unpack_pba(p_pba[:n])
-        fasc = unpack_pba(fa[chrom][:n])
-        fbsc = unpack_pba(fb[chrom][:n])
-        info = _informative(fasc, fbsc)
+        fmats = [unpack_pba(fm[chrom][:n]) for fm in fmaps]
+        f_has_col = np.stack([f > 0 for f in fmats])        # [F, n, 4]
+        # informative: founders with alleles are pairwise disjoint
+        # (every allele column held by at most one founder) and >= 2
+        # founders present
+        disjoint = (f_has_col.sum(axis=0) <= 1).all(axis=1)
+        present_cnt = f_has_col.any(axis=2).sum(axis=0)
         p_has = psc > 0
-        match_a = (p_has & (fasc > 0)).any(axis=1)
-        match_b = (p_has & (fbsc > 0)).any(axis=1)
         covered = p_has.any(axis=1)
+        matched = np.stack([(p_has & (f > 0)).any(axis=1)
+                            for f in fmats])                # [F, n]
+        m_cnt = matched.sum(axis=0)
+        info = disjoint & (present_cnt >= 2) & covered
+        excl = matched & (m_cnt == 1)[None, :] & info[None, :]
+        shared = info & (m_cnt >= 2)
 
-        for start in range(0, n, bin_size):
+        edges = np.arange(0, n, bin_size)
+        excl_b = np.add.reduceat(excl.astype(np.int64), edges, axis=1)
+        shared_b = np.add.reduceat(shared.astype(np.int64), edges)
+        info_b = np.add.reduceat(info.astype(np.int64), edges)
+        for bi, start in enumerate(edges.tolist()):
             end = min(start + bin_size, n)
-            sel = np.zeros(n, bool)
-            sel[start:end] = True
-            m = sel & info & covered
-            n_loci = int(m.sum())
-            a_excl = int((m & match_a & ~match_b).sum())
-            b_excl = int((m & match_b & ~match_a).sum())
-            both = int((m & match_a & match_b).sum())
-            support = {fa_name: a_excl, fb_name: b_excl}
-            total = a_excl + b_excl + both
+            e = excl_b[:, bi]
+            sh = int(shared_b[bi])
+            n_loci = int(info_b[bi])
+            # top founder; ties resolve to the LATER founder (the
+            # two-founder code called fb on a_excl == b_excl)
+            top = F - 1 - int(np.argmax(e[::-1]))
+            rest = np.delete(np.arange(F), top)
+            second = int(rest[len(rest) - 1
+                              - int(np.argmax(e[rest][::-1]))])
+            support = {names[f]: int(e[f]) for f in range(F)}
+            total = int(e.sum()) + sh
             if n_loci < min_loci or total == 0:
                 call = CALL_NONE
-            elif both / total >= 0.5:
-                # progeny carries BOTH founders' alleles at discriminating
-                # loci — heterozygous
-                call = CALL_HET
+            elif sh / total >= 0.5:
+                call = CALL_HET if F == 2 \
+                    else f"{names[top]}x{names[second]}"
             else:
-                minor = min(a_excl, b_excl) / max(1, a_excl + b_excl)
+                e1, e2 = int(e[top]), int(e[second])
+                minor = e2 / max(1, e1 + e2)
                 if minor >= het_ratio:
-                    call = CALL_HET
-                elif a_excl > b_excl:
-                    call = fa_name
+                    call = CALL_HET if F == 2 \
+                        else f"{names[top]}x{names[second]}"
                 else:
-                    call = fb_name
-            calls.append(BinCall(chrom, start, end, call, support, n_loci))
+                    call = names[top]
+            calls.append(BinCall(chrom, start, end, call, support,
+                                 n_loci))
 
     raw = list(calls)
     if smooth:
-        founders = (fa_name, fb_name)
+        founders = tuple(names)
         if ww_prox_window > 0:
             # reference runs the WW impute twice: full window, then /5
             # to catch outliers (CallHaplotypes.cpp:2233-2236)
@@ -171,14 +199,22 @@ def impute_heterozygosity(calls: list[BinCall], founders: tuple,
     neighbouring called bins within max_distance on the same chrom; count
     per-founder calls and runs (het bins add two runs, reference
     CallHaplotypes.cpp 'boost to randomness'); when >=3 runs over >=6
-    calls switch randomly per the runs test, re-call the bin Fa x Fb."""
-    fa_name, fb_name = founders
+    calls switch randomly per the runs test, re-call the bin Fa x Fb.
+
+    F > 2 founders (round 5): the runs test is binary, so each window
+    tests the TWO founders with the most window calls; a window where a
+    third founder is also called is not Fa/Fb-style random switching
+    and is left alone. The imputed het pair is that window's top pair.
+    Two-founder behaviour unchanged."""
+    founders = tuple(founders)
+    het_labels = {CALL_HET} | {f"{a}x{b}" for a in founders
+                               for b in founders if a != b}
     out = list(calls)
-    mark = [False] * len(out)
+    mark: dict[int, str] = {}
     for i, cur in enumerate(out):
         if cur.call == CALL_NONE:
             continue
-        n = {fa_name: 0, fb_name: 0}
+        n = {f: 0 for f in founders}
         runs = seq_len = 0
         prev_hap = None
         lo, hi = max(0, i - 9), min(len(out) - 1, i + 10)
@@ -188,14 +224,18 @@ def impute_heterozygosity(calls: list[BinCall], founders: tuple,
                 continue
             if abs(cur.start - chk.start) > max_distance:
                 continue
-            if chk.call == CALL_HET:
+            if chk.call in het_labels:
                 # reference het branch (CallHaplotypes.cpp:2540-2551): two
                 # sequential haplotypes boost runs AND both founder counts;
                 # PrevHap is left unchanged
                 runs += 2
                 seq_len += 2
-                n[fa_name] += 1
-                n[fb_name] += 1
+                if chk.call == CALL_HET:
+                    pa, pb = founders[0], founders[1]
+                else:
+                    pa, pb = chk.call.split("x", 1)
+                n[pa] = n.get(pa, 0) + 1
+                n[pb] = n.get(pb, 0) + 1
                 continue
             if chk.call not in n:
                 continue
@@ -204,14 +244,17 @@ def impute_heterozygosity(calls: list[BinCall], founders: tuple,
             prev_hap = chk.call
             n[chk.call] += 1
             seq_len += 1
-        if runs >= 3 and seq_len >= 6 and \
-                is_random_haplotypes(n[fa_name], n[fb_name], runs):
-            mark[i] = True
-    for i, m in enumerate(mark):
-        if m:
-            c = out[i]
-            out[i] = BinCall(c.chrom, c.start, c.end, CALL_HET,
-                             c.support, c.n_loci)
+        counts = sorted(n.items(), key=lambda kv: -kv[1])
+        (fa_name, na), (fb_name, nb) = counts[0], counts[1]
+        third = sum(v for _, v in counts[2:])
+        if third == 0 and runs >= 3 and seq_len >= 6 and \
+                is_random_haplotypes(na, nb, runs):
+            mark[i] = CALL_HET if len(founders) == 2 \
+                else f"{fa_name}x{fb_name}"
+    for i, label in mark.items():
+        c = out[i]
+        out[i] = BinCall(c.chrom, c.start, c.end, label,
+                         c.support, c.n_loci)
     return out
 
 
@@ -237,9 +280,13 @@ def write_haplotype_matrix(path, per_progeny: dict[str, list[BinCall]],
                            founders: tuple) -> None:
     """ReportMatrix (CallHaplotypes.cpp:3277): rows chrom.loci (bins),
     columns progeny readsets; cell encodes the call: founder index+1
-    (1=Fa, 2=Fb), 3 = Fa x Fb heterozygous, 0 = uncalled."""
-    fa, fb = founders
-    code = {CALL_NONE: 0, fa: 1, fb: 2, CALL_HET: 3}
+    (1=Fa, 2=Fb, ...), F+1 = heterozygous pair, 0 = uncalled (for two
+    founders this is the reference's exact 0/1/2/3 coding)."""
+    founders = tuple(founders)
+    het_code = len(founders) + 1
+    code = {CALL_NONE: 0, CALL_HET: het_code}
+    for i, f in enumerate(founders):
+        code[f] = i + 1
     names = list(per_progeny)
     keys = list(dict.fromkeys(
         (c.chrom, c.start) for calls in per_progeny.values() for c in calls))
@@ -251,7 +298,13 @@ def write_haplotype_matrix(path, per_progeny: dict[str, list[BinCall]],
             f.write(f'"{chrom}",{start}')
             for n in names:
                 c = bymap[n].get((chrom, start))
-                f.write(f",{code.get(c.call, 0) if c else 0}")
+                v = 0
+                if c is not None:
+                    # any "AxB" pair label codes as heterozygous
+                    v = code.get(c.call,
+                                 het_code if c.call != CALL_NONE
+                                 and "x" in c.call else 0)
+                f.write(f",{v}")
             f.write("\n")
 
 
@@ -259,27 +312,33 @@ def write_haplotypes_gwas(path, calls: list[BinCall],
                           founders: tuple) -> None:
     """ReportHaplotypesAsGWAS (CallHaplotypes.cpp:3072): 'CHR BP SNP P'
     rows for IGV viewing; P visually encodes the call — 0.3 Fa only,
-    0.9 Fb only, 0.1 both parental haplotypes (:3147-3156)."""
-    fa, fb = founders
+    0.9 Fb only, 0.1 heterozygous (:3147-3156). Additional founders
+    cycle through further track-distinct digits."""
+    founders = tuple(founders)
+    digits = (3, 9, 5, 7, 2, 8, 4, 6)
+    pmap = {fname: digits[i % len(digits)]
+            for i, fname in enumerate(founders)}
     with open(path, "w") as f:
         f.write("CHR BP SNP P\n")
         for c in calls:
             if c.call == CALL_NONE:
                 continue
-            if c.call == fa:
-                snp, p = fa, 3
-            elif c.call == fb:
-                snp, p = fb, 9
+            if c.call in pmap:
+                snp, p = c.call, pmap[c.call]
             else:
-                snp, p = f"{fa}:{fb}", 1
+                snp = f"{founders[0]}:{founders[1]}" \
+                    if c.call == CALL_HET else c.call.replace("x", ":")
+                p = 1
             f.write(f"{c.chrom} {c.start} {snp} 0.{p}\n")
 
 
 def write_haplotype_calls(path, calls: list[BinCall]) -> None:
+    fnames = list(calls[0].support) if calls else ["A", "B"]
     with open(path, "w") as f:
-        f.write('"Chrom","Start","End","Call","SupportA","SupportB",'
-                '"InformativeLoci"\n')
+        f.write('"Chrom","Start","End","Call",'
+                + ",".join(f'"Support{n}"' for n in fnames)
+                + ',"InformativeLoci"\n')
         for c in calls:
-            sa, sb = list(c.support.values())
-            f.write(f'"{c.chrom}",{c.start},{c.end},"{c.call}",{sa},{sb},'
+            sup = ",".join(str(c.support.get(n, 0)) for n in fnames)
+            f.write(f'"{c.chrom}",{c.start},{c.end},"{c.call}",{sup},'
                     f'{c.n_loci}\n')

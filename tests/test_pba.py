@@ -142,3 +142,60 @@ def test_impute_heterozygosity_and_outliers():
     outl = mk(["Fa", "Fa", "Fb", "Fa", "Fa"])
     out = impute_outliers(outl, 1_000_000)
     assert [c.call for c in out] == ["Fa"] * 5
+
+
+def test_call_haplotypes_four_founders(tmp_path):
+    """F>2 founder calling (round 5; reference cMaxFounderReadsets=2000,
+    CallHaplotypes.h:9): a 4-founder mosaic progeny calls each region to
+    its source founder, with a het region calling to its founder pair."""
+    from kit4b_tpu.kmer.callhaplotypes import call_haplotypes
+    rng = np.random.default_rng(77)
+    n = 700_000
+    g = Genome(["c1"], np.array([0]), np.array([n]), np.zeros(n, np.uint8))
+
+    def fixed_counts(base_idx):
+        c = np.zeros((n, 5), np.int64)
+        c[np.arange(n), base_idx] = 20
+        return c
+
+    ref = rng.integers(0, 4, n)
+    snp = np.zeros(n, bool)
+    snp[::50] = True
+    fb = [ref.copy() for _ in range(4)]
+    for k in range(1, 4):          # founder k shifts informative SNPs by k
+        fb[k][snp] = (ref[snp] + k) % 4
+    # progeny: F0 [0,100k) F1 [100k,200k) F2xF3 het [200k,300k) F3 [300k,n)
+    prog_c = fixed_counts(fb[0])
+    prog_c[100_000:200_000] = fixed_counts(fb[1])[100_000:200_000]
+    prog_c[300_000:] = fixed_counts(fb[3])[300_000:]
+    het = slice(200_000, 300_000)
+    prog_c[het] = 0
+    idxs = np.arange(200_000, 300_000)
+    prog_c[idxs, fb[2][het]] += 10
+    prog_c[idxs, fb[3][het]] += 10
+    paths = {}
+    for k in range(4):
+        p = tmp_path / f"f{k}.npz"
+        save_pba(p, g, pba_from_counts(fixed_counts(fb[k])))
+        paths[f"F{k}"] = p
+    pp = tmp_path / "prog4.npz"
+    save_pba(pp, g, pba_from_counts(prog_c))
+    calls = call_haplotypes(pp, paths, bin_size=5000)
+    byreg = {(c.start, c.end): c.call for c in calls}
+    assert byreg[(0, 5000)] == "F0"
+    assert byreg[(150_000, 155_000)] == "F1"
+    assert byreg[(245_000, 250_000)] in ("F2xF3", "F3xF2")
+    # the WW het impute spreads pair calls up to ~2x9 bins past
+    # the true boundary (same as the two-founder behaviour);
+    # assert well past that
+    assert byreg[(600_000, 605_000)] == "F3"
+    # matrix/GWAS writers accept the 4-founder call set
+    from kit4b_tpu.kmer.callhaplotypes import (write_haplotype_matrix,
+                                               write_haplotypes_gwas)
+    write_haplotype_matrix(tmp_path / "m.csv", {"p1": calls},
+                           tuple(paths))
+    write_haplotypes_gwas(tmp_path / "g.gwas", calls, tuple(paths))
+    rows = (tmp_path / "m.csv").read_text().splitlines()
+    assert rows[0] == '"Chrom","Loci","p1"'
+    cells = {int(r.split(",")[2]) for r in rows[1:]}
+    assert {1, 2, 4, 5} <= cells        # F0, F1, F3, het(F+1)

@@ -184,13 +184,48 @@ def run_reference(args, g, r1, r2):
     t0 = time.time()
     subprocess.run([refbin, "kalign", "-i", os.path.join(d, "ref_r1.fa"),
                     "-u", os.path.join(d, "ref_r2.fa"), "-U1",
-                    "-d200", "-D700",
+                    "-d200", "-D700", "-p5",
+                    "-S", os.path.join(d, "ref.snp.csv"),
                     "-I", os.path.join(d, "g.sfx"),
                     "-o", os.path.join(d, "ref.sam"), "-M1", "-T2"],
                    check=True, capture_output=True)
     t_align = time.time() - t0
     log(f"reference: index {t_index:.0f}s, kalign {sub*2} reads "
         f"{t_align:.1f}s = {sub*2/t_align:.0f} reads/s (2-core)")
+
+    # --- SNP CALL-SET parity at scale (VERDICT r4 item 4): our aligner
+    # + binomial/BH caller on the SAME 20K-pair subsample vs the
+    # reference's OutputSNPs CSV (KAligner.cpp:7098/:7567/:7617),
+    # default thresholds both sides (-p5, QValue 0.05, nonref 25%)
+    from kit4b_tpu.align import kalign as _ka, pe as _pe, snp as _snp
+    from kit4b_tpu.index.sfx_index import SfxIndex as _SI
+    idx = _SI.build(g)
+    al = _ka.KAligner(idx, batch_size=16384)
+    pal = _pe.PeAligner(al, pair_min_len=200, pair_max_len=700, pe_mode=1)
+    caller = _snp.SnpCaller(g, _snp.SnpOptions(min_snp_reads=5,
+                                               qvalue=0.05))
+    pal.write_sam_fast(os.path.join(d, "ours_sub.sam"),
+                       pal.align_pairs(r1[:sub], r2[:sub]),
+                       snp_caller=caller)
+    ours = caller.call()
+    our_set = {(c.chrom, c.loci) for c in ours}
+    ref_set = {}
+    import csv as _csv
+    with open(os.path.join(d, "ref.snp.csv")) as f:
+        for row in _csv.reader(f):
+            if not row or row[0] == "SNP_ID":
+                continue
+            ref_set[(row[3].strip('"'), int(row[4]))] = float(row[9])
+    both = our_set & set(ref_set)
+    only_ours = our_set - set(ref_set)
+    only_ref = set(ref_set) - our_set
+    log(f"SNP call-set parity (20K-pair subsample, default thresholds): "
+        f"ours {len(our_set)}, reference {len(ref_set)}, agree {len(both)}"
+        f" ({100*len(both)/max(len(our_set | set(ref_set)),1):.1f}% of "
+        f"union), only-ours {len(only_ours)}, only-ref {len(only_ref)}")
+    print(f"SNPPARITY ours={len(our_set)} ref={len(ref_set)} "
+          f"agree={len(both)} only_ours={len(only_ours)} "
+          f"only_ref={len(only_ref)}")
 
 
 if __name__ == "__main__":
