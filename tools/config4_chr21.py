@@ -154,11 +154,17 @@ def main():
           f"snp_prec={tp/max(len(called),1):.4f}")
 
     if args.ref:
-        run_reference(args, g, r1, r2)
+        run_reference(args, g, mut, snp_truth)
 
 
-def run_reference(args, g, r1, r2):
-    """Reference wall-clock on a 20K-pair subsample (2-core host)."""
+def run_reference(args, g, mut, snp_truth):
+    """Reference wall-clock + SNP call-set parity (2-core host).
+
+    The parity readset is DEDICATED: 100K pairs restricted to a 2 Mbp
+    slice of the (SNP-mutated) genome, giving ~15x coverage so the
+    -p5 minimum-read threshold is actually exercised — the full-genome
+    subsample at 60K pairs is ~0.45x and calls almost nothing on either
+    side."""
     import subprocess
     refbin = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".refbin", "ngskit4b")
@@ -173,9 +179,14 @@ def run_reference(args, g, r1, r2):
         s = "".join("ACGTN"[min(b, 4)] for b in g.seq[:-1])
         for i in range(0, len(s), 70):
             f.write(s[i:i + 70] + "\n")
-    sub = 20_000
-    write_reads(os.path.join(d, "ref_r1.fa"), r1[:sub], "fasta")
-    write_reads(os.path.join(d, "ref_r2.fa"), r2[:sub], "fasta")
+    from kit4b_tpu.sim import simreads as _sr
+    sub = 100_000
+    r1, r2 = _sr.sim_reads(mut, _sr.SimParams(
+        n_reads=sub, read_len=150, pe=True, pe_insert_min=250,
+        pe_insert_max=600, error_mode="illumina", subs_rate=0.01,
+        seed=31, regions=[("chr21s", 2_000_000, 4_000_000)]))
+    write_reads(os.path.join(d, "ref_r1.fa"), r1, "fasta")
+    write_reads(os.path.join(d, "ref_r2.fa"), r2, "fasta")
     t0 = time.time()
     subprocess.run([refbin, "index", "-i", fa,
                     "-o", os.path.join(d, "g.sfx"), "-r", "c4", "-T2"],
@@ -187,7 +198,7 @@ def run_reference(args, g, r1, r2):
                     "-d200", "-D700", "-p5",
                     "-S", os.path.join(d, "ref.snp.csv"),
                     "-I", os.path.join(d, "g.sfx"),
-                    "-o", os.path.join(d, "ref.sam"), "-M1", "-T2"],
+                    "-o", os.path.join(d, "ref.sam"), "-M0", "-T2"],
                    check=True, capture_output=True)
     t_align = time.time() - t0
     log(f"reference: index {t_index:.0f}s, kalign {sub*2} reads "
@@ -205,7 +216,7 @@ def run_reference(args, g, r1, r2):
     caller = _snp.SnpCaller(g, _snp.SnpOptions(min_snp_reads=5,
                                                qvalue=0.05))
     pal.write_sam_fast(os.path.join(d, "ours_sub.sam"),
-                       pal.align_pairs(r1[:sub], r2[:sub]),
+                       pal.align_pairs(r1, r2),
                        snp_caller=caller)
     ours = caller.call()
     our_set = {(c.chrom, c.loci) for c in ours}
@@ -223,9 +234,16 @@ def run_reference(args, g, r1, r2):
         f"ours {len(our_set)}, reference {len(ref_set)}, agree {len(both)}"
         f" ({100*len(both)/max(len(our_set | set(ref_set)),1):.1f}% of "
         f"union), only-ours {len(only_ours)}, only-ref {len(only_ref)}")
+    truth2 = {(c, p) for c, p, _, _ in snp_truth
+              if 2_000_000 <= p < 4_000_000}
+    log(f"  vs planted truth in the 2 Mbp slice ({len(truth2)}): "
+        f"ours TP {len(our_set & truth2)}, ref TP "
+        f"{len(set(ref_set) & truth2)}")
     print(f"SNPPARITY ours={len(our_set)} ref={len(ref_set)} "
           f"agree={len(both)} only_ours={len(only_ours)} "
-          f"only_ref={len(only_ref)}")
+          f"only_ref={len(only_ref)} "
+          f"ours_tp={len(our_set & truth2)} "
+          f"ref_tp={len(set(ref_set) & truth2)} truth={len(truth2)}")
 
 
 if __name__ == "__main__":
