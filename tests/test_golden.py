@@ -320,3 +320,68 @@ def test_golden_hammings_both_strands(tmp_path):
     bad = [k for k in common if a[k] != b[k]]
     assert not bad, f"{len(bad)} positions differ, first: " \
         f"{[(k, a[k], b[k]) for k in sorted(bad)[:5]]}"
+
+
+def test_golden_snp_callset_parity(tmp_path):
+    """SNP CALL-SET parity at meaningful coverage (VERDICT r4 item 4's
+    regression): both pipelines align the same ~8x PE readset from a
+    SNP-mutated genome and call SNPs at default thresholds; the call
+    sets (chrom, loci) must agree on >= 95% of their union. The at-scale
+    instrument (tools/config4_chr21.py --ref, 15x over 2 Mbp) measured
+    99.0% union agreement with 2,255 shared calls."""
+    import numpy as np
+
+    from kit4b_tpu import dna
+    from kit4b_tpu.align import kalign as _ka, pe as _pe, snp as _snp
+    from kit4b_tpu.index.sfx_index import SfxIndex
+    from kit4b_tpu.io.fasta import Genome
+    from kit4b_tpu.sim import simreads
+    from kit4b_tpu.sim.simreads import write_reads
+
+    rng = np.random.default_rng(71)
+    n = 300_000
+    seq = np.concatenate([rng.integers(0, 4, n).astype(np.uint8),
+                          [dna.BASE_EOG]]).astype(np.uint8)
+    g = Genome(["c1"], np.array([0]), np.array([n]), seq)
+    mut, snp_truth = simreads.simulate_snps(g, rate=0.001, seed=6)
+    r1, r2 = simreads.sim_reads(mut, simreads.SimParams(
+        n_reads=4000, read_len=150, pe=True, pe_insert_min=250,
+        pe_insert_max=500, error_mode="illumina", subs_rate=0.01, seed=8))
+
+    # reference: index + kalign -U1 -p5 -S
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">c1\n")
+        s = "".join("ACGTN"[min(int(b), 4)] for b in seq[:-1])
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    write_reads(tmp_path / "r1.fa", r1, "fasta")
+    write_reads(tmp_path / "r2.fa", r2, "fasta")
+    ref(["index", "-i", "g.fa", "-o", "g.sfx", "-r", "snpp", "-T2"],
+        cwd=tmp_path)
+    ref(["kalign", "-i", "r1.fa", "-u", "r2.fa", "-U1", "-d200", "-D700",
+         "-p5", "-S", "ref.snp.csv", "-I", "g.sfx", "-o", "ref.sam",
+         "-M0", "-T2"], cwd=tmp_path)
+    import csv
+    ref_set = set()
+    with open(tmp_path / "ref.snp.csv") as f:
+        for row in csv.reader(f):
+            if not row or row[0] == "SNP_ID":
+                continue
+            ref_set.add((row[3].strip('"'), int(row[4])))
+
+    # ours: same readset, same default thresholds
+    idx = SfxIndex.build(g)
+    al = _ka.KAligner(idx, batch_size=4096)
+    pal = _pe.PeAligner(al, pair_min_len=200, pair_max_len=700, pe_mode=1)
+    caller = _snp.SnpCaller(g, _snp.SnpOptions(min_snp_reads=5,
+                                               qvalue=0.05))
+    pal.write_sam_fast(tmp_path / "ours.sam", pal.align_pairs(r1, r2),
+                       snp_caller=caller)
+    our_set = {(c.chrom, c.loci) for c in caller.call()}
+
+    union = our_set | ref_set
+    agree = our_set & ref_set
+    assert len(union) > 50, "workload produced too few SNP calls"
+    assert len(agree) / len(union) >= 0.95, (
+        f"ours {len(our_set)} ref {len(ref_set)} agree {len(agree)}")
