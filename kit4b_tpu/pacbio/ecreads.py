@@ -125,15 +125,25 @@ def correct_reads(records: list[SeqRecord], params: ECParams | None = None,
         for s in range(0, len(cands), p.batch):
             chunk = cands[s: s + p.batch]
             B = p.batch            # fixed batch: pad rows keep jit cache warm
-            tmaxlen = max(int(g.lengths[t]) for t, _ in chunk)
-            probes = np.full((B, Lp), 0x0F, np.uint8)
+
+            def quant(x, q=4096):
+                # pad lengths to a coarse grid: per-read length variation
+                # would otherwise compile a fresh SW executable for
+                # EVERY probe (each remote compile costs tens of
+                # seconds; realistic 10-18 Kbp readsets have ~no two
+                # reads the same length)
+                return -(-max(x, 1) // q) * q
+
+            tmaxlen = quant(max(int(g.lengths[t]) for t, _ in chunk))
+            Lpq = quant(Lp)
+            probes = np.full((B, Lpq), 0x0F, np.uint8)
             targets = np.full((B, tmaxlen), 0x0F, np.uint8)
             plens = np.zeros(B, np.int32)
             plens[:len(chunk)] = Lp
             tlens = np.zeros(B, np.int32)
             diag0 = np.zeros(B, np.int32)
             for b, (t, d) in enumerate(chunk):
-                probes[b] = probe
+                probes[b, :Lp] = probe
                 ts = int(g.starts[t])
                 tl = int(g.lengths[t])
                 targets[b, :tl] = g.seq[ts: ts + tl]

@@ -107,6 +107,72 @@ def _sw_scan(probes, targets, plens, tlens, diag0, *, W, Lp, traceback,
     return best, bi, bk, ptrs
 
 
+@functools.partial(jax.jit, static_argnames=("W", "L_OPS"))
+def _traceback_dev(ptrs, probes, targets, best, bi, bk, diag0, *,
+                   W: int, L_OPS: int):
+    """ON-DEVICE traceback over the resident pointer array (round 5):
+    fetching the [Lp, B, W] pointer matrix cost ~2 GB over the host link
+    per realistic-scale SW batch (20 Kbp reads x band 3000); the
+    vmapped while_loop walks it device-side and returns ~L_OPS bytes of
+    reverse-order op codes (1=M 2=D 3=I) per lane plus the start
+    coordinates and match counts."""
+    Lp = ptrs.shape[0]
+
+    def one(P, probe, target, sc, pi, pk, d0):
+        Lt = target.shape[0]
+        Lq = probe.shape[0]
+
+        def cond(st):
+            i, c, state, n, ops, nm, nmm, stop = st
+            k = c - i - d0 + W // 2
+            return ((~stop) & (i >= 0) & (c >= 0) & (k >= 0) & (k < W)
+                    & (n < L_OPS))
+
+        def body(st):
+            i, c, state, n, ops, nm, nmm, stop = st
+            k = jnp.clip(c - i - d0 + W // 2, 0, W - 1)
+            byte = P[jnp.clip(i, 0, Lp - 1), k].astype(jnp.int32)
+            is_h0 = state == 1
+            is_e = state == 2
+            is_f = state == 3
+            d = byte & 3
+            ns = jnp.where(state == 0,
+                           jnp.where((byte & 4) != 0, 3, 1),
+                           jnp.where(is_h0, jnp.where(d == 1, 0, 2),
+                                     jnp.where(is_e,
+                                               jnp.where((byte & 8) != 0,
+                                                         2, 0),
+                                               jnp.where((byte & 16) != 0,
+                                                         3, 1))))
+            stop2 = is_h0 & (d == 0)
+            opM = is_h0 & (d == 1)
+            op = jnp.where(opM, 1, jnp.where(is_e, 2,
+                                             jnp.where(is_f, 3, 0)))
+            emit = (op > 0) & ~stop2
+            match = (probe[jnp.clip(i, 0, Lq - 1)]
+                     == target[jnp.clip(c, 0, Lt - 1)])
+            nm = nm + jnp.where(emit & opM & match, 1, 0)
+            nmm = nmm + jnp.where(emit & opM & ~match, 1, 0)
+            nc = jnp.clip(n, 0, L_OPS - 1)
+            ops = ops.at[nc].set(jnp.where(emit, op.astype(jnp.int8),
+                                           ops[nc]))
+            n = n + emit.astype(jnp.int32)
+            di = jnp.where(emit & (opM | is_e), -1, 0)
+            dc = jnp.where(emit & (opM | is_f), -1, 0)
+            return (i + di, c + dc, ns, n, ops, nm, nmm, stop | stop2)
+
+        i0 = pi
+        c0 = d0 + pi + pk - W // 2
+        init = (i0, c0, jnp.int32(0), jnp.int32(0),
+                jnp.zeros(L_OPS, jnp.int8), jnp.int32(0), jnp.int32(0),
+                sc <= 0)
+        i, c, _, n, ops, nm, nmm, _ = jax.lax.while_loop(cond, body, init)
+        return ops, n, i + 1, c + 1, nm, nmm
+
+    return jax.vmap(one, in_axes=(1, 0, 0, 0, 0, 0, 0))(
+        ptrs, probes, targets, best, bi, bk, diag0)
+
+
 @dataclass
 class SWAlignment:
     score: int
@@ -146,17 +212,40 @@ def banded_sw_batch(probes: np.ndarray, plens: np.ndarray,
         jnp.asarray(diag0, np.int32), W=W, Lp=Lp, traceback=traceback,
         match=scores.match, mismatch=scores.mismatch,
         gap_open=scores.gap_open, gap_ext=scores.gap_ext)
+    if not traceback:
+        best = np.asarray(jax.device_get(best))
+        return [SWAlignment(int(best[b]), 0, 0, 0, 0, []) for b in range(B)]
+    # on-device traceback: only op codes + coords cross the link (the
+    # pointer matrix itself is [Lp, B, W] — ~2 GB at realistic scale)
+    L_OPS = Lp + W
+    ops_d, n_d, ps_d, ts_d, nm_d, nmm_d = _traceback_dev(
+        ptrs, jnp.asarray(probes), jnp.asarray(targets), best, bi, bk,
+        jnp.asarray(diag0, np.int32), W=W, L_OPS=L_OPS)
     best = np.asarray(jax.device_get(best))
     bi = np.asarray(jax.device_get(bi))
     bk = np.asarray(jax.device_get(bk))
-    if not traceback:
-        return [SWAlignment(int(best[b]), 0, 0, 0, 0, []) for b in range(B)]
-    P = np.asarray(jax.device_get(ptrs))      # [Lp, B, W]
+    OPS, NN, PS, TS, NM, NMM = (np.asarray(jax.device_get(x)) for x in
+                                (ops_d, n_d, ps_d, ts_d, nm_d, nmm_d))
     out = []
+    opc = {1: "M", 2: "D", 3: "I"}
     for b in range(B):
-        out.append(_traceback_one(P[:, b, :], int(best[b]), int(bi[b]),
-                                  int(bk[b]), int(diag0[b]), W,
-                                  probes[b], targets[b]))
+        sc = int(best[b])
+        if sc <= 0:
+            out.append(SWAlignment(0, 0, 0, 0, 0, []))
+            continue
+        rops = OPS[b, :int(NN[b])][::-1]
+        ops = []
+        if len(rops):
+            # run-length collapse (vectorized boundaries)
+            bnd = np.nonzero(np.concatenate(
+                [[True], rops[1:] != rops[:-1]]))[0]
+            lens = np.diff(np.concatenate([bnd, [len(rops)]]))
+            ops = [(opc[int(rops[j])], int(ln))
+                   for j, ln in zip(bnd, lens)]
+        i_end = int(bi[b])
+        c_end = int(diag0[b]) + i_end + int(bk[b]) - W // 2
+        out.append(SWAlignment(sc, int(PS[b]), i_end + 1, int(TS[b]),
+                               c_end + 1, ops, int(NM[b]), int(NMM[b])))
     return out
 
 

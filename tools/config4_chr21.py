@@ -109,8 +109,14 @@ def main():
 
     t0 = time.time()
     sam_path = os.path.join(args.workdir, "out.sam")
-    stats = pal.write_sam_fast(sam_path, pal.align_pairs(r1, r2),
-                          snp_caller=caller)
+    codes1 = np.stack([r.codes for r in r1])
+    codes2 = np.stack([r.codes for r in r2])
+    stats = pal.write_sam_fast(
+        sam_path,
+        pal.align_pairs_arrays(codes1, codes2,
+                               names1=[r.name for r in r1],
+                               names2=[r.name for r in r2]),
+        snp_caller=caller)
     dt = time.time() - t0
     n_reads = 2 * len(r1)
     log(f"PE align+SAM: {dt:.1f}s = {n_reads/dt:.0f} reads/s "
