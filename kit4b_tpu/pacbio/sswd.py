@@ -49,13 +49,24 @@ def _sw_scan(probes, targets, plens, tlens, diag0, *, W, Lp, traceback,
              match, mismatch, gap_open, gap_ext):
     B, Lt = targets.shape
     karr = jnp.arange(W, dtype=jnp.int32)
+    barr = jnp.arange(B, dtype=jnp.int32)
+
+    # the band slides one target column per probe row, so the target
+    # window rides the scan carry: one [B] element gather per step plus
+    # a shift, instead of a [B, W] per-index gather per step (which
+    # cost ~1.9G gathered elements per 20 Kbp x band-3000 batch)
+    cols_init = diag0[:, None] - 1 + karr[None, :] - W // 2
+    tb_init = jnp.take_along_axis(
+        targets, jnp.clip(cols_init, 0, Lt - 1), axis=1)
 
     def row(carry, i):
-        Hprev, Eprev, best, bi, bk = carry
+        Hprev, Eprev, tbwin, best, bi, bk = carry
         pb = probes[:, i][:, None]                       # [B,1]
         cols = diag0[:, None] + i + karr[None, :] - W // 2
         okc = (cols >= 0) & (cols < tlens[:, None])
-        tb = jnp.take_along_axis(targets, jnp.clip(cols, 0, Lt - 1), axis=1)
+        newc = diag0 + i + (W - 1) - W // 2
+        nc = targets[barr, jnp.clip(newc, 0, Lt - 1)]
+        tb = jnp.concatenate([tbwin[:, 1:], nc[:, None]], axis=1)
         okp = (i < plens)[:, None] & (pb < 4) & okc & (tb < 4)
         sub = jnp.where(okp, jnp.where(pb == tb, match, mismatch), NEG)
 
@@ -97,13 +108,13 @@ def _sw_scan(probes, targets, plens, tlens, diag0, *, W, Lp, traceback,
                    | (usedf.astype(jnp.uint8) << 2)
                    | (eext.astype(jnp.uint8) << 3)
                    | (fext.astype(jnp.uint8) << 4))
-        return (Hf, E, best, bi, bk), out
+        return (Hf, E, tb, best, bi, bk), out
 
     H0 = jnp.zeros((B, W), jnp.int32)
     E0 = jnp.full((B, W), NEG, jnp.int32)
     z = jnp.zeros((B,), jnp.int32)
-    (Hl, El, best, bi, bk), ptrs = jax.lax.scan(
-        row, (H0, E0, z, z, z), jnp.arange(Lp, dtype=jnp.int32))
+    (Hl, El, _tbl, best, bi, bk), ptrs = jax.lax.scan(
+        row, (H0, E0, tb_init, z, z, z), jnp.arange(Lp, dtype=jnp.int32))
     return best, bi, bk, ptrs
 
 

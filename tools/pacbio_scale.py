@@ -112,7 +112,10 @@ def main():
                               min_corrected_len=5_000,
                               band=2 * ecreads.MAX_OVERLAP_FLOAT,
                               min_coverage=3)
-    corrected = ecreads.correct_reads(reads, params)
+    corrected = ecreads.correct_reads(
+        reads, params,
+        on_progress=lambda i, n: log(f"  ec {i}/{n}") if i % 8 == 0
+        else None)
     dt = time.time() - t0
     cids = []
     for rec in corrected:
