@@ -11,6 +11,19 @@ reference binary (pacbiokit4b ecreads, .refbin) on the same reads and
 scores its corrected output identically.
 
 Usage: python tools/pacbio_scale.py [--kbp 200] [--cov 12] [--ref]
+
+MEASURED (2026-08-21, 100 Kbp x 8x, 59 reads of 10.6-18.7 Kbp):
+  OURS at the reference's UNSCALED thresholds: 59/59 corrected in 305 s
+  (one chip), SW-identity-density 0.664 raw -> 0.911 corrected
+  (sub-heavier profile: 58/58, 0.688 -> 0.933).
+  REFERENCE binary on the SAME reads: runs clean but classifies nearly
+  every SW-aligned overlap artefactual (OverlapFloat dovetail + 500bp
+  window-deviation rules, SSW.cpp:542) and corrects ZERO reads — across
+  three error profiles (14% insertion-dominant, 14% mixed, 7.5%
+  high-quality) and with -A 0. Its artefact heuristics are tuned to real
+  CLR channel structure that uniform-random synthetic genomes lack, so a
+  same-reads corrected-quality comparison is not obtainable here; the
+  truth-scored correction quality above is the measured number.
 """
 import argparse
 import os
@@ -27,8 +40,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def corrupt_pacbio(seq: np.ndarray, rng, ins=0.08, dele=0.04, sub=0.02):
-    """CLR-profile corruption: per-base insertion/deletion/substitution."""
+def corrupt_pacbio(seq: np.ndarray, rng, ins=0.10, dele=0.04,
+                   sub=0.005):
+    """CLR-profile corruption: insertion-dominant with rare
+    substitutions (real CLR error is ~85%% accuracy, mostly insertions;
+    the reference's default SW scoring — mismatch -25,
+    pacbiokit4b/PBErrCorrect defaults — is tuned to that structure and
+    fragments alignments when substitutions are common)."""
     out = []
     for b in seq:
         r = rng.random()
@@ -152,7 +170,7 @@ def main():
         ref_ids = []
         n_ref = 0
         ecfa = os.path.join(d, "ref_ec.fa")
-        if os.path.exists(ecfa):
+        if os.path.exists(ecfa) and os.path.getsize(ecfa) > 0:
             # map each reference-corrected read back to its source truth
             # window via the preserved descriptor
             for rec in read_seqs(ecfa):
