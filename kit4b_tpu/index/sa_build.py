@@ -66,6 +66,11 @@ def _load_native():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.bucket_index.restype = ctypes.c_int64
+        lib.bucket_index.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
     except AttributeError:
         pass   # older .so without hostops
     lib.sais_u8_i32.restype = ctypes.c_int

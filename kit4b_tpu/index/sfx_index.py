@@ -28,7 +28,7 @@ import numpy as np
 
 from .. import dna
 from ..io.fasta import Genome
-from .sa_build import build_suffix_array
+from .sa_build import _load_native, build_suffix_array
 
 KIX_VERSION = 1
 
@@ -114,6 +114,23 @@ class SfxIndex:
             return cls(genome, k, np.zeros(0, np.int32),
                        np.zeros(4 ** k + 1, np.int64))
         m = n - k + 1
+        # native counting-sort path: one histogram + one scatter pass,
+        # bit-identical output (in-bucket order ascending by position,
+        # same as a stable argsort by key), ~7x the numpy path below
+        lib = _load_native()
+        if lib is not None and hasattr(lib, "bucket_index") \
+                and n < 2 ** 31 and k <= 15:
+            seq_c = np.ascontiguousarray(seq, dtype=np.uint8)
+            sa_buf = np.empty(m, np.int32)
+            lut = np.empty(4 ** k + 1, np.int64)
+            import ctypes
+            ngood = lib.bucket_index(
+                seq_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n, k,
+                sa_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            if ngood >= 0:
+                return cls(genome, k, sa_buf[:ngood].copy(), lut)
         clean = np.where(seq < dna.BASE_N, seq, 0).astype(np.int32)
         keys = clean[:m].copy()
         for j in range(1, k):

@@ -152,7 +152,7 @@ _KMARKERS_PASS = None
 def find_cultivar_markers(index: SfxIndex, chrom_cult: np.ndarray,
                           target_cultivar: int, *,
                           kmer_len: int = 50, min_hamming: int = 2,
-                          batch: int = 16384, extend: bool = True,
+                          batch: int = 49152, extend: bool = True,
                           max_ml: int = 48) -> list[Marker]:
     """K-mers present in `target_cultivar` (and ONLY there exactly) with
     Hamming >= min_hamming from every K-mer of all other cultivars (both

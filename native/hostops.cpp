@@ -201,4 +201,56 @@ int64_t format_sam_pe(const char* qname_cat, const int64_t* qname_ofs,
     return (int64_t)(p - out);
 }
 
+// Counting-sort k-mer bucket index (SfxIndex.build_buckets fast path).
+//
+// seq: uint8 base codes [n] (>= 4 means non-ACGT: N / EOS / EOG);
+// sa_out: caller-allocated int32 [n - k + 1]; lut_out: int64 [4^k + 1].
+// Fills sa_out[0..ngood) with clean k-mer start positions grouped by
+// 2-bit big-endian key, in-bucket order ascending by position (exactly
+// the order numpy's stable argsort-by-key produces), and lut_out with
+// the bucket boundary prefix sums. Returns ngood, or -1 on bad args.
+//
+// Replaces ~14 s of numpy (rolling-key build + radix argsort + bincount
+// + cumsum) with ~2 s of streaming passes at 30 Mbp / k=13: histogram
+// over a rolling key, exclusive prefix sum, scatter using lut_out as
+// the per-bucket cursor, then one memmove to restore the boundaries.
+// Reference analog: the bucket phase of CSfxArray::QSortSeq
+// (libkit4b/SfxArray.cpp:9739) — the in-bucket lexicographic refinement
+// is never read by bucket-probing workloads, so it is not computed.
+int64_t bucket_index(const uint8_t* seq, int64_t n, int64_t k,
+                     int32_t* sa_out, int64_t* lut_out) {
+    if (k < 1 || k > 15 || n < k || n >= (1LL << 31)) return -1;
+    const int64_t nk = 1LL << (2 * k);
+    const uint32_t mask = (uint32_t)(nk - 1);
+    memset(lut_out, 0, (size_t)(nk + 1) * sizeof(int64_t));
+    int64_t* counts = lut_out + 1;          // counts[key] during pass 1
+    uint32_t key = 0;
+    int64_t last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t c = seq[i];
+        if (c >= 4) last_bad = i;
+        key = ((key << 2) | (uint32_t)(c & 3)) & mask;
+        const int64_t pos = i - k + 1;
+        if (pos >= 0 && last_bad < pos) counts[key]++;
+    }
+    // counts sit at lut_out[j+1]; an inclusive in-place cumsum turns the
+    // array into bucket starts: lut_out[j] = sum of counts of buckets < j
+    for (int64_t j = 1; j <= nk; ++j) lut_out[j] += lut_out[j - 1];
+    const int64_t ngood = lut_out[nk];
+    // scatter; lut_out[key] doubles as the bucket cursor (ends at the
+    // bucket end == next bucket's start, zero-count buckets untouched)
+    key = 0;
+    last_bad = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t c = seq[i];
+        if (c >= 4) last_bad = i;
+        key = ((key << 2) | (uint32_t)(c & 3)) & mask;
+        const int64_t pos = i - k + 1;
+        if (pos >= 0 && last_bad < pos) sa_out[lut_out[key]++] = (int32_t)pos;
+    }
+    memmove(lut_out + 1, lut_out, (size_t)nk * sizeof(int64_t));
+    lut_out[0] = 0;
+    return ngood;
+}
+
 }  // extern "C"

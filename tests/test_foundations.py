@@ -145,3 +145,31 @@ def test_readstats(tmp_path):
     assert (tmp_path / "qc.summary.json").exists()
     cyc = (tmp_path / "qc.cycles.csv").read_text().splitlines()
     assert len(cyc) == 81
+
+
+def test_bucket_index_native_matches_numpy():
+    """The native counting-sort bucket index (hostops.cpp bucket_index)
+    must be bit-identical to the numpy stable-argsort path — same lut
+    boundaries AND the same in-bucket position-ascending order."""
+    import kit4b_tpu.index.sfx_index as SI
+
+    rng = np.random.default_rng(77)
+    n = 300_000
+    seq = rng.integers(0, 4, n).astype(np.uint8)
+    seq[5_000:5_040] = dna.BASE_N          # N run
+    seq[150_000] = dna.BASE_EOS            # chromosome separator
+    # a planted repeat family (non-trivial buckets)
+    seq[200_000:200_200] = seq[100_000:100_200]
+    seq = np.concatenate([seq, [dna.BASE_EOG]]).astype(np.uint8)
+    g = fasta.Genome(["a", "b"], np.array([0, 150_001]),
+                     np.array([150_000, n - 150_000]), seq)
+    idx_native = SfxIndex.build_buckets(g)
+    orig = SI._load_native
+    SI._load_native = lambda: None
+    try:
+        idx_np = SfxIndex.build_buckets(g)
+    finally:
+        SI._load_native = orig
+    assert idx_native.lut_k == idx_np.lut_k
+    np.testing.assert_array_equal(idx_native.lut, idx_np.lut)
+    np.testing.assert_array_equal(idx_native.sa_clean, idx_np.sa_clean)
